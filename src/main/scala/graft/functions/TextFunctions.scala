@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text cleanup + tokenization as codegen-friendly column expressions.
+  *
+  * Reproduces the reference corpus cleanup semantics (reference
+  * `master.py:44-61`): strip the 32 ASCII `string.punctuation` chars, trim,
+  * lowercase, drop non-ASCII — in that exact order (so `don't` → `dont`,
+  * `café` → `caf`, `re-use` → `reuse`). Tokenization matches Python
+  * `str.split()` (reference `wordcount_map.py:11`): split on runs of
+  * whitespace, no empty tokens.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` so it stays
+  * inside whole-stage codegen — no UDFs.
+  */
+object TextFunctions {
+
+  /** Python `string.punctuation` as a Java-regex character class. */
+  val PunctClass: String = """[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
+  /** Matches any non-ASCII char (the reference's `encode("ascii","ignore")`). */
+  val NonAscii: String = """[^\x00-\x7F]"""
+
+  def stripPunct(c: Column): Column = regexp_replace(c, PunctClass, "")
+
+  def asciiOnly(c: Column): Column = regexp_replace(c, NonAscii, "")
+
+  /** Python `str.strip()` trims ALL whitespace (tabs/newlines too), unlike
+    * SQL `trim` which only strips spaces — use a regex trim for parity.
+    */
+  def trimWs(c: Column): Column = regexp_replace(c, """^\s+|\s+$""", "")
+
+  /** Full reference cleanup chain, in reference order:
+    * punctuation-strip → trim → lowercase → ASCII-fold.
+    */
+  def cleanLine(c: Column): Column =
+    asciiOnly(lower(trimWs(stripPunct(c))))
+
+  /** Whitespace tokenize matching Python `str.split()`: runs of whitespace,
+    * empty tokens dropped.
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Faithful-mode predicate (reference quirk Q1, `reducer.py:28`): only
+    * tokens whose first char is a–z survive the reference's shuffle.
+    */
+  def azLeading(c: Column): Column =
+    substring(c, 1, 1).between("a", "z")
+
+  // ===== DuckDB-oracle SQL fragments (mirror the exact same semantics) =====
+  // Single-quotes are doubled for SQL embedding; DuckDB regexp_replace needs
+  // the 'g' flag (Spark's is global by default).
+
+  /** DuckDB expression applying [[cleanLine]] to SQL expression `e`. */
+  def cleanLineSql(e: String): String =
+    s"regexp_replace(lower(regexp_replace(regexp_replace($e, " +
+      """'[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g'), """ +
+      """'^\s+|\s+$', '', 'g')), '[^\x00-\x7F]', '', 'g')"""
+
+  /** DuckDB expression producing the token list of [[tokens]] over `e`. */
+  def tokensSql(e: String): String =
+    s"""list_filter(string_split_regex($e, '\\s+'), t -> len(t) > 0)"""
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-time analytics over the `events` table — the batch equivalents of
+  * the streaming surface (SURVEY.md §2.9). Tumbling windows via
+  * `date_trunc` (oracle-comparable; the streaming variant in
+  * [[graft.streaming.StreamingPipelines]] uses `window()` +- watermark) and
+  * gap-based sessionization via window functions.
+  */
+object EventQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- tumbling event-time window aggregation ----
+    "event_hourly" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // ---- gap-based sessionization (30-min inactivity ends a session) ----
+    "event_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // ---- per-user funnel-ish stats: conditional aggregation ----
+    "event_user_stats" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+          count(when(col("event_type") === "error", 1)).as("n_errors"),
+          sum(when(col("event_type") === "purchase", col("value").cast(DecimalType(12, 2)))
+            .otherwise(lit(0).cast(DecimalType(12, 2)))).cast(DoubleType).as("purchase_value"),
+          min(col("ts")).as("first_seen"),
+          max(col("ts")).as("last_seen"))
+        .orderBy("user_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "event_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "event_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM (
+        |  SELECT user_id, ts, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "event_user_stats" ->
+      """SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
+        |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value,
+        |  MIN(ts) AS first_seen, MAX(ts) AS last_seen
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,335 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational operator surface: aggregations, joins (inner/outer/semi/anti),
+  * windows, sorts/top-k, set operations, rollup, scalar functions.
+  *
+  * The reference has no joins/windows (SURVEY.md §2.3/§2.5) — these are the
+  * engine's superset surface, all Spark built-ins so Catalyst owns pushdown,
+  * join selection (broadcast for the small dims), and AQE.
+  *
+  * Float determinism: money aggregates go through DECIMAL(12,2) (exact,
+  * order-independent) and are cast to DOUBLE only at the end, so Spark and
+  * the DuckDB oracle agree bit-for-bit regardless of summation order.
+  */
+object RelationalQueries {
+
+  /** Exact decimal view of a money/quantity column. */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A: grouped aggregation with arithmetic (TPC-H Q1 shape) ----
+    "q1_pricing" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- joins: 3-way join + group + top-k (TPC-H Q3 shape) ----
+    "q3_shipping" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- joins: 6-way star join (TPC-H Q5 shape) ----
+    "q5_revenue" -> ((s, dir) => {
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables(s, dir, "nation")
+      val cu = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem")
+      val su = Tables(s, dir, "supplier")
+      // dims (region/nation) are tiny at any SF — broadcast; the
+      // lineitem⋈orders⋈customer spine shuffles on its keys.
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(cu, o("o_custkey") === cu("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          cu("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- semi join: customers with at least one open order ----
+    "join_semi" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- anti join: customers with no pending ('P') order ----
+    "join_anti" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- left outer join + agg: customer count per nation (incl. zero) ----
+    "join_outer" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      n.join(c, n("n_nationkey") === c("c_nationkey"), "left_outer")
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(col("c_custkey")).as("n_customers"),
+          dbl(coalesce(sum(dec(col("c_acctbal"))), lit(0).cast(DecimalType(12, 2)))).as("total_acctbal"))
+        .orderBy("n_nationkey")
+    }),
+
+    // ---- window: rank — top-3 orders per customer by price ----
+    "window_rank" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- window: running aggregate per partition ----
+    "window_running" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      l.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          dbl(sum(dec(col("l_extendedprice"))).over(w)).as("running_price"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // ---- window: lag/lead — gap in days between consecutive orders ----
+    "window_lag" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- global sort + top-k (TakeOrderedAndProject) ----
+    "sort_topk" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(20)
+    }),
+
+    // ---- set operations: union / intersect / except ----
+    "set_ops" -> ((s, dir) => {
+      val custNations = Tables(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey")).distinct()
+      val suppNations = Tables(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")).distinct()
+      custNations.union(suppNations).distinct().select(lit("union").as("op"), col("nationkey"))
+        .unionAll(custNations.intersect(suppNations).select(lit("intersect").as("op"), col("nationkey")))
+        .unionAll(custNations.except(suppNations).select(lit("except").as("op"), col("nationkey")))
+        .orderBy("op", "nationkey")
+    }),
+
+    // ---- aggregate stats: min/max/avg/count-distinct ----
+    "agg_stats" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      l.groupBy(col("l_returnflag"))
+        .agg(
+          dbl(min(dec(col("l_quantity")))).as("min_qty"),
+          dbl(max(dec(col("l_quantity")))).as("max_qty"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("avg_qty", col("sum_qty") / col("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- rollup (grouping sets) ----
+    "agg_rollup" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      l.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_price"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- scalar functions: string/date/math projection ----
+    "scalar_funcs" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"),
+          dayofmonth(col("o_orderdate")).as("order_day"),
+          substring(col("o_orderpriority"), 1, 1).as("priority_code"),
+          upper(col("o_orderstatus")).as("status_uc"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_tag"),
+          length(col("o_orderpriority")).as("priority_len"),
+          dbl(floor(dec(col("o_totalprice")))).as("price_floor"),
+          dbl(ceil(dec(col("o_totalprice")))).as("price_ceil"),
+          datediff(lit("2025-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_ago"),
+          (col("o_orderkey") % 7).as("key_mod"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- approximate distinct (sketch; no SQL oracle — rows-only check) ----
+    "approx_distinct" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      l.agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_outer" ->
+      """SELECT n_nationkey, n_name,
+        |  CAST(COUNT(c_custkey) AS BIGINT) AS n_customers,
+        |  CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_acctbal
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_price
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "set_ops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn)
+        |UNION ALL SELECT 'intersect', nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL SELECT 'except', nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |ORDER BY op, nationkey""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS min_qty,
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS max_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS order_month,
+        |  CAST(day(o_orderdate) AS INT) AS order_day,
+        |  substring(o_orderpriority, 1, 1) AS priority_code,
+        |  upper(o_orderstatus) AS status_uc,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_tag,
+        |  CAST(length(o_orderpriority) AS INT) AS priority_len,
+        |  CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_floor,
+        |  CAST(CEIL(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_ceil,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS INT) AS days_ago,
+        |  CAST(o_orderkey % 7 AS BIGINT) AS key_mod
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's text-processing surface re-expressed over the `documents`
+  * table: cleanup projection, wordcount, inverted index, point lookup
+  * (reference `wordcount_map/reduce.py`, `invertedindex_map/reduce.py`,
+  * `master.py:44-61`; PDF Part 2 "Streaming Search" for the lookup).
+  *
+  * All pipelines are `explode(split(...))` → `groupBy` — Spark's partial
+  * aggregation (map-side combine) replaces the reference's per-mapper
+  * list-of-1s / set-dedup buffers (SURVEY.md §2.4 A1–A5, quirk Q5).
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference cleanup chain as a projection (P1–P5) ----
+    "text_cleanup" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), cleanLine(col("text")).as("cleaned"))
+        .filter(length(col("cleaned")) > 0)
+        .orderBy("doc_id")
+    }),
+
+    // ---- wordcount (A1–A3): tokenize → count per word ----
+    "wordcount" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(tokens(cleanLine(col("text")))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    }),
+
+    // ---- faithful-mode wordcount (quirk Q1: only a–z-leading tokens) ----
+    "wordcount_faithful" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(tokens(cleanLine(col("text")))).as("word"))
+        .filter(azLeading(col("word")))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    }),
+
+    // ---- inverted index (A4–A5): word → sorted distinct doc list ----
+    "inverted_index" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(tokens(cleanLine(col("text")))).as("word"), col("doc_id"))
+        .groupBy("word")
+        .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+        .orderBy("word")
+    }),
+
+    // ---- inverted index, flat pair form (the mapper-output shape, A4) ----
+    "inverted_index_pairs" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(tokens(cleanLine(col("text")))).as("word"), col("doc_id"))
+        .distinct()
+        .orderBy("word", "doc_id")
+    }),
+
+    // ---- point lookup on the index (P7, PDF Part 2 "Streaming Search") ----
+    "point_lookup" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(tokens(cleanLine(col("text")))).as("word"), col("doc_id"))
+        .filter(col("word") === "spark")
+        .groupBy("word")
+        .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+    })
+  )
+
+  private val cleanedSql = cleanLineSql("text")
+
+  /** Exploded (word, doc_id) relation, shared by the oracle queries. */
+  private val explodedSql =
+    s"""SELECT unnest(${tokensSql(cleanedSql)}) AS word, doc_id FROM documents"""
+
+  def oracles: Map[String, String] = Map(
+    "text_cleanup" ->
+      s"""SELECT doc_id, $cleanedSql AS cleaned FROM documents
+         |WHERE length($cleanedSql) > 0 ORDER BY doc_id""".stripMargin,
+
+    "wordcount" ->
+      s"""SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM ($explodedSql)
+         |GROUP BY word ORDER BY word""".stripMargin,
+
+    "wordcount_faithful" ->
+      s"""SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM ($explodedSql)
+         |WHERE substring(word, 1, 1) BETWEEN 'a' AND 'z'
+         |GROUP BY word ORDER BY word""".stripMargin,
+
+    "inverted_index" ->
+      s"""SELECT word, list(DISTINCT doc_id ORDER BY doc_id) AS docs
+         |FROM ($explodedSql) GROUP BY word ORDER BY word""".stripMargin,
+
+    "inverted_index_pairs" ->
+      s"""SELECT DISTINCT word, doc_id FROM ($explodedSql)
+         |ORDER BY word, doc_id""".stripMargin,
+
+    "point_lookup" ->
+      s"""SELECT word, list(DISTINCT doc_id ORDER BY doc_id) AS docs
+         |FROM ($explodedSql) WHERE word = 'spark' GROUP BY word""".stripMargin
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every SparkEntry query runs at sf0.001 and satisfies cheap invariants.
+  * Exact value parity with DuckDB is the driver's gate (and replicated
+  * locally by tools/oracle_check.py); these specs guard plan validity,
+  * schema stability, and cross-query consistency.
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import SparkTestBase.Sf0001
+
+  test("every declared query executes and is non-empty at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, Sf0001).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("wordcount total equals exploded token count") {
+    val docs = Tables(spark, Sf0001, "documents")
+    val tokenCount = docs
+      .select(explode(tokens(cleanLine(col("text")))).as("w")).count()
+    val sumCounts = SparkEntry.queries("wordcount")(spark, Sf0001)
+      .agg(sum("cnt")).head().getLong(0)
+    assert(sumCounts == tokenCount)
+  }
+
+  test("inverted index: docs listed for a word actually contain it") {
+    val docs = Tables(spark, Sf0001, "documents")
+    val idx = SparkEntry.queries("inverted_index")(spark, Sf0001)
+      .filter(col("word") === "spark")
+      .select(explode(col("docs")).as("doc_id"))
+    val expected = docs
+      .filter(array_contains(tokens(cleanLine(col("text"))), "spark"))
+      .select("doc_id")
+    assert(idx.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(idx).count() == 0)
+  }
+
+  test("result is invariant to input partitioning") {
+    val docs = Tables(spark, Sf0001, "documents")
+    val base = docs
+      .select(explode(tokens(cleanLine(col("text")))).as("w"))
+      .groupBy("w").count()
+    val repart = docs.repartition(13)
+      .select(explode(tokens(cleanLine(col("text")))).as("w"))
+      .groupBy("w").count()
+    assert(base.exceptAll(repart).count() == 0)
+    assert(repart.exceptAll(base).count() == 0)
+  }
+}
