@@ -17,7 +17,10 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
-      (EventQueries.queries, EventQueries.oracles)
+      (EventQueries.queries, EventQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles),
+      (SimilarityQueries.queries, SimilarityQueries.oracles),
+      (TextAnalysisQueries.queries, TextAnalysisQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ARRAY<DOUBLE>` columns, built from codegen'd
+  * higher-order functions (`zip_with`/`aggregate`) — no UDFs, so the
+  * expressions stay inside whole-stage codegen and distribute trivially.
+  *
+  * Determinism: `aggregate` is a sequential left fold, so the floating-point
+  * summation order is fixed (same bits on every run / partitioning). The
+  * DuckDB oracle mirrors use an explicit fold too ([[dotSql]]).
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product of two ARRAY<DOUBLE> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit bucket over the first `nBits` dimensions — an axis-aligned
+    * locality-sensitive hash (random-hyperplane LSH with unit-axis planes).
+    * Exact on floats, so Spark and the SQL oracle always agree.
+    */
+  def signBucket(v: Column, nBits: Int): Column =
+    concat((0 until nBits).map(i =>
+      when(element_at(v, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  // ===== DuckDB-oracle SQL mirrors =====
+
+  /** DuckDB dot product with the same left-fold order as [[dot]]
+    * (list_reduce folds left; fold(0.0)+x1 ≡ x1 bit-exactly).
+    */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1]*p[2]), (acc, x) -> acc + x)"
+
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  def signBucketSql(v: String, nBits: Int): String =
+    (0 until nBits).map(i =>
+      s"(CASE WHEN $v[${i + 1}] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Three tiers, in the order a 100 TB pipeline would deploy them:
+  *  - brute force for a BOUNDED query set (broadcast the queries, stream the
+  *    corpus — linear in corpus size, never a corpus×corpus join);
+  *  - sign-bit LSH buckets (axis-aligned hyperplanes — exact on floats, so
+  *    the SQL oracle agrees bit-for-bit on bucket assignment);
+  *  - IVF-style coarse partition using the provided cell assignment
+  *    (`label`), searching only within the probe cell.
+  *
+  * Cosine is a sequential-fold dot product (see VectorFunctions) so scores
+  * are deterministic doubles on both engines.
+  */
+object SimilarityQueries {
+
+  private val TopK = 3
+  private val NQueries = 8   // vec_id < 8 is the benchmark query set
+  private val LshBits = 8
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- brute-force top-k for a bounded query set (broadcast queries) ----
+    "ann_bruteforce" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          cosine(col("qv"), col("v")).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nn_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("nn_id"))
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- LSH: sign-bit buckets, top-1 neighbor within bucket ----
+    "ann_lsh" -> ((s, dir) => {
+      val e = vecs(s, dir).withColumn("bucket", signBucket(col("v"), LshBits))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+          col("b.vec_id").as("nn_id"), cosine(col("a.v"), col("b.v")).as("sim"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("bucket"), col("nn_id"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- IVF-style: top-k within the coarse cell, bounded query set ----
+    "ann_ivf" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qcell"), col("v").as("qv"))
+      val scored = e.join(broadcast(q),
+          col("label") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          cosine(col("qv"), col("v")).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nn_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("nn_id"))
+        .orderBy("qid", "rank")
+    })
+  )
+
+  private val eSql = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+  def oracles: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      s"""WITH e AS ($eSql),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nn_id, ${cosineSql("q.v", "e.v")} AS sim
+         |  FROM e q JOIN e ON q.vec_id < $NQueries AND e.vec_id <> q.vec_id)
+         |SELECT qid, rank, nn_id FROM (
+         |  SELECT qid, nn_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS INT) AS rank
+         |  FROM scored) WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, v, ${signBucketSql("v", LshBits)} AS bucket FROM ($eSql)),
+         |pairs AS (
+         |  SELECT a.vec_id, a.bucket, b.vec_id AS nn_id, ${cosineSql("a.v", "b.v")} AS sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, bucket, nn_id FROM (
+         |  SELECT vec_id, bucket, nn_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
+         |  FROM pairs) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH e AS ($eSql),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nn_id, ${cosineSql("q.v", "e.v")} AS sim
+         |  FROM e q JOIN e ON q.vec_id < $NQueries AND e.label = q.label AND e.vec_id <> q.vec_id)
+         |SELECT qid, rank, nn_id FROM (
+         |  SELECT qid, nn_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS INT) AS rank
+         |  FROM scored) WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  )
+}

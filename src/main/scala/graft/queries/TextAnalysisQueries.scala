@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (stopword n-gram heuristic), quality scoring (length/alpha/stopword
+  * ratios), token counting (whitespace + BPE-ish regex), and document
+  * fingerprinting (min-hash-of-shingles, a winnowing-style sketch).
+  *
+  * All per-document projections/aggregations — embarrassingly parallel, no
+  * shuffle except the per-doc groupBy for the fingerprint. Determinism:
+  * ratios are BIGINT/BIGINT double divisions and weights are binary
+  * fractions (0.5/0.25), so scores are bit-identical on both engines.
+  */
+object TextAnalysisQueries {
+
+  /** language -> stopword list for the n-gram/stopword-count heuristic. */
+  private val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "est", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "una", "es", "que"))
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** BPE-ish token regex: letter runs, digit runs, single other symbols. */
+  private val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- language ID: stopword-count argmax, fixed tie-break order ----
+    "lang_id" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("toks", tokens(cleanLine(col("text"))))
+      val scored = Stopwords.foldLeft(d) { case (df, (lang, words)) =>
+        df.withColumn(s"sc_$lang", stopCount(col("toks"), words))
+      }
+      val Seq(en, de, fr, es) = Stopwords.map { case (l, _) => col(s"sc_$l") }
+      val pred = when(en > 0 && en >= de && en >= fr && en >= es, "en")
+        .when(de > 0 && de >= fr && de >= es, "de")
+        .when(fr > 0 && fr >= es, "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+      scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+          en.as("sc_en"), de.as("sc_de"), fr.as("sc_fr"), es.as("sc_es"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quality score: alpha/stopword ratios + length fit ----
+    "text_quality" -> ((s, dir) => {
+      val toks = tokens(cleanLine(col("text")))
+      val nTok = size(toks).cast("long")
+      val nChars = length(col("text")).cast("long")
+      val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+      val nStop = stopCount(toks, Stopwords.flatMap(_._2)).cast("long")
+      val alphaRatio = nAlpha / nChars
+      val stopRatio = nStop / nTok
+      val lenFit = least(nTok / lit(50.0), lit(1.0))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
+          alphaRatio.as("alpha_ratio"), stopRatio.as("stopword_ratio"),
+          (alphaRatio * 0.5 + stopRatio * 0.25 + lenFit * 0.25).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- token counting: whitespace vs BPE-ish regex vs distinct ----
+    "token_stats" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpeRegex), lit(0))).as("n_bpe_tokens"),
+          size(array_distinct(toks)).as("n_distinct_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- document fingerprint: min md5 over 3-token shingles ----
+    "doc_fingerprint" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val sh = when(size(t) >= 3,
+        transform(sequence(lit(0), size(t) - 3), i =>
+          concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+        .otherwise(array().cast("array<string>"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(sh).as("s"))
+        .groupBy("doc_id")
+        .agg(min(md5(col("s"))).as("fingerprint"),
+          count(lit(1)).as("n_shingles"),
+          countDistinct(col("s")).as("n_distinct_shingles"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val toksClean = tokensSql(cleanLineSql("text"))
+    val toksRaw = tokensSql("text")
+    def stopSql(t: String, words: Seq[String]): String =
+      s"len(list_filter($t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+    Map(
+      "lang_id" -> {
+        val scores = Stopwords.map { case (l, ws) => s"${stopSql("toks", ws)} AS sc_$l" }.mkString(", ")
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang, $scores FROM (
+           |    SELECT doc_id, lang, $toksClean AS toks FROM documents))
+           |SELECT doc_id, lang,
+           |  CASE WHEN sc_en > 0 AND sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en'
+           |       WHEN sc_de > 0 AND sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+           |       WHEN sc_fr > 0 AND sc_fr >= sc_es THEN 'fr'
+           |       WHEN sc_es > 0 THEN 'es'
+           |       ELSE 'unknown' END AS pred_lang,
+           |  CAST(sc_en AS INT) AS sc_en, CAST(sc_de AS INT) AS sc_de,
+           |  CAST(sc_fr AS INT) AS sc_fr, CAST(sc_es AS INT) AS sc_es
+           |FROM scored ORDER BY doc_id""".stripMargin
+      },
+
+      "text_quality" -> {
+        val allStop = Stopwords.flatMap(_._2)
+        s"""SELECT doc_id, n_tokens, n_chars,
+           |  n_alpha / n_chars AS alpha_ratio,
+           |  n_stop / n_tokens AS stopword_ratio,
+           |  (n_alpha / n_chars) * 0.5 + (n_stop / n_tokens) * 0.25
+           |    + LEAST(n_tokens / 50.0, 1.0) * 0.25 AS quality
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(length(text) AS BIGINT) AS n_chars,
+           |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+           |    CAST(${stopSql("toks", allStop)} AS BIGINT) AS n_stop
+           |  FROM (SELECT doc_id, text, $toksClean AS toks FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "token_stats" ->
+        s"""SELECT doc_id,
+           |  CAST(len($toksRaw) AS INT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '$BpeRegex')) AS INT) AS n_bpe_tokens,
+           |  CAST(len(list_distinct($toksRaw)) AS INT) AS n_distinct_tokens,
+           |  CAST(length(text) AS INT) AS n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "doc_fingerprint" ->
+        s"""SELECT doc_id, min(md5(s)) AS fingerprint,
+           |  CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(count(DISTINCT s) AS BIGINT) AS n_distinct_shingles
+           |FROM (
+           |  SELECT doc_id,
+           |    unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           |  FROM (SELECT doc_id, $toksRaw AS t FROM documents))
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  }
+}
