@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.TextPipelines
+import graft.sources.{CorpusReader, Sinks}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Job configuration — the useful subset of the reference's `config.json`
+  * (`master.py:215-216`). `mapperCount`/`reducerCount` collapse into one
+  * `partitions` knob (input partitions = shuffle partitions); 0 = leave
+  * Spark's defaults alone. `faithful` reproduces reference quirks Q1/Q2.
+  */
+case class JobConfig(
+    operation: String,
+    inputPath: String,
+    outputPath: String,
+    partitions: Int = 0,
+    faithful: Boolean = false)
+
+/** Name → pipeline dispatch, replacing the reference's triplicated
+  * `import_module` registries (`master.py:26-42`, `mapper.py:9-25`,
+  * `reducer.py:9-25`). Users register a whole DataFrame pipeline — the
+  * analog of the map/reduce function pair, but optimizer-visible.
+  */
+object OperationRegistry {
+  type Pipeline = (DataFrame, Boolean) => DataFrame
+
+  @volatile private var ops: Map[String, Pipeline] = Map(
+    "wordcount" -> ((corpus, faithful) => TextPipelines.wordCount(corpus, faithful)),
+    "invertedindex" -> ((corpus, faithful) => TextPipelines.invertedIndex(corpus, faithful)))
+
+  def register(name: String, pipeline: Pipeline): Unit =
+    synchronized { ops = ops + (name -> pipeline) }
+
+  def apply(name: String): Pipeline =
+    ops.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown operation '$name' (registered: ${ops.keys.toSeq.sorted.mkString(", ")})"))
+
+  def names: Seq[String] = ops.keys.toSeq.sorted
+}
+
+/** Engine entry points — the Spark restatement of the reference's whole
+  * master/KV-store/worker lifecycle (EP1/EP3, `master.py:210-301`): one
+  * declarative job replaces VM provisioning, the pickle shuffle, ACK
+  * barriers, and the `combine` merge.
+  */
+object Engine {
+
+  /** Run a configured job end-to-end: scan+clean → pipeline → sorted
+    * single-file JSON sink. Returns the result for further composition.
+    */
+  def run(spark: SparkSession, config: JobConfig): DataFrame = {
+    val corpus0 = CorpusReader.cleaned(spark, config.inputPath)
+    val corpus = if (config.partitions > 0) corpus0.repartition(config.partitions) else corpus0
+    val result = OperationRegistry(config.operation)(corpus, config.faithful)
+    Sinks.sortedSingleFileJson(result, result.columns.head, config.outputPath)
+    result
+  }
+
+  /** EP2 analog (`GET /final_output`): read back a stored result. */
+  def fetchResult(spark: SparkSession, resultPath: String): DataFrame =
+    spark.read.json(resultPath)
+
+  /** PDF Part-2 "Streaming Search" (P7): point lookup of one key in a
+    * stored result.
+    */
+  def lookup(spark: SparkSession, resultPath: String, term: String): DataFrame =
+    fetchResult(spark, resultPath).filter(col("word") === term)
+}

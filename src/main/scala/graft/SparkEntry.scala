@@ -20,7 +20,8 @@ object SparkEntry {
       (EventQueries.queries, EventQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
-      (TextAnalysisQueries.queries, TextAnalysisQueries.oracles)
+      (TextAnalysisQueries.queries, TextAnalysisQueries.oracles),
+      (MultimodalQueries.queries, MultimodalQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

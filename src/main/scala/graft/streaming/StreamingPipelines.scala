@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface.
+  *
+  * S9 (reference PDF Part 2, "Streaming master trigger"): a new file in the
+  * corpus bucket triggers recomputation of the index, results queryable at
+  * any time. The Spark restatement is a file-source stream over the corpus
+  * directory feeding the SAME aggregation plan, `outputMode("complete")` —
+  * exactly the reference's full-recompute semantics, but incremental at the
+  * source (only new files are read per trigger).
+  *
+  * The event-time surface (watermarked tumbling windows, session windows)
+  * goes beyond the reference — it's the streaming analog of the batch
+  * `event_*` queries.
+  */
+object StreamingPipelines {
+
+  /** Streaming wordcount over a corpus directory (file-arrival source). */
+  def wordCountStream(spark: SparkSession, dir: String, faithful: Boolean = false): DataFrame = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", 16)
+      .text(dir)
+      .select(cleanLine(col("value")).as("line"))
+      .filter(length(col("line")) > 0)
+    val words = lines.select(explode(tokens(col("line"))).as("word"))
+    val kept = if (faithful) words.filter(azLeading(col("word"))) else words
+    kept.groupBy("word").agg(count(lit(1)).as("count"))
+  }
+
+  /** Schema of the events table as a stream source (ts arrives as
+    * nanos-since-epoch LONG, converted like graft.Tables does).
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File stream over events parquet with a proper event-time column. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type (append-able). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Session windows per user (30-min gap), the streaming analog of the
+    * batch `event_sessions` query.
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binary-column plumbing: schema, typed Dataset round-trip, partition-wise
+  * extraction, deterministic stub decode.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("media schema is (long, binary, string)") {
+    val media = Multimodal.asMedia(Tables(spark, SparkTestBase.Sf0001, "documents"))
+    assert(media.schema.map(f => f.dataType.simpleString) ==
+      Seq("bigint", "binary", "string"))
+  }
+
+  test("features: byte_len is UTF-8 length, sha256 is exact, decode is deterministic") {
+    import spark.implicits._
+    val media = Seq((1L, "abc".getBytes("UTF-8"), "image/fake"))
+      .toDF("doc_id", "payload", "media_type")
+    val f = Multimodal.extractFeatures(spark, media).head()
+    assert(f.byte_len == 3)
+    assert(f.sha == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert((f.width, f.height, f.channels) == (4, 4, 3))
+  }
+
+  test("extraction is partition-invariant") {
+    val docs = Tables(spark, SparkTestBase.Sf0001, "documents")
+    val a = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs)).collect().sortBy(_.doc_id)
+    val b = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs.repartition(11)))
+      .collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.StreamingPipelines
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming: file-arrival recompute (S9) and event-time
+  * windows. Memory sink + processAllAvailable makes the streams
+  * synchronous for testing.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** FileStreamSource wants a directory — stage the events parquet into one. */
+  private def eventsDir(): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("graft-events")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"${SparkTestBase.Sf0001}/events.parquet"))
+    dir
+  }
+
+  test("file arrival retriggers wordcount; complete mode tracks the corpus (S9)") {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.writeString(dir.resolve("f1.txt"), "alpha beta\nalpha\n")
+
+    val q = StreamingPipelines.wordCountStream(spark, dir.toString)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc_stream")
+      .trigger(Trigger.ProcessingTime(200))
+      .start()
+    try {
+      q.processAllAvailable()
+      def counts = spark.sql("SELECT word, count FROM wc_stream")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("alpha" -> 2L, "beta" -> 1L))
+
+      // a new file arrives -> results incorporate it (reference Part 2:
+      // "any new file upload triggers the master process")
+      Files.writeString(dir.resolve("f2.txt"), "beta gamma!\n")
+      q.processAllAvailable()
+      assert(counts == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+    } finally q.stop()
+  }
+
+  test("hourly window counts equal the batch date_trunc query (complete mode)") {
+    val stream = StreamingPipelines.hourlyCounts(
+      StreamingPipelines.eventStream(spark, eventsDir().toString))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT hour, event_type, n_events FROM ev_stream")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = SparkEntry.queries("event_hourly")(spark, SparkTestBase.Sf0001)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("session windows (append mode): sessions emit once the watermark passes") {
+    val dir = eventsDir()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    def runBatchOfStream(): Unit = {
+      val q = StreamingPipelines.userSessions(
+          StreamingPipelines.eventStream(spark, dir.toString))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("sess_stream")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // batch 1: watermark starts at 0 -> sessions buffered in state, none emitted
+    runBatchOfStream()
+
+    // late file advances event time by 3h; on the next run the restored
+    // watermark (max_ts - 1h) releases the earlier sessions
+    import spark.implicits._
+    val maxMicros = Tables(spark, SparkTestBase.Sf0001, "events")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    Seq((99999L, (maxMicros + 3L * 3600 * 1000000) * 1000, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    runBatchOfStream()
+
+    val sessions = spark.sql("SELECT user_id, n_events FROM sess_stream")
+    assert(sessions.count() > 0, "watermark advance must release closed sessions")
+    assert(sessions.select("user_id").distinct().count() <= 15)
+    val total = sessions.agg(sum("n_events")).head().getLong(0)
+    assert(total <= 1001)
+  }
+}
