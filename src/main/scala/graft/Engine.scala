@@ -63,8 +63,14 @@ object Engine {
     spark.read.json(resultPath)
 
   /** PDF Part-2 "Streaming Search" (P7): point lookup of one key in a
-    * stored result.
+    * stored result. `keyCol` defaults to the result's first column — the
+    * same convention `run` uses for the sorted sink — so lookups work for
+    * any registered operation, not just the word-keyed text pipelines.
     */
-  def lookup(spark: SparkSession, resultPath: String, term: String): DataFrame =
-    fetchResult(spark, resultPath).filter(col("word") === term)
+  def lookup(spark: SparkSession, resultPath: String, term: String,
+      keyCol: String = ""): DataFrame = {
+    val df = fetchResult(spark, resultPath)
+    val key = if (keyCol.nonEmpty) keyCol else df.columns.head
+    df.filter(col(key) === term)
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build a correctly-configured engine session (the Spark
+  * analog of the reference's `config.json` bootstrap, `master.py:215-216`).
+  *
+  * Session-level settings live HERE, not inside table loaders or query
+  * builders — mutating `spark.conf` mid-query is a session-global side
+  * effect that is neither thread-safe nor scoped (see Tables scaladoc for
+  * the one conf the testdata requires).
+  */
+object EngineSession {
+
+  /** Confs any session using this library's table loaders must carry.
+    * `nanosAsLong`: the driver-generated `events.parquet` stores
+    * TIMESTAMP(NANOS), which Spark otherwise refuses to read; with this
+    * conf it surfaces as nanos-since-epoch LONG and [[Tables]] rebuilds a
+    * proper TimestampType column (same ns→us truncation DuckDB applies).
+    */
+  val requiredConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  /** Local-mode builder with the engine's standard tuning: shuffle
+    * parallelism = core count (not the 200 default — right-sized for a
+    * single node; on a real cluster this scales with executor count), AQE
+    * on for runtime coalescing/skew handling.
+    */
+  def local(cores: String, appName: String): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    requiredConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.LongType
   * `spark.read.parquet` so Catalyst keeps full pushdown/pruning freedom —
   * filters and projections in downstream queries reach the scan.
   *
-  * `events.ts` is physically parquet TIMESTAMP(NANOS), which Spark rejects
-  * by default: we flip `spark.sql.legacy.parquet.nanosAsLong` (reads it as
-  * nanos-since-epoch LONG) and rebuild a proper TimestampType column by
+  * `events.ts` is physically parquet TIMESTAMP(NANOS). Sessions must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (done once at construction
+  * by [[EngineSession]] — this loader deliberately does NOT mutate session
+  * conf as a side effect); the column then surfaces as nanos-since-epoch
+  * LONG and is rebuilt into a proper TimestampType column by
   * integer-dividing to micros — the same ns→us truncation DuckDB applies,
   * so oracle comparisons agree.
   */
@@ -24,7 +26,6 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (df.schema("ts").dataType == LongType)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

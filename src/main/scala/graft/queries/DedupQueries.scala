@@ -50,19 +50,25 @@ object DedupQueries {
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .distinct()
 
-  /** Per-doc 32-char simhash bit string (majority vote per md5 hex digit,
-    * digit >= '8' = set bit, ties round up).
+  /** Per-doc 32-bit simhash as a LONG (majority vote per md5 hex digit,
+    * digit >= '8' = set bit, ties round up; bit j of the sketch is the
+    * 2^(31-j) bit so `lpad(bin(sig), 32, '0')` reproduces the canonical
+    * '1'/'0' string form bit-for-bit).
+    *
+    * Integer form matters at scale: hamming distance between two sketches
+    * is one codegen'd `bit_count(a ^ b)` instead of 32 substring compares,
+    * and band keys are shift/mask arithmetic instead of string slicing.
     */
   private def simhashTable(s: SparkSession, dir: String): DataFrame = {
     val sums = (0 until BITS).map(j =>
       sum(when(substring(md5(col("w")), j + 1, 1) >= "8", 1).otherwise(0)).as(s"s$j")) :+
       count(lit(1)).as("n")
-    val bits = concat((0 until BITS).map(j =>
-      when(col(s"s$j") * 2 >= col("n"), lit("1")).otherwise(lit("0"))): _*)
+    val sigInt = (0 until BITS).map(j =>
+      when(col(s"s$j") * 2 >= col("n"), lit(1L << (31 - j))).otherwise(lit(0L))).reduce(_ + _)
     tokenTable(s, dir)
       .groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), bits.as("simhash"))
+      .select(col("doc_id"), sigInt.cast("long").as("sig"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -97,7 +103,7 @@ object DedupQueries {
     "dedup_simhash" -> ((s, dir) => {
       val w = Window.partitionBy(col("simhash"))
       simhashTable(s, dir)
-        .select(col("doc_id"), col("simhash"),
+        .select(col("doc_id"), lpad(bin(col("sig")), 32, "0").as("simhash"),
           min(col("doc_id")).over(w).as("canon_id"),
           count(lit(1)).over(w).as("group_size"))
         .orderBy("doc_id")
@@ -105,27 +111,25 @@ object DedupQueries {
 
     // ---- SimHash near-dup pairs: 4×8-bit LSH bands, Hamming in [1,3] ----
     // (Hamming 0 groups are covered by dedup_simhash; banding guarantees
-    // recall for Hamming ≤ 3 by pigeonhole.)
+    // recall for Hamming ≤ 3 by pigeonhole.) ONE self-join on the exploded
+    // (band_idx, band_value) key — both join children are the identical
+    // subplan hash-partitioned the same way, so Spark plans a ReusedExchange
+    // instead of recomputing the signature aggregation per band; the
+    // Hamming ≤ 3 filter runs BEFORE the pair-dedup so the distinct only
+    // shuffles survivors, not the full candidate explosion.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val sig = simhashTable(s, dir)
-        .withColumn("b1", substring(col("simhash"), 1, 8))
-        .withColumn("b2", substring(col("simhash"), 9, 8))
-        .withColumn("b3", substring(col("simhash"), 17, 8))
-        .withColumn("b4", substring(col("simhash"), 25, 8))
-      // four equi-joins (hash-shuffleable on each band key), not one OR-join
-      // (which would force a nested-loop plan)
-      val cands = Seq("b1", "b2", "b3", "b4").map { b =>
-        sig.as("a").join(sig.as("b"),
-            col(s"a.$b") === col(s"b.$b") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      }.reduce(_ unionAll _).dropDuplicates("d1", "d2")
-      val hamming = (0 until BITS).map(j =>
-        when(substring(col("sa"), j + 1, 1) =!= substring(col("sb"), j + 1, 1), 1)
-          .otherwise(0)).reduce(_ + _)
-      cands.withColumn("hamming", hamming.cast("int"))
+      val bands = simhashTable(s, dir)
+        .select(col("doc_id"), col("sig"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("sig"), 8 * (3 - b)).bitwiseAND(lit(255L))): _*)))
+        .toDF("doc_id", "sig", "band", "bval")
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
         .filter(col("hamming").between(1, 3))
-        .select(col("d1"), col("d2"), col("hamming"))
+        .dropDuplicates("d1", "d2")
         .orderBy("d1", "d2")
     }),
 

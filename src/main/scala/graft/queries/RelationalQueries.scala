@@ -206,12 +206,19 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
-    // ---- approximate distinct (sketch; no SQL oracle — rows-only check) ----
+    // ---- approximate distinct (HLL++ sketch) ----
+    // The sketch value itself differs between engines, so the driver-facing
+    // columns are the EXACT count (hash-comparable) plus a boolean asserting
+    // the sketch landed within its documented 5% relative error — a real
+    // check of the HLL implementation, not just a rows-only smoke.
     "approx_distinct" -> ((s, dir) => {
       val l = Tables(s, dir, "lineitem")
       l.agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx").cast("double") - col("exact_parts")) / col("exact_parts") <= 0.05)
+            .as("within_5pct"))
     })
   )
 
@@ -330,6 +337,10 @@ object RelationalQueries {
         |  CAST(CEIL(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_ceil,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS INT) AS days_ago,
         |  CAST(o_orderkey % 7 AS BIGINT) AS key_mod
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  true AS within_5pct FROM lineitem""".stripMargin
   )
 }

@@ -79,6 +79,12 @@ object TextAnalysisQueries {
     }),
 
     // ---- document fingerprint: min md5 over 3-token shingles ----
+    // Shuffle-FREE: the per-doc min/count/distinct-count are array
+    // higher-order functions over the in-row shingle list, not an
+    // explode + groupBy — the doc_id grouping already exists row-wise, so
+    // re-shuffling 100 TB of shingles to regroup by doc_id would be pure
+    // waste. Docs with < 3 tokens have no shingles and are dropped, matching
+    // the explode-based semantics of the oracle.
     "doc_fingerprint" -> ((s, dir) => {
       val t = tokens(col("text"))
       val sh = when(size(t) >= 3,
@@ -86,11 +92,12 @@ object TextAnalysisQueries {
           concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
         .otherwise(array().cast("array<string>"))
       Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(sh).as("s"))
-        .groupBy("doc_id")
-        .agg(min(md5(col("s"))).as("fingerprint"),
-          count(lit(1)).as("n_shingles"),
-          countDistinct(col("s")).as("n_distinct_shingles"))
+        .select(col("doc_id"), sh.as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          array_min(transform(col("sh"), x => md5(x))).as("fingerprint"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct_shingles"))
         .orderBy("doc_id")
     })
   )

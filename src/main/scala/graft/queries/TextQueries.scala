@@ -45,11 +45,15 @@ object TextQueries {
     }),
 
     // ---- inverted index (A4–A5): word → sorted distinct doc list ----
+    // The doc list is emitted as a comma-joined STRING (not ARRAY<BIGINT>):
+    // the driver's pandas-based compare cannot sort/hash array cells. The
+    // array form stays available via TextPipelines.invertedIndex.
     "inverted_index" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(explode(tokens(cleanLine(col("text")))).as("word"), col("doc_id"))
         .groupBy("word")
-        .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+        .agg(concat_ws(",",
+          transform(sort_array(collect_set(col("doc_id"))), d => d.cast("string"))).as("docs"))
         .orderBy("word")
     }),
 
@@ -67,7 +71,8 @@ object TextQueries {
         .select(explode(tokens(cleanLine(col("text")))).as("word"), col("doc_id"))
         .filter(col("word") === "spark")
         .groupBy("word")
-        .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+        .agg(concat_ws(",",
+          transform(sort_array(collect_set(col("doc_id"))), d => d.cast("string"))).as("docs"))
     })
   )
 
@@ -92,7 +97,7 @@ object TextQueries {
          |GROUP BY word ORDER BY word""".stripMargin,
 
     "inverted_index" ->
-      s"""SELECT word, list(DISTINCT doc_id ORDER BY doc_id) AS docs
+      s"""SELECT word, array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') AS docs
          |FROM ($explodedSql) GROUP BY word ORDER BY word""".stripMargin,
 
     "inverted_index_pairs" ->
@@ -100,7 +105,7 @@ object TextQueries {
          |ORDER BY word, doc_id""".stripMargin,
 
     "point_lookup" ->
-      s"""SELECT word, list(DISTINCT doc_id ORDER BY doc_id) AS docs
+      s"""SELECT word, array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') AS docs
          |FROM ($explodedSql) WHERE word = 'spark' GROUP BY word""".stripMargin
   )
 }

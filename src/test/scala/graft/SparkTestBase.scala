@@ -6,17 +6,7 @@ import org.apache.spark.sql.SparkSession
   * `Test / fork := true` gives the forked JVM the JDK17 add-opens flags).
   */
 object SparkTestBase {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = EngineSession.local("4", "graft-test")
 
   val Sf0001 = "/root/testdata/sf0.001"
 }
