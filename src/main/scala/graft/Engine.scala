@@ -63,14 +63,18 @@ object Engine {
     spark.read.json(resultPath)
 
   /** PDF Part-2 "Streaming Search" (P7): point lookup of one key in a
-    * stored result. `keyCol` defaults to the result's first column — the
-    * same convention `run` uses for the sorted sink — so lookups work for
-    * any registered operation, not just the word-keyed text pipelines.
+    * stored result. `keyCol` defaults to the result's first STRING-typed
+    * column: `spark.read.json` orders inferred columns alphabetically, so
+    * the positional first column of the read-back result is NOT the sink's
+    * key column (for wordcount it would be `count`).
     */
   def lookup(spark: SparkSession, resultPath: String, term: String,
       keyCol: String = ""): DataFrame = {
     val df = fetchResult(spark, resultPath)
-    val key = if (keyCol.nonEmpty) keyCol else df.columns.head
+    val key =
+      if (keyCol.nonEmpty) keyCol
+      else df.schema.fields.find(_.dataType == org.apache.spark.sql.types.StringType)
+        .map(_.name).getOrElse(df.columns.head)
     df.filter(col(key) === term)
   }
 }

@@ -3,8 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One media object: opaque binary payload + typed metadata. */
-case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
+/** One media object entering the decoder boundary: opaque binary payload +
+  * the expression-computed metadata that rides along through it.
+  */
+case class MediaWithMeta(doc_id: Long, payload: Array[Byte], byte_len: Int, sha: String)
 
 /** Extracted per-object features. */
 case class MediaFeatures(
@@ -16,11 +18,13 @@ case class MediaFeatures(
   *
   * The actual codecs (image decode, resample, frame-sample) are NOT in this
   * container — [[MediaDecoder.decode]] is a clearly-marked STUB with a
-  * deterministic fake. Everything around it is real and exercised: the
-  * binary schema, the typed `Dataset[MediaRecord]` encoding, and the
-  * `mapPartitions` batch shape (one iterator per partition — the Scala
-  * analog of `mapInPandas` Arrow batches, so a real decoder drops in
-  * without touching the plan).
+  * deterministic fake. The split matters for the plan: everything a Catalyst
+  * expression can compute (`sha2`, `octet_length`) is computed as a
+  * codegen'd projection BEFORE the object boundary; only the codec call —
+  * the one thing built-ins genuinely can't express — runs inside
+  * `mapPartitions` (one iterator per partition, the Scala analog of
+  * `mapInPandas` Arrow batches, so a real decoder with per-partition init
+  * drops in without touching the plan).
   */
 object Multimodal {
 
@@ -47,20 +51,24 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       lit("image/fake").as("media_type"))
 
-  /** Partition-wise feature extraction. Runs on executors, one partition's
-    * iterator at a time — no driver collect, no per-row JVM↔codec setup
-    * (a real decoder would be initialized once per partition here).
+  /** Feature extraction. `byte_len` and `sha` are plain Catalyst
+    * expressions (whole-stage codegen, no per-row JVM digest objects); the
+    * single object boundary exists only to host the decoder, initialized
+    * once per partition, executor-side — no driver collect.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { records =>
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-      records.map { r =>
-        val (w, h, c) = MediaDecoder.decode(r.payload)
-        digest.reset()
-        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-        MediaFeatures(r.doc_id, r.payload.length, sha, w, h, c)
+    media
+      .select(col("doc_id").cast("long").as("doc_id"), col("payload"),
+        octet_length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("sha"))
+      .as[MediaWithMeta]
+      .mapPartitions { records =>
+        // real decoder init (codec context, model handle, …) goes here
+        records.map { r =>
+          val (w, h, c) = MediaDecoder.decode(r.payload)
+          MediaFeatures(r.doc_id, r.byte_len, r.sha, w, h, c)
+        }
       }
-    }
   }
 }

@@ -14,22 +14,29 @@ import org.apache.spark.sql.functions._
   *
   *  - exact:   hash-groupBy on md5(text)
   *  - minhash: md5-based k-min signatures → signature-group canonical
-  *  - simhash: 32-bit hex-digit majority sketch → exact-group canonical +
-  *             banded (4×8-bit) candidate pairs within Hamming ≤ 3
-  *  - n-gram Jaccard: 3-token shingle bucket-join candidates → exact Jaccard
-  *  - embedding: cosine nearest neighbor inside a coarse partition (label =
-  *             a given IVF-style assignment), not across the full corpus
+  *  - simhash: 64-bit hex-digit majority sketch → exact-group canonical +
+  *             banded (4×16-bit) candidate pairs within Hamming ≤ 3
+  *  - n-gram Jaccard: 3-token shingle bucket-join candidates → exact Jaccard,
+  *             with hot shingles (document frequency > [[MaxShingleDf]])
+  *             dropped before the join — a single stop-shingle bucket is the
+  *             one thing that turns this plan quadratic at scale, and such
+  *             shingles carry near-zero Jaccard information anyway
+  *  - embedding: cosine nearest neighbor inside (coarse cell × sign-LSH
+  *             sub-bucket) — the coarse `label` cell count is fixed, so an
+  *             all-pairs join within cells is still O(n²/L); the sign-bit
+  *             sub-bucket multiplies the bucket count by 2^[[CellBits]] and
+  *             keeps candidates bounded as the corpus grows
   *
   * All hashing is md5 (identical in Spark and DuckDB), so even the sketch
-  * operators are oracle-checkable. At real scale the banded self-joins would
-  * additionally cap bucket sizes (drop degenerate hot buckets); the shape of
-  * the plan — explode → distinct → hash shuffle on bucket key — is the one
-  * that survives 1000 executors.
+  * operators are oracle-checkable.
   */
 object DedupQueries {
 
-  private val K = 8      // minhash signature length
-  private val BITS = 32  // simhash width (one bit per md5 hex digit)
+  private val K = 8            // minhash signature length
+  private val BITS = 64        // simhash width (two md5s, one bit per hex digit)
+  private val Bands = 4        // simhash LSH bands (16 bits each → 65,536 buckets/band)
+  private val MaxShingleDf = 100 // n-gram Jaccard: drop shingles in more docs than this
+  private val CellBits = 8     // embedding dedup: sign-LSH sub-bucket bits within a cell
 
   /** 3-token shingles of a token-array column (empty when < 3 tokens). */
   private def shingles(t: Column): Column =
@@ -50,21 +57,26 @@ object DedupQueries {
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .distinct()
 
-  /** Per-doc 32-bit simhash as a LONG (majority vote per md5 hex digit,
-    * digit >= '8' = set bit, ties round up; bit j of the sketch is the
-    * 2^(31-j) bit so `lpad(bin(sig), 32, '0')` reproduces the canonical
-    * '1'/'0' string form bit-for-bit).
+  /** Per-doc 64-bit simhash as a LONG. Bits 0–31 come from `md5(w)`, bits
+    * 32–63 from `md5('x:' || w)` (one majority-voted bit per hex digit,
+    * digit >= '8' = set, ties round up); bit j is the 2^(63-j) bit, so
+    * `lpad(bin(sig), 64, '0')` reproduces the canonical '1'/'0' string form
+    * bit-for-bit (bin() of a negative long is already the full 64-char
+    * two's-complement string).
     *
     * Integer form matters at scale: hamming distance between two sketches
-    * is one codegen'd `bit_count(a ^ b)` instead of 32 substring compares,
+    * is one codegen'd `bit_count(a ^ b)` instead of 64 substring compares,
     * and band keys are shift/mask arithmetic instead of string slicing.
     */
   private def simhashTable(s: SparkSession, dir: String): DataFrame = {
-    val sums = (0 until BITS).map(j =>
-      sum(when(substring(md5(col("w")), j + 1, 1) >= "8", 1).otherwise(0)).as(s"s$j")) :+
-      count(lit(1)).as("n")
+    val sums = (0 until BITS).map { j =>
+      val h = if (j < 32) md5(col("w")) else md5(concat(lit("x:"), col("w")))
+      val d = if (j < 32) j + 1 else j - 31
+      sum(when(substring(h, d, 1) >= "8", 1).otherwise(0)).as(s"s$j")
+    } :+ count(lit(1)).as("n")
     val sigInt = (0 until BITS).map(j =>
-      when(col(s"s$j") * 2 >= col("n"), lit(1L << (31 - j))).otherwise(lit(0L))).reduce(_ + _)
+      when(col(s"s$j") * 2 >= col("n"), lit(1L << (63 - j))).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
     tokenTable(s, dir)
       .groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
@@ -99,29 +111,33 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // ---- SimHash sketch: per-doc 32-bit signature + exact-group canon ----
+    // ---- SimHash sketch: per-doc 64-bit signature + exact-group canon ----
+    // The window partitions by the LONG `sig` (cheap 8-byte shuffle key);
+    // the display column `simhash` is the same value in string form.
     "dedup_simhash" -> ((s, dir) => {
-      val w = Window.partitionBy(col("simhash"))
+      val w = Window.partitionBy(col("sig"))
       simhashTable(s, dir)
-        .select(col("doc_id"), lpad(bin(col("sig")), 32, "0").as("simhash"),
+        .select(col("doc_id"), lpad(bin(col("sig")), BITS, "0").as("simhash"),
           min(col("doc_id")).over(w).as("canon_id"),
           count(lit(1)).over(w).as("group_size"))
         .orderBy("doc_id")
     }),
 
-    // ---- SimHash near-dup pairs: 4×8-bit LSH bands, Hamming in [1,3] ----
-    // (Hamming 0 groups are covered by dedup_simhash; banding guarantees
-    // recall for Hamming ≤ 3 by pigeonhole.) ONE self-join on the exploded
-    // (band_idx, band_value) key — both join children are the identical
-    // subplan hash-partitioned the same way, so Spark plans a ReusedExchange
-    // instead of recomputing the signature aggregation per band; the
-    // Hamming ≤ 3 filter runs BEFORE the pair-dedup so the distinct only
-    // shuffles survivors, not the full candidate explosion.
+    // ---- SimHash near-dup pairs: 4×16-bit LSH bands, Hamming in [1,3] ----
+    // (Hamming 0 groups are covered by dedup_simhash; 4 bands over 64 bits
+    // guarantee recall for Hamming ≤ 3 by pigeonhole.) 16-bit bands give
+    // 65,536 buckets per band, so within-bucket candidate counts stay
+    // bounded as the corpus grows — the r2 8-bit bands had only 256. ONE
+    // self-join on the exploded (band_idx, band_value) key — both join
+    // children are the identical subplan hash-partitioned the same way, so
+    // Spark plans a ReusedExchange instead of recomputing the signature
+    // aggregation per band; the Hamming ≤ 3 filter runs BEFORE the
+    // pair-dedup so the distinct only shuffles survivors.
     "dedup_simhash_pairs" -> ((s, dir) => {
       val bands = simhashTable(s, dir)
         .select(col("doc_id"), col("sig"),
-          posexplode(array((0 until 4).map(b =>
-            shiftright(col("sig"), 8 * (3 - b)).bitwiseAND(lit(255L))): _*)))
+          posexplode(array((0 until Bands).map(b =>
+            shiftright(col("sig"), 16 * (Bands - 1 - b)).bitwiseAND(lit(0xFFFFL))): _*)))
         .toDF("doc_id", "sig", "band", "bval")
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
@@ -134,8 +150,17 @@ object DedupQueries {
     }),
 
     // ---- n-gram Jaccard near-dup pairs (shingle-bucket candidates) ----
+    // Hot shingles (document frequency > MaxShingleDf) are dropped BEFORE
+    // the self-join via a broadcast anti-join: the hot set is tiny by
+    // construction (few shingles exceed the cap), while the buckets it
+    // removes are exactly the ones whose within-bucket pair count would
+    // grow quadratically. Jaccard is then computed over the surviving
+    // (rare-shingle) sets on both engines.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingleTable(s, dir)
+      val sh0 = shingleTable(s, dir)
+      val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDf).select("sh")
+      val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -150,13 +175,20 @@ object DedupQueries {
         .orderBy("d1", "d2")
     }),
 
-    // ---- embedding near-dup: cosine nearest neighbor within coarse cell ----
+    // ---- embedding near-dup: cosine NN within (cell × sign sub-bucket) ----
+    // The coarse `label` cell count is fixed, so candidates must be bounded
+    // by a second, data-scaling key: an 8-bit sign-LSH sub-bucket splits
+    // each cell into 256 buckets, keeping the within-bucket join linear as
+    // the corpus grows. Vectors with no same-bucket neighbor drop out (the
+    // oracle mirrors the identical bucket assignment bit-for-bit).
     "dedup_embedding" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bkt", signBucket(col("v"), CellBits))
       val sim = cosine(col("a.v"), col("b.v"))
       val pairs = e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+          col("a.label") === col("b.label") && col("a.bkt") === col("b.bkt") &&
+            col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
           col("b.vec_id").as("nn_id"), sim.as("sim"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn_id"))
@@ -178,8 +210,11 @@ object DedupQueries {
       |FROM (SELECT doc_id, """.stripMargin + tokensSql("text") + " AS t FROM documents)"
 
   private def simhashSqlRel: String = {
-    val sums = (0 until BITS).map(j =>
-      s"SUM(CASE WHEN substring(md5(w), ${j + 1}, 1) >= '8' THEN 1 ELSE 0 END) AS s$j").mkString(", ")
+    val sums = (0 until BITS).map { j =>
+      val h = if (j < 32) "md5(w)" else "md5('x:' || w)"
+      val d = if (j < 32) j + 1 else j - 31
+      s"SUM(CASE WHEN substring($h, $d, 1) >= '8' THEN 1 ELSE 0 END) AS s$j"
+    }.mkString(", ")
     val bits = (0 until BITS).map(j =>
       s"(CASE WHEN 2*s$j >= n THEN '1' ELSE '0' END)").mkString(" || ")
     s"""SELECT doc_id, $bits AS simhash FROM (
@@ -216,18 +251,23 @@ object DedupQueries {
       val ham = (0 until BITS).map(j =>
         s"(CASE WHEN substring(a.simhash,${j + 1},1) <> substring(b.simhash,${j + 1},1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
+      val bandCols = (0 until Bands).map(b =>
+        s"substr(simhash,${1 + 16 * b},16) b${b + 1}").mkString(", ")
+      val bandEq = (0 until Bands).map(b => s"a.b${b + 1}=b.b${b + 1}").mkString(" OR ")
       s"""WITH sigs AS ($simhashSqlRel),
-         |bands AS (SELECT doc_id, simhash, substr(simhash,1,8) b1, substr(simhash,9,8) b2,
-         |                 substr(simhash,17,8) b3, substr(simhash,25,8) b4 FROM sigs)
+         |bands AS (SELECT doc_id, simhash, $bandCols FROM sigs)
          |SELECT d1, d2, hamming FROM (
          |  SELECT DISTINCT a.doc_id d1, b.doc_id d2, CAST($ham AS INT) AS hamming
          |  FROM bands a JOIN bands b
-         |    ON a.doc_id < b.doc_id AND (a.b1=b.b1 OR a.b2=b.b2 OR a.b3=b.b3 OR a.b4=b.b4))
+         |    ON a.doc_id < b.doc_id AND ($bandEq))
          |WHERE hamming BETWEEN 1 AND 3 ORDER BY d1, d2""".stripMargin
     },
 
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS ($shSqlRel),
+      s"""WITH sh0 AS ($shSqlRel),
+         |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $MaxShingleDf),
+         |sh AS (SELECT doc_id, sh FROM sh0
+         |       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.sh = sh0.sh)),
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) AS inter
          |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -238,11 +278,12 @@ object DedupQueries {
          |ORDER BY d1, d2""".stripMargin,
 
     "dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, v, ${signBucketSql("v", CellBits)} AS bkt
+         |           FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
          |sims AS (
          |  SELECT a.vec_id, a.label, b.vec_id AS nn_id,
          |    ${cosineSql("a.v", "b.v")} AS sim
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |  FROM e a JOIN e b ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id <> b.vec_id)
          |SELECT vec_id, label, nn_id FROM (
          |  SELECT vec_id, label, nn_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn

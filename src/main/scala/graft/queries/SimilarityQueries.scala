@@ -23,7 +23,13 @@ object SimilarityQueries {
 
   private val TopK = 3
   private val NQueries = 8   // vec_id < 8 is the benchmark query set
-  private val LshBits = 8
+  // 16 sign bits → 65,536 buckets: the within-bucket self-join stays linear
+  // as the corpus grows (the r2 8-bit table had only 256 buckets, O(n²/256)
+  // at scale). Recall trade: more bits = smaller buckets = more misses for
+  // near-neighbors that straddle a hyperplane; production would run several
+  // independent 16-bit tables (multi-probe) and union candidates — same
+  // plan shape, one more posexplode.
+  private val LshBits = 16
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")

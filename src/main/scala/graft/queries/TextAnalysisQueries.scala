@@ -79,12 +79,18 @@ object TextAnalysisQueries {
     }),
 
     // ---- document fingerprint: min md5 over 3-token shingles ----
-    // Shuffle-FREE: the per-doc min/count/distinct-count are array
-    // higher-order functions over the in-row shingle list, not an
-    // explode + groupBy — the doc_id grouping already exists row-wise, so
-    // re-shuffling 100 TB of shingles to regroup by doc_id would be pure
-    // waste. Docs with < 3 tokens have no shingles and are dropped, matching
-    // the explode-based semantics of the oracle.
+    // explode → partial-agg, NOT per-row array HOFs: higher-order functions
+    // are excluded from codegen subexpression elimination (their lambdas
+    // can't be hoisted), so an all-in-row formulation recomputes the shingle
+    // array once per consumer after CollapseProject inlines it (the r2 plan
+    // rebuilt it ~4× per row — a 4× regression). Here the shingle expression
+    // has exactly ONE consumer (the explode), and both aggregations are
+    // map-side partial: a doc's shingles sit in one row → one partition, so
+    // the first groupBy collapses duplicates before its shuffle, and the
+    // second only moves one aggregated row per (doc, partition). min(md5)
+    // over distinct shingles equals min over all, so stage 2 needs no
+    // distinct aggregation. Docs with < 3 tokens have no shingles and drop
+    // out at the explode, matching the oracle.
     "doc_fingerprint" -> ((s, dir) => {
       val t = tokens(col("text"))
       val sh = when(size(t) >= 3,
@@ -92,12 +98,12 @@ object TextAnalysisQueries {
           concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
         .otherwise(array().cast("array<string>"))
       Tables(s, dir, "documents")
-        .select(col("doc_id"), sh.as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"),
-          array_min(transform(col("sh"), x => md5(x))).as("fingerprint"),
-          size(col("sh")).cast("long").as("n_shingles"),
-          size(array_distinct(col("sh"))).cast("long").as("n_distinct_shingles"))
+        .select(col("doc_id"), explode(sh).as("s"))
+        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(min(md5(col("s"))).as("fingerprint"),
+          sum(col("c")).as("n_shingles"),
+          count(lit(1)).as("n_distinct_shingles"))
         .orderBy("doc_id")
     })
   )

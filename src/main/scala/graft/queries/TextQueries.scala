@@ -65,6 +65,19 @@ object TextQueries {
         .orderBy("word", "doc_id")
     }),
 
+    // ---- reduce-UDF surface (SURVEY §2.10): wordcount via a user
+    // Aggregator registered through functions.udaf — same result as the
+    // built-in count, but through the pluggable-reducer path the reference
+    // exposes (`reducer.py:100`). Verifies the udaf plans as a real
+    // partial/final aggregate with correct values. ----
+    "reduce_udaf" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(tokens(cleanLine(col("text")))).as("word"))
+        .groupBy("word")
+        .agg(graft.functions.Reducers.sumValues(lit(1L)).as("cnt"))
+        .orderBy("word")
+    }),
+
     // ---- point lookup on the index (P7, PDF Part 2 "Streaming Search") ----
     "point_lookup" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -103,6 +116,10 @@ object TextQueries {
     "inverted_index_pairs" ->
       s"""SELECT DISTINCT word, doc_id FROM ($explodedSql)
          |ORDER BY word, doc_id""".stripMargin,
+
+    "reduce_udaf" ->
+      s"""SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM ($explodedSql)
+         |GROUP BY word ORDER BY word""".stripMargin,
 
     "point_lookup" ->
       s"""SELECT word, array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') AS docs

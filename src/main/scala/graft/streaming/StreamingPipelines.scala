@@ -40,9 +40,11 @@ object StreamingPipelines {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File stream over events parquet with a proper event-time column. */
+  /** File stream over events parquet with a proper event-time column.
+    * (Requires `spark.sql.legacy.parquet.nanosAsLong` — guaranteed by
+    * `EngineSession.requiredConfs`; not mutated here.)
+    */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsRawSchema)
       .parquet(dir)

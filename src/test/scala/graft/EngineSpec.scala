@@ -64,6 +64,43 @@ class EngineSpec extends AnyFunSuite {
       Map("a.txt" -> 2L, "b.txt" -> 1L))
   }
 
+  test("reduce-UDF surface: custom Aggregator through udaf + registry (SURVEY §2.10)") {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.expressions.Aggregator
+    // a user reducer the built-ins don't cover: the word with the highest
+    // count per first-letter group (ties → lexicographically greatest)
+    object MaxCountWord extends Aggregator[(String, Long), (String, Long), String] {
+      def zero: (String, Long) = ("", -1L)
+      def reduce(b: (String, Long), a: (String, Long)): (String, Long) =
+        if (a._2 > b._2 || (a._2 == b._2 && a._1 > b._1)) a else b
+      def merge(b1: (String, Long), b2: (String, Long)): (String, Long) = reduce(b1, b2)
+      def finish(b: (String, Long)): String = b._1
+      def bufferEncoder: Encoder[(String, Long)] = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+      def outputEncoder: Encoder[String] = Encoders.STRING
+    }
+    val maxCountWord = org.apache.spark.sql.functions.udaf(MaxCountWord)
+    graft.functions.Reducers.register(spark, "max_count_word", maxCountWord)
+
+    // wired through the operation registry like any built-in operation
+    OperationRegistry.register("topword",
+      (corpus, _) => operators.TextPipelines.wordCount(corpus)
+        .groupBy(substring(col("word"), 1, 1).as("letter"))
+        .agg(maxCountWord(col("word"), col("count")).as("top_word"))
+        .orderBy("letter"))
+    val out = Files.createTempDirectory("graft-out").toString + "/tw"
+    val result = Engine.run(spark, JobConfig("topword", tmpCorpus(), out))
+    val got = result.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // counts: again 1, hello 2, spins 1, the 1, world 2
+    assert(got == Map("a" -> "again", "h" -> "hello", "s" -> "spins", "t" -> "the", "w" -> "world"))
+
+    // the same reducer is callable from SQL once registered
+    spark.createDataFrame(Seq(("x", 1L), ("y", 5L), ("z", 5L)))
+      .toDF("w", "c").createOrReplaceTempView("tw_sql")
+    val viaSql = spark.sql("SELECT max_count_word(w, c) AS top FROM tw_sql")
+      .head().getString(0)
+    assert(viaSql == "z")
+  }
+
   test("partition count is config-driven and does not change results") {
     val corpus = tmpCorpus()
     val o1 = Files.createTempDirectory("graft-out").toString + "/p1"

@@ -40,14 +40,23 @@ class QueriesSpec extends AnyFunSuite {
 
   test("inverted index: docs listed for a word actually contain it") {
     val docs = Tables(spark, Sf0001, "documents")
+    // `docs` is a comma-joined STRING (driver-hashable form) — split it back
     val idx = SparkEntry.queries("inverted_index")(spark, Sf0001)
       .filter(col("word") === "spark")
-      .select(explode(col("docs")).as("doc_id"))
+      .select(explode(split(col("docs"), ",")).as("d"))
+      .select(col("d").cast("long").as("doc_id"))
     val expected = docs
       .filter(array_contains(tokens(cleanLine(col("text"))), "spark"))
-      .select("doc_id")
+      .select(col("doc_id").cast("long").as("doc_id"))
     assert(idx.exceptAll(expected).count() == 0)
     assert(expected.exceptAll(idx).count() == 0)
+  }
+
+  test("reduce-UDF wordcount equals built-in wordcount") {
+    val viaUdaf = SparkEntry.queries("reduce_udaf")(spark, Sf0001)
+    val builtin = SparkEntry.queries("wordcount")(spark, Sf0001)
+    assert(viaUdaf.exceptAll(builtin).count() == 0)
+    assert(builtin.exceptAll(viaUdaf).count() == 0)
   }
 
   test("result is invariant to input partitioning") {

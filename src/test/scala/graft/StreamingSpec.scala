@@ -64,13 +64,16 @@ class StreamingSpec extends AnyFunSuite {
   test("session windows (append mode): sessions emit once the watermark passes") {
     val dir = eventsDir()
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    // file sink, not memory: the restart below must recover watermark state
+    // from the checkpoint, which the memory sink does not support
+    val outDir = Files.createTempDirectory("graft-sess-out").toString
 
     def runBatchOfStream(): Unit = {
       val q = StreamingPipelines.userSessions(
           StreamingPipelines.eventStream(spark, dir.toString))
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .format("memory").queryName("sess_stream")
+        .format("parquet").option("path", outDir)
         .trigger(Trigger.AvailableNow())
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -89,7 +92,7 @@ class StreamingSpec extends AnyFunSuite {
       .coalesce(1).write.mode("append").parquet(dir.toString)
     runBatchOfStream()
 
-    val sessions = spark.sql("SELECT user_id, n_events FROM sess_stream")
+    val sessions = spark.read.parquet(outDir).select("user_id", "n_events")
     assert(sessions.count() > 0, "watermark advance must release closed sessions")
     assert(sessions.select("user_id").distinct().count() <= 15)
     val total = sessions.agg(sum("n_events")).head().getLong(0)
