@@ -50,6 +50,24 @@ object TextFunctions {
   def azLeading(c: Column): Column =
     substring(c, 1, 1).between("a", "z")
 
+  /** 3-token shingles of a token-array expression (empty when < 3 tokens).
+    *
+    * The wrapping single-element `transform(array(t), tv => …)` exists to
+    * BIND the token array once: higher-order functions run interpreted
+    * (outside codegen subexpression elimination) and re-evaluate any
+    * non-lambda subexpression embedded in their lambda once PER ELEMENT —
+    * so writing `element_at(t, i+1)` with `t` = the raw tokenization
+    * expression re-tokenizes the whole line 3n times per row (measured 9×
+    * slower on the shingle scan at sf0.1). `tv` is a lambda variable, so
+    * every `element_at(tv, …)` is an O(1) read of the materialized array.
+    */
+  def shingles3(t: Column): Column =
+    element_at(transform(array(t), tv =>
+      when(size(tv) >= 3,
+        transform(sequence(lit(0), size(tv) - 3), i =>
+          concat_ws(" ", element_at(tv, i + 1), element_at(tv, i + 2), element_at(tv, i + 3))))
+        .otherwise(array().cast("array<string>"))), 1)
+
   // ===== DuckDB-oracle SQL fragments (mirror the exact same semantics) =====
   // Single-quotes are doubled for SQL embedding; DuckDB regexp_replace needs
   // the 'g' flag (Spark's is global by default).

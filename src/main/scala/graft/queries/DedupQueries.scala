@@ -38,17 +38,12 @@ object DedupQueries {
   private val MaxShingleDf = 100 // n-gram Jaccard: drop shingles in more docs than this
   private val CellBits = 8     // embedding dedup: sign-LSH sub-bucket bits within a cell
 
-  /** 3-token shingles of a token-array column (empty when < 3 tokens). */
-  private def shingles(t: Column): Column =
-    when(size(t) >= 3,
-      transform(sequence(lit(0), size(t) - 3), i =>
-        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs ([[TextFunctions.shingles3]] binds
+    * the token array once — see its scaladoc for why that matters).
+    */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("sh"))
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
       .distinct()
 
   /** Distinct (doc_id, token) pairs. */

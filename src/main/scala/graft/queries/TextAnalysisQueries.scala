@@ -92,13 +92,8 @@ object TextAnalysisQueries {
     // distinct aggregation. Docs with < 3 tokens have no shingles and drop
     // out at the explode, matching the oracle.
     "doc_fingerprint" -> ((s, dir) => {
-      val t = tokens(col("text"))
-      val sh = when(size(t) >= 3,
-        transform(sequence(lit(0), size(t) - 3), i =>
-          concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-        .otherwise(array().cast("array<string>"))
       Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(sh).as("s"))
+        .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("s"))
         .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(min(md5(col("s"))).as("fingerprint"),
