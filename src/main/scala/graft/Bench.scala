@@ -15,6 +15,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = EngineSession.local(cpus, "graft-bench")
 
+    // Warm the session before timing: file listing, parquet footer reads,
+    // page cache, and JIT of the scan path otherwise land entirely on the
+    // alphabetically first query (agg_rollup carried ~4s of warmup in r2).
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+
     // A query that throws still gets a timing entry, but is ALSO listed in
     // "failed" — a broken query must never read as a speedup in the bench
     // line.

@@ -17,6 +17,32 @@ case class JobConfig(
     partitions: Int = 0,
     faithful: Boolean = false)
 
+object JobConfig {
+
+  /** Load a job from a JSON config file — the reference boots from
+    * `config.json` (`master.py:215-216`). Accepts both this library's field
+    * names (`operation`, `inputPath`, …) and the reference's
+    * (`operation_name`, `raw_input_data_path`, `mapper_count`), so a
+    * reference config ports without editing. Parsed with `spark.read.json`
+    * — no extra dependency, and schema inference handles either spelling.
+    */
+  def fromJsonFile(spark: SparkSession, path: String): JobConfig = {
+    val row = spark.read.option("multiLine", "true").json(path).head()
+    def opt[T](names: String*): Option[T] = names.iterator
+      .flatMap(n => scala.util.Try(row.getAs[T](n)).toOption)
+      .collectFirst { case v if v != null => v }
+    def req(names: String*): String = opt[String](names: _*).getOrElse(
+      throw new IllegalArgumentException(
+        s"config $path missing required field (any of: ${names.mkString(", ")})"))
+    JobConfig(
+      operation = req("operation", "operation_name"),
+      inputPath = req("inputPath", "raw_input_data_path"),
+      outputPath = req("outputPath", "output_data_path"),
+      partitions = opt[Long]("partitions", "mapper_count").map(_.toInt).getOrElse(0),
+      faithful = opt[Boolean]("faithful").getOrElse(false))
+  }
+}
+
 /** Name → pipeline dispatch, replacing the reference's triplicated
   * `import_module` registries (`master.py:26-42`, `mapper.py:9-25`,
   * `reducer.py:9-25`). Users register a whole DataFrame pipeline — the

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI front end — the analog of the reference's Flask app (`app.py:18-46`)
+  * and `python3 master.py` boot (EP3, `master.py:303-304`):
+  *
+  *   - `run <config.json>`         — `POST /launch_map_reduce`: load the
+  *     config file, run the job, print a completion status line
+  *   - `run <op> <inDir> <outDir>` — same with an inline config
+  *   - `fetch <outDir>`            — `GET /final_output`: print the stored
+  *     result as JSON lines
+  *   - `lookup <outDir> <term>`    — PDF Part-2 "Streaming Search" UI: point
+  *     lookup of one key in a stored result
+  *
+  * `fetch`/`lookup` collect to the driver deliberately: they serve a final,
+  * already-aggregated result (the reference's final-output JSON), not a data
+  * path — SURVEY §2.1 S7 declares this a thin app layer over the engine.
+  */
+object Main {
+
+  /** Testable dispatcher (no session lifecycle, no exit). Returns 0 on
+    * success, 2 on usage error.
+    */
+  def dispatch(spark: SparkSession, args: Seq[String]): Int = args.toList match {
+    case "run" :: cfgPath :: Nil =>
+      runJob(spark, JobConfig.fromJsonFile(spark, cfgPath))
+    case "run" :: op :: in :: out :: Nil =>
+      runJob(spark, JobConfig(op, in, out))
+    case "fetch" :: out :: Nil =>
+      Engine.fetchResult(spark, out).toJSON.collect().foreach(println)
+      0
+    case "lookup" :: out :: term :: Nil =>
+      Engine.lookup(spark, out, term).toJSON.collect().foreach(println)
+      0
+    case _ =>
+      System.err.println(
+        """usage: graft.Main run <config.json>
+          |       graft.Main run <operation> <inputDir> <outputDir>
+          |       graft.Main fetch <outputDir>
+          |       graft.Main lookup <outputDir> <term>
+          |operations: """.stripMargin + OperationRegistry.names.mkString(", "))
+      2
+  }
+
+  private def runJob(spark: SparkSession, cfg: JobConfig): Int = {
+    val n = Engine.run(spark, cfg).count()
+    println(s"""{"status":"complete","operation":"${cfg.operation}","rows":$n,"output":"${cfg.outputPath}"}""")
+    0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = EngineSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "*"), "graft")
+    val rc = try dispatch(spark, args.toSeq) finally spark.stop()
+    if (rc != 0) sys.exit(rc)
+  }
+}

@@ -101,6 +101,33 @@ class EngineSpec extends AnyFunSuite {
     assert(viaSql == "z")
   }
 
+  test("JobConfig.fromJsonFile accepts reference-style config.json field names") {
+    val corpus = tmpCorpus()
+    val out = Files.createTempDirectory("graft-out").toString + "/cfg"
+    val cfgFile = Files.createTempDirectory("graft-cfg").resolve("config.json")
+    // the reference's spelling (master.py:215-216 / config.json)
+    Files.writeString(cfgFile,
+      s"""{
+         |  "operation_name": "wordcount",
+         |  "raw_input_data_path": "$corpus",
+         |  "output_data_path": "$out",
+         |  "mapper_count": 3
+         |}""".stripMargin)
+    val cfg = JobConfig.fromJsonFile(spark, cfgFile.toString)
+    assert(cfg == JobConfig("wordcount", corpus, out, partitions = 3))
+    val result = Engine.run(spark, cfg)
+    assert(result.count() == 5)
+  }
+
+  test("Main.dispatch: run/fetch/lookup round-trip (S7/S8 analog)") {
+    val corpus = tmpCorpus()
+    val out = Files.createTempDirectory("graft-out").toString + "/cli"
+    assert(Main.dispatch(spark, Seq("run", "wordcount", corpus, out)) == 0)
+    assert(Main.dispatch(spark, Seq("fetch", out)) == 0)
+    assert(Main.dispatch(spark, Seq("lookup", out, "hello")) == 0)
+    assert(Main.dispatch(spark, Seq("bogus")) == 2)
+  }
+
   test("partition count is config-driven and does not change results") {
     val corpus = tmpCorpus()
     val o1 = Files.createTempDirectory("graft-out").toString + "/p1"
