@@ -28,10 +28,13 @@ object EngineSession {
     * on for runtime coalescing/skew handling.
     */
   def local(cores: String, appName: String): SparkSession = {
+    val shufflePartitions =
+      if (cores == "*") Runtime.getRuntime.availableProcessors().toString else cores
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores)
+      .withExtensions(new graft.expressions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     requiredConfs.foreach { case (k, v) => b.config(k, v) }

@@ -1,0 +1,22 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions exposing graft's native expressions to SQL
+  * (`SELECT ascii_clean(text) …`). Installed by `EngineSession.local`;
+  * external users pass `spark.sql.extensions=graft.expressions.GraftExtensions`.
+  *
+  * DataFrame-API callers don't need this — `TextFunctions.cleanLine` builds
+  * the expression directly — it exists so the SQL surface is complete.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("ascii_clean"),
+      new ExpressionInfo(classOf[AsciiClean].getName, "ascii_clean"),
+      (children: Seq[Expression]) => AsciiClean(children.head)))
+  }
+}

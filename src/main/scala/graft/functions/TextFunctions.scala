@@ -33,9 +33,21 @@ object TextFunctions {
   def trimWs(c: Column): Column = regexp_replace(c, """^\s+|\s+$""", "")
 
   /** Full reference cleanup chain, in reference order:
-    * punctuation-strip → trim → lowercase → ASCII-fold.
+    * punctuation-strip → trim → lowercase → ASCII-fold — as ONE native
+    * code-generated expression ([[graft.expressions.AsciiClean]]) instead
+    * of three regex traversals. Built directly from the Expression (no
+    * function-registry dependence), so it resolves in any session.
     */
   def cleanLine(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.AsciiClean(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** The same chain as composed built-ins — the reference implementation
+    * [[cleanLine]] is property-tested against (and the shape SURVEY §2.2
+    * P1–P5 documents).
+    */
+  def cleanLineRegex(c: Column): Column =
     asciiOnly(lower(trimWs(stripPunct(c))))
 
   /** Whitespace tokenize matching Python `str.split()`: runs of whitespace,

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column ↔ Expression converters — the
+  * standard pattern for libraries contributing native Catalyst expressions
+  * (the public Column API intentionally hides its expression backing).
+  * Keep this file to these two forwarders; all graft logic lives in the
+  * `graft` packages.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
