@@ -14,10 +14,35 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  private val FramesPerDoc = 4
+  private val FrameBytes = 16
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asMedia(Tables(s, dir, "documents"))
       Multimodal.extractFeatures(s, media).toDF().orderBy("doc_id")
+    }),
+
+    // ---- frame sampling: k evenly-spaced byte windows per binary payload
+    // (the video-frame-sample shape: payload stands in for an encoded
+    // stream, a real pipeline would decode at each offset). Pure
+    // expressions — offsets are arithmetic, the window is a binary substr,
+    // and the fingerprint is md5 over the window's hex form (hex because
+    // the SQL oracle's md5 only accepts VARCHAR; both engines hash the
+    // identical uppercase-hex string). Linear, shuffle-free, codegen'd. ----
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"))
+      media
+        .select(col("doc_id"), col("payload"), octet_length(col("payload")).as("n"))
+        .filter(col("n") >= FramesPerDoc)
+        .select(col("doc_id"), col("payload"), col("n"),
+          explode(sequence(lit(0), lit(FramesPerDoc - 1))).as("i"))
+        .select(col("doc_id"), col("payload"),
+          col("i").cast("int").as("frame_idx"),
+          floor(col("i") * col("n") / FramesPerDoc).cast("int").as("frame_off"))
+        .select(col("doc_id"), col("frame_idx"), col("frame_off"),
+          md5(hex(col("payload").substr(col("frame_off") + 1, lit(FrameBytes)))).as("frame_hash"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -29,6 +54,15 @@ object MultimodalQueries {
         |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
         |  3 AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      s"""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |  CAST(FLOOR(i * n / $FramesPerDoc) AS INT) AS frame_off,
+         |  md5(substring(hx, CAST(FLOOR(i * n / $FramesPerDoc) AS INT) * 2 + 1, ${2 * FrameBytes})) AS frame_hash
+         |FROM (SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx FROM documents),
+         |     UNNEST(range($FramesPerDoc)) AS t(i)
+         |WHERE n >= $FramesPerDoc
+         |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

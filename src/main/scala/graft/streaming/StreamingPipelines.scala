@@ -1,9 +1,13 @@
 package graft.streaming
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types._
+
+/** Per-user running totals emitted by [[StreamingPipelines.userRunningTotals]]. */
+case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming surface.
   *
@@ -60,6 +64,28 @@ object StreamingPipelines {
         sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** Per-user running totals across micro-batches via explicit custom state
+    * (`KeyValueGroupedDataset.mapGroupsWithState`) — the surface for
+    * stateful logic the built-in windowed aggregations can't express.
+    * State is one (count, sum) pair per user, partitioned by the state
+    * store exactly like a streaming aggregation; each batch emits one
+    * updated row per user seen in that batch (output mode `update`).
+    */
+  def userRunningTotals(events: DataFrame): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, v) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          UserTotals(uid, n, v)
+      }
+  }
 
   /** Session windows per user (30-min gap), the streaming analog of the
     * batch `event_sessions` query.

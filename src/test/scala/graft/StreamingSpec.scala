@@ -61,6 +61,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-user totals accumulate across micro-batches") {
+    val dir = eventsDir()
+    // ONE continuous query, two micro-batches: the memory sink does not
+    // support checkpoint restart (and a file sink can't do update mode),
+    // but cross-batch state within a run is exactly what the operator owns
+    val q = StreamingPipelines.userRunningTotals(
+        StreamingPipelines.eventStream(spark, dir.toString))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("totals_stream")
+      .trigger(Trigger.ProcessingTime(200))
+      .start()
+    try {
+      q.processAllAvailable()
+      // second file arrives for users 1 and 2 -> their state must carry over
+      import spark.implicits._
+      Seq((99990L, 1L, 1L, "click", 2.5, "{}"), (99991L, 2L, 2L, "click", 1.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+
+      // per user, the LAST emitted row is the cumulative (count, sum) —
+      // compare against a batch aggregation over the same staged files
+      val streamed = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM totals_stream GROUP BY user_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = spark.read
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("event_id", "long").add("ts", "long").add("user_id", "long")
+          .add("event_type", "string").add("value", "double").add("props", "string"))
+        .parquet(dir.toString)
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("session windows (append mode): sessions emit once the watermark passes") {
     val dir = eventsDir()
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
