@@ -23,6 +23,17 @@ object MultimodalQueries {
       Multimodal.extractFeatures(s, media).toDF().orderBy("doc_id")
     }),
 
+    // ---- resize planning: aspect-preserving fit into a 32×32 box over the
+    // stub-decoded dimensions; never upscale. Geometry as codegen'd
+    // arithmetic (the pixel resample is codec-side). ----
+    "multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"))
+      Multimodal.planResize(Multimodal.extractFeatures(s, media).toDF(), 32, 32)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("scale"), col("target_width"), col("target_height"))
+        .orderBy("doc_id")
+    }),
+
     // ---- frame sampling: k evenly-spaced byte windows per binary payload
     // (the video-frame-sample shape: payload stands in for an encoded
     // stream, a real pipeline would decode at each offset). Pure
@@ -55,6 +66,20 @@ object MultimodalQueries {
         |  CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
         |  3 AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_resize" ->
+      """SELECT doc_id, width, height, scale,
+        |  CAST(GREATEST(FLOOR(width * scale), 1) AS INT) AS target_width,
+        |  CAST(GREATEST(FLOOR(height * scale), 1) AS INT) AS target_height
+        |FROM (
+        |  SELECT doc_id, width, height,
+        |    LEAST(32 / width, 32 / height, 1.0) AS scale
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+        |      CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       s"""SELECT doc_id, CAST(i AS INT) AS frame_idx,

@@ -24,14 +24,34 @@ case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
   */
 object StreamingPipelines {
 
-  /** Streaming wordcount over a corpus directory (file-arrival source). */
-  def wordCountStream(spark: SparkSession, dir: String, faithful: Boolean = false): DataFrame = {
-    val lines = spark.readStream
+  /** Streaming cleaned corpus — the readStream twin of
+    * `CorpusReader.cleaned`: `(doc, line)` rows from files arriving in
+    * `dir`, reference cleanup applied.
+    */
+  def corpusStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
       .option("maxFilesPerTrigger", 16)
       .text(dir)
-      .select(cleanLine(col("value")).as("line"))
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("doc"),
+        cleanLine(col("value")).as("line"))
       .filter(length(col("line")) > 0)
-    val words = lines.select(explode(tokens(col("line"))).as("word"))
+
+  /** ANY registered operation as a file-arrival stream — the reference's
+    * Part-2 trigger runs whatever operation `config.json` names, so the
+    * streaming surface dispatches through the same [[graft.OperationRegistry]]
+    * as batch. Registered pipelines are plain declarative DataFrame
+    * transforms, so the identical code plans incrementally here (complete
+    * mode supports their final `orderBy`).
+    */
+  def operationStream(spark: SparkSession, dir: String, operation: String,
+      faithful: Boolean = false): DataFrame =
+    graft.OperationRegistry(operation)(corpusStream(spark, dir), faithful)
+
+  /** Streaming wordcount over a corpus directory (file-arrival source). */
+  def wordCountStream(spark: SparkSession, dir: String, faithful: Boolean = false): DataFrame = {
+    val words = corpusStream(spark, dir)
+      .select(explode(tokens(col("line"))).as("word"))
     val kept = if (faithful) words.filter(azLeading(col("word"))) else words
     kept.groupBy("word").agg(count(lit(1)).as("count"))
   }

@@ -44,6 +44,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("any registered operation runs as a file-arrival stream (registry dispatch)") {
+    val dir = Files.createTempDirectory("graft-opstream")
+    Files.writeString(dir.resolve("a.txt"), "alpha beta\n")
+    val q = StreamingPipelines.operationStream(spark, dir.toString, "invertedindex")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("idx_stream")
+      .trigger(Trigger.ProcessingTime(200))
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(dir.resolve("b.txt"), "beta gamma\n")
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT word, docs FROM idx_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+      assert(rows == Map(
+        "alpha" -> Set("a.txt"),
+        "beta" -> Set("a.txt", "b.txt"),
+        "gamma" -> Set("b.txt")))
+    } finally q.stop()
+  }
+
   test("hourly window counts equal the batch date_trunc query (complete mode)") {
     val stream = StreamingPipelines.hourlyCounts(
       StreamingPipelines.eventStream(spark, eventsDir().toString))
