@@ -24,4 +24,19 @@ object Sinks {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Bucketed catalog table: pre-hash-partitioned (and per-bucket sorted)
+    * on the join/group keys, so repeated joins and aggregations on those
+    * keys plan with NO exchange — the shuffle is paid once at write time
+    * instead of per query. The 100 TB play for fact⋈fact joins Catalyst
+    * can't broadcast (see SCALE.md; verified by SinksSpec asserting an
+    * exchange-free sort-merge join plan).
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }

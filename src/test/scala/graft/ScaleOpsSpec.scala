@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.Skew
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale techniques SCALE.md leans on, verified at the plan/value level:
+  * salted two-phase aggregation equals its unsalted form, and bucketed
+  * tables join with no exchange.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import SparkTestBase.Sf0001
+
+  test("salted collect_set is value-identical to the unsalted aggregation") {
+    val pairs = Tables(spark, Sf0001, "documents")
+      .select(explode(tokens(cleanLine(col("text")))).as("word"), col("doc_id"))
+    val salted = Skew.saltedCollectSet(pairs, col("word"), col("doc_id"), salts = 8)
+    val plain = pairs.groupBy(col("word").as("key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("values"))
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("salted distinct count is exact (equal values share a salt)") {
+    val li = Tables(spark, Sf0001, "lineitem")
+    val salted = Skew.saltedDistinctCount(li, col("l_returnflag"), col("l_suppkey"), salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = li.groupBy("l_returnflag")
+      .agg(count_distinct(col("l_suppkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join with no exchange (co-located sort-merge join)") {
+    // a previous JVM's managed-table directories survive on disk while the
+    // in-memory catalog does not — clear both before writing
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Sinks.bucketedTable(Tables(spark, Sf0001, "lineitem")
+      .select("l_orderkey", "l_extendedprice"), "li_bucketed", Seq("l_orderkey"), 8)
+    Sinks.bucketedTable(Tables(spark, Sf0001, "orders")
+      .select("o_orderkey", "o_orderdate"), "o_bucketed", Seq("o_orderkey"), 8)
+
+    val joined = spark.table("li_bucketed")
+      .hint("merge")   // force SMJ so the assertion isn't about broadcast
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+
+    // and it returns the same rows as the plain join
+    val expected = Tables(spark, Sf0001, "lineitem")
+      .join(Tables(spark, Sf0001, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(joined.count() == expected)
+  }
+}
