@@ -80,6 +80,25 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ---- conditional aggregate over a fact⋈dim join (TPC-H Q14 shape):
+    // promo revenue share per part brand. The part dim shuffles on its key
+    // (or broadcasts when stats allow); the CASE lives inside the partial
+    // aggregate so the shuffle carries two decimals per group. ----
+    "q14_promo" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      val disc = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - dec(col("l_discount")))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          dbl(sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(DecimalType(12, 2)))))
+            .as("promo_revenue"),
+          dbl(sum(disc)).as("total_revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
+        .orderBy("p_brand")
+    }),
+
     // ---- semi join: customers with at least one open order ----
     "join_semi" -> ((s, dir) => {
       val c = Tables(s, dir, "customer")
@@ -256,6 +275,20 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
