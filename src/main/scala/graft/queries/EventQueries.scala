@@ -42,6 +42,22 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- JSON property extraction (SURVEY §2.8: JSON-path scalar
+    // functions): pull a typed value out of the free-form props column.
+    // get_json_object is a codegen'd path evaluation — no UDF, pushes
+    // through the scan like any projection. ----
+    "event_props" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // ---- per-user funnel-ish stats: conditional aggregation ----
     "event_user_stats" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -81,6 +97,14 @@ object EventQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "event_props" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "event_user_stats" ->
       """SELECT user_id,

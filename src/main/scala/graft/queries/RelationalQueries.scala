@@ -225,6 +225,21 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- exact quantiles (continuous interpolation) per group ----
+    // Spark's `percentile` and DuckDB's `quantile_cont` share the
+    // definition: position p·(n−1) in the sorted values, linear
+    // interpolation — so the doubles hash-match. (The sketch-based
+    // `approx_percentile` is the 100-TB path; exact percentile sorts per
+    // group and is the oracle-comparable form.)
+    "agg_quantiles" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("median"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- approximate distinct (HLL++ sketch) ----
     // The sketch value itself differs between engines, so the driver-facing
     // columns are the EXACT count (hash-comparable) plus a boolean asserting
@@ -371,6 +386,13 @@ object RelationalQueries {
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS INT) AS days_ago,
         |  CAST(o_orderkey % 7 AS BIGINT) AS key_mod
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS median,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "approx_distinct" ->
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
