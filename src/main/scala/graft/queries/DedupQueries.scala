@@ -106,6 +106,38 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- MinHash LSH near-dup pairs: 4 bands × 2 signature rows ----
+    // The canonical shingle→minhash→band→bucket-join pipeline: signatures
+    // are min-md5 over 3-token SHINGLES (unigram sets are too coarse —
+    // under a small vocabulary every doc contains every word and all
+    // signatures collide); documents agreeing on BOTH components of any
+    // band become candidates (for shingle-Jaccard j, a band matches with
+    // probability j², a pair survives with 1-(1-j²)⁴ — steep around
+    // j≈0.5); estimated Jaccard = fraction of agreeing signature
+    // components, exact md5 arithmetic on both engines. Bucket count grows
+    // with the corpus (band value = md5 of two 128-bit mins), so
+    // candidates stay bounded — same shape as dedup_simhash_pairs below.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val mins = (0 until K).map(i =>
+        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+      val sigs = shingleTable(s, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bands = sigs.select(
+        (col("doc_id") +: (0 until K).map(i => col(s"h$i"))) :+
+          posexplode(array((0 until K / 2).map(b =>
+            md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*)): _*)
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      val matches = (0 until K).map(i =>
+        when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)).reduce(_ + _)
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          (matches / lit(K.toDouble)).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .dropDuplicates("d1", "d2")
+        .orderBy("d1", "d2")
+    }),
+
     // ---- SimHash sketch: per-doc 64-bit signature + exact-group canon ----
     // The window partitions by the LONG `sig` (cheap 8-byte shuffle key);
     // the display column `simhash` is the same value in string form.
@@ -233,6 +265,22 @@ object DedupQueries {
          |  MIN(doc_id) OVER (PARTITION BY sig) AS canon_id,
          |  CAST(COUNT(*) OVER (PARTITION BY sig) AS BIGINT) AS group_size
          |FROM sigs ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_minhash_lsh" -> {
+      val mins = (0 until K).map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(", ")
+      val bandCols = (0 until K / 2).map(b =>
+        s"md5(h${2 * b} || h${2 * b + 1}) AS b$b").mkString(", ")
+      val bandEq = (0 until K / 2).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+      val matches = (0 until K).map(i =>
+        s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH sigs AS (SELECT doc_id, $mins FROM ($shSqlRel) GROUP BY doc_id),
+         |bands AS (SELECT *, $bandCols FROM sigs)
+         |SELECT d1, d2, est_jaccard FROM (
+         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2,
+         |    ($matches) / ${K.toDouble} AS est_jaccard
+         |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ($bandEq))
+         |WHERE est_jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
     },
 
     "dedup_simhash" ->
