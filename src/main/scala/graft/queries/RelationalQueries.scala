@@ -240,6 +240,23 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ---- approximate percentile (Greenwald-Khanna sketch) ----
+    // Same pattern as approx_distinct: the sketch value differs between
+    // engines, so the driver-facing columns are the exact median plus a
+    // boolean asserting the sketch landed within 1% relative error —
+    // verifying the mergeable-sketch path (the true 100-TB quantile plan,
+    // constant state per partition vs exact percentile's per-group sort).
+    "approx_quantiles" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+        .select(col("l_returnflag"), col("exact_median"),
+          (abs(col("approx") - col("exact_median")) / col("exact_median") <= 0.01)
+            .as("within_1pct"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- approximate distinct (HLL++ sketch) ----
     // The sketch value itself differs between engines, so the driver-facing
     // columns are the EXACT count (hash-comparable) plus a boolean asserting
@@ -392,6 +409,12 @@ object RelationalQueries {
         |  quantile_cont(l_extendedprice, 0.25) AS p25,
         |  quantile_cont(l_extendedprice, 0.5) AS median,
         |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS exact_median,
+        |  true AS within_1pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "approx_distinct" ->
