@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // one JVM runs ~50 codegen-heavy queries back to back: the default
+  // 240m code cache fills with Janino-generated classes and flips hot
+  // paths back to the interpreter, inflating later queries 2-5x
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -42,6 +42,25 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- range join: events within the hour BEFORE each purchase, same
+    // user. Equi key (user_id) bounds the shuffle; the range predicate
+    // filters inside each key group, so per-key work is O(events/user ×
+    // purchases/user) — bounded by per-user activity, not corpus size. ----
+    "event_range_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      e.join(p,
+          col("user_id") === col("p_user") &&
+            col("ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("ts") < col("p_ts"))
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_preceding"),
+          count(when(col("event_type") === "click", 1)).as("n_clicks"))
+        .orderBy("purchase_id")
+    }),
+
     // ---- JSON property extraction (SURVEY §2.8: JSON-path scalar
     // functions): pull a typed value out of the free-form props column.
     // get_json_object is a codegen'd path evaluation — no UDF, pushes
@@ -97,6 +116,15 @@ object EventQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "event_range_join" ->
+      """SELECT p.event_id AS purchase_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_preceding,
+        |  CAST(COUNT(CASE WHEN e.event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+        |  AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,
 
     "event_props" ->
       """SELECT event_type,

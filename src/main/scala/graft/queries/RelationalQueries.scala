@@ -225,6 +225,17 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- cube (all 4 grouping sets; rollup above covers the hierarchy) ----
+    "agg_cube" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(dec(col("o_totalprice")))).as("total_price"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // ---- exact quantiles (continuous interpolation) per group ----
     // Spark's `percentile` and DuckDB's `quantile_cont` share the
     // definition: position p·(n−1) in the sorted values, linear
@@ -403,6 +414,14 @@ object RelationalQueries {
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS INT) AS days_ago,
         |  CAST(o_orderkey % 7 AS BIGINT) AS key_mod
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "agg_quantiles" ->
       """SELECT l_returnflag,

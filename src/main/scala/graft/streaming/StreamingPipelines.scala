@@ -85,6 +85,18 @@ object StreamingPipelines {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup on a key column: emit each key's first arrival,
+    * drop repeats. `dropDuplicatesWithinWatermark` bounds the state store
+    * to the watermark horizon — unbounded-state `dropDuplicates` is the
+    * thing a 100 TB stream cannot afford — so a duplicate is suppressed iff
+    * it arrives within `horizon` of the first occurrence (the training-data
+    * contract: re-crawled/re-uploaded docs cluster in time).
+    */
+  def dedupStream(rows: DataFrame, keyCol: String, tsCol: String,
+      horizon: String = "1 hour"): DataFrame =
+    rows.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Per-user running totals across micro-batches via explicit custom state
     * (`KeyValueGroupedDataset.mapGroupsWithState`) — the surface for
     * stateful logic the built-in windowed aggregations can't express.

@@ -118,6 +118,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: repeats within the watermark horizon are dropped") {
+    val dir = Files.createTempDirectory("graft-dedup-stream")
+    import spark.implicits._
+    def writeBatch(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val hourNs = 3600L * 1000000000L
+    writeBatch(Seq(
+      (1L, 1 * hourNs, 10L, "click", 1.0, "{}"),
+      (1L, 1 * hourNs, 10L, "click", 1.0, "{}"),   // same-batch duplicate
+      (2L, 1 * hourNs, 11L, "click", 1.0, "{}")))
+
+    val q = StreamingPipelines.dedupStream(
+        StreamingPipelines.eventStream(spark, dir.toString), "event_id", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.ProcessingTime(200))
+      .start()
+    try {
+      q.processAllAvailable()
+      // cross-batch duplicate (within horizon) + one genuinely new key
+      writeBatch(Seq(
+        (1L, 1 * hourNs + 1000, 10L, "click", 1.0, "{}"),
+        (3L, 1 * hourNs, 12L, "view", 2.0, "{}")))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_stream")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("session windows (append mode): sessions emit once the watermark passes") {
     val dir = eventsDir()
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
