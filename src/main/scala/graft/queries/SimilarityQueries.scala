@@ -51,6 +51,27 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // ---- brute-force top-k via the typed TopK aggregator ----
+    // Same result as ann_bruteforce, different physical plan: the window
+    // form shuffles every scored row to rank it; the Aggregator prunes to
+    // k per (group, partition) in the partial aggregate, so the exchange
+    // carries k·|queries|·partitions rows however large the corpus is.
+    "ann_topk_agg" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopK(TopK))
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), cosine(col("qv"), col("v")).as("sim"),
+          col("vec_id").as("nn_id"))
+        .groupBy("qid")
+        .agg(topk(col("sim"), col("nn_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.nn_id").as("nn_id"))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- LSH: sign-bit buckets, top-1 neighbor within bucket ----
     "ann_lsh" -> ((s, dir) => {
       val e = vecs(s, dir).withColumn("bucket", signBucket(col("v"), LshBits))
@@ -86,6 +107,15 @@ object SimilarityQueries {
 
   def oracles: Map[String, String] = Map(
     "ann_bruteforce" ->
+      s"""WITH e AS ($eSql),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nn_id, ${cosineSql("q.v", "e.v")} AS sim
+         |  FROM e q JOIN e ON q.vec_id < $NQueries AND e.vec_id <> q.vec_id)
+         |SELECT qid, rank, nn_id FROM (
+         |  SELECT qid, nn_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS INT) AS rank
+         |  FROM scored) WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+
+    "ann_topk_agg" ->
       s"""WITH e AS ($eSql),
          |scored AS (
          |  SELECT q.vec_id AS qid, e.vec_id AS nn_id, ${cosineSql("q.v", "e.v")} AS sim

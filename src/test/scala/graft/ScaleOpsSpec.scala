@@ -34,6 +34,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("TopK aggregator: bounded buffer, deterministic ties, partial-agg plan") {
+    import graft.functions.{Scored, TopK}
+    val agg = new TopK(3)
+    // reduce keeps the k best with (sim DESC, nn_id ASC) tie-break
+    val buf = Seq(Scored(0.9, 5L), Scored(0.8, 2L), Scored(0.9, 1L), Scored(0.7, 9L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == Seq(Scored(0.9, 1L), Scored(0.9, 5L), Scored(0.8, 2L)))
+    // merge of two partial buffers = top-3 of the union
+    val other = Seq(Scored(0.95, 7L), Scored(0.1, 3L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(buf, other)) ==
+      Seq(Scored(0.95, 7L), Scored(0.9, 1L), Scored(0.9, 5L)))
+
+    // identical results to the window-ranked form, but the physical plan
+    // prunes map-side: partial_topk runs BEFORE the exchange
+    val viaAgg = SparkEntry.queries("ann_topk_agg")(spark, Sf0001)
+    val viaWindow = SparkEntry.queries("ann_bruteforce")(spark, Sf0001)
+    assert(viaAgg.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaAgg).count() == 0)
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk"), s"expected map-side partial topk:\n$plan")
+  }
+
   test("bucketed tables join with no exchange (co-located sort-merge join)") {
     // a previous JVM's managed-table directories survive on disk while the
     // in-memory catalog does not — clear both before writing
