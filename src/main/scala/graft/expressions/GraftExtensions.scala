@@ -18,5 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("ascii_clean"),
       new ExpressionInfo(classOf[AsciiClean].getName, "ascii_clean"),
       (children: Seq[Expression]) => AsciiClean(children.head)))
+    // upgrade hand-composed regex cleanup chains to the native expression
+    ext.injectOptimizerRule(_ => graft.plans.CleanupChainRule)
   }
 }
