@@ -3,11 +3,16 @@ package graft.streaming
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Per-user running totals emitted by [[StreamingPipelines.userRunningTotals]]. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+/** A closed session emitted by [[StreamingPipelines.closedSessions]]. */
+case class ClosedSession(
+    user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
 
 /** Structured Streaming surface.
   *
@@ -116,6 +121,56 @@ object StreamingPipelines {
           rows.foreach { case (_, value) => n += 1; v += value }
           state.update((n, v))
           UserTotals(uid, n, v)
+      }
+  }
+
+  /** Gap-based sessions via explicit state (`flatMapGroupsWithState` +
+    * event-time timeout) — the custom-state form of [[userSessions]], for
+    * session semantics the built-in `session_window` can't express (here:
+    * identical gap logic, so the batch `event_sessions` query is the
+    * value oracle). A session is emitted exactly once, when the watermark
+    * passes its end + gap (it can no longer grow); open sessions live in
+    * the state store, one small list per active user.
+    */
+  def closedSessions(events: DataFrame, gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // (startUs, endUs, n) per open session; merge anything within the gap
+    def merge(xs: List[(Long, Long, Long)]): List[(Long, Long, Long)] =
+      xs.sortBy(_._1).foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((s, e, n) :: tail, (s2, e2, n2)) if s2 - e <= gapUs =>
+          (s, math.max(e, e2), n + n2) :: tail
+        case (acc, x) => x :: acc
+      }.reverse
+
+    events
+      .select(col("user_id").cast("long").as("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[List[(Long, Long, Long)]]) =>
+          val incoming = rows.map { case (_, us, _) => (us, us, 1L) }.toList
+          val sessions = merge(state.getOption.getOrElse(Nil) ++ incoming)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = sessions.partition { case (_, e, _) => e + gapUs <= wmUs }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            val nextMs = (open.map(_._2).min + gapUs) / 1000L
+            state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          def tsOf(us: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+            t.setNanos((us % 1000000L).toInt * 1000)
+            t
+          }
+          closed.sortBy(_._1).iterator.map { case (s, e, n) =>
+            ClosedSession(uid, tsOf(s), tsOf(e), n)
+          }
       }
   }
 

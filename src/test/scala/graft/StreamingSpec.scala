@@ -150,6 +150,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions match the batch gap-sessionization exactly") {
+    val dir = eventsDir()
+    val q = StreamingPipelines.closedSessions(
+        StreamingPipelines.eventStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("closed_sessions")
+      .trigger(Trigger.ProcessingTime(200))
+      .start()
+    try {
+      q.processAllAvailable()
+      // late file pushes the watermark 3h past the corpus -> every session
+      // in the original data is now closed and must have been emitted
+      import spark.implicits._
+      val maxMicros = Tables(spark, SparkTestBase.Sf0001, "events")
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      Seq((99999L, (maxMicros + 3L * 3600 * 1000000) * 1000, 999L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM closed_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      // batch oracle over the ORIGINAL events (the late row's own session
+      // is still open in the stream, so exclude its user)
+      val batch = SparkEntry.queries("event_sessions")(spark, SparkTestBase.Sf0001)
+        .collect().map(r => (r.getLong(0),
+          r.getTimestamp(r.fieldIndex("session_start")),
+          r.getTimestamp(r.fieldIndex("session_end")),
+          r.getLong(r.fieldIndex("n_events"))))
+        .toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("session windows (append mode): sessions emit once the watermark passes") {
     val dir = eventsDir()
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
