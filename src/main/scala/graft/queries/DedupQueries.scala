@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * O(n²) self-join:
   *
   *  - exact:   hash-groupBy on md5(text)
-  *  - minhash: md5-based k-min signatures → signature-group canonical
+  *  - minhash: md5-based k-min signatures → signature-group canonical,
+  *             plus the canonical shingle→minhash→band→bucket-join LSH
+  *             near-dup pairs with estimated Jaccard
   *  - simhash: 64-bit hex-digit majority sketch → exact-group canonical +
   *             banded (4×16-bit) candidate pairs within Hamming ≤ 3
   *  - n-gram Jaccard: 3-token shingle bucket-join candidates → exact Jaccard,

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
-  * Three tiers, in the order a 100 TB pipeline would deploy them:
+  * The tiers a 100 TB pipeline would deploy:
   *  - brute force for a BOUNDED query set (broadcast the queries, stream the
-  *    corpus — linear in corpus size, never a corpus×corpus join);
+  *    corpus — linear in corpus size, never a corpus×corpus join), in two
+  *    physical forms: window-ranked, and the typed [[graft.functions.TopK]]
+  *    aggregator that prunes to k map-side before the exchange;
   *  - sign-bit LSH buckets (axis-aligned hyperplanes — exact on floats, so
   *    the SQL oracle agrees bit-for-bit on bucket assignment);
   *  - IVF-style coarse partition using the provided cell assignment
