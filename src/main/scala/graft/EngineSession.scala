@@ -22,6 +22,20 @@ object EngineSession {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
+  /** Builder carrying the engine's required confs and extensions but NO
+    * master or parallelism settings — for cluster deployment, where
+    * spark-submit supplies the master and shuffle parallelism scales with
+    * executors. `local` builds on this for the single-node harness.
+    */
+  def configured(appName: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .withExtensions(new graft.expressions.GraftExtensions)
+      .config("spark.sql.adaptive.enabled", "true")
+    requiredConfs.foreach { case (k, v) => b.config(k, v) }
+    b
+  }
+
   /** Local-mode builder with the engine's standard tuning: shuffle
     * parallelism = core count (not the 200 default — right-sized for a
     * single node; on a real cluster this scales with executor count), AQE
@@ -30,15 +44,11 @@ object EngineSession {
   def local(cores: String, appName: String): SparkSession = {
     val shufflePartitions =
       if (cores == "*") Runtime.getRuntime.availableProcessors().toString else cores
-    val b = SparkSession.builder()
+    val spark = configured(appName)
       .master(s"local[$cores]")
-      .appName(appName)
-      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    requiredConfs.foreach { case (k, v) => b.config(k, v) }
-    val spark = b.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

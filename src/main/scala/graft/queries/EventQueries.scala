@@ -61,6 +61,30 @@ object EventQueries {
         .orderBy("purchase_id")
     }),
 
+    // ---- as-of join (composed, per prompt preference (a)): for each
+    // purchase, the latest SAME-USER event strictly before it, looking
+    // back at most 1 day. The bound keeps per-key candidate volume
+    // proportional to per-user daily activity; rank-1 via max_by over the
+    // (ts, event_id) pair — a plain aggregate, no window shuffle of the
+    // candidate set beyond the groupBy. ----
+    "event_asof" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      e.join(p,
+          col("user_id") === col("p_user") &&
+            col("ts") < col("p_ts") &&
+            col("ts") >= col("p_ts") - expr("INTERVAL 1 DAY"))
+        .groupBy(col("purchase_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("prev"))
+        .select(col("purchase_id"),
+          col("prev.event_id").as("prev_event_id"),
+          col("prev.event_type").as("prev_event_type"),
+          col("prev.ts").as("prev_ts"))
+        .orderBy("purchase_id")
+    }),
+
     // ---- JSON property extraction (SURVEY §2.8: JSON-path scalar
     // functions): pull a typed value out of the free-form props column.
     // get_json_object is a codegen'd path evaluation — no UDF, pushes
@@ -116,6 +140,18 @@ object EventQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "event_asof" ->
+      """SELECT p.event_id AS purchase_id,
+        |  e.event_id AS prev_event_id,
+        |  e.event_type AS prev_event_type,
+        |  e.ts AS prev_ts
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+        |  AND e.ts < p.ts AND e.ts >= p.ts - INTERVAL 1 DAY
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |  ORDER BY e.ts DESC, e.event_id DESC) = 1
+        |ORDER BY purchase_id""".stripMargin,
 
     "event_range_join" ->
       """SELECT p.event_id AS purchase_id,
