@@ -84,6 +84,24 @@ object Engine {
     result
   }
 
+  /** S9 end-to-end (reference PDF Part 2): a file-arrival stream re-runs
+    * the configured operation and republishes the sorted single-file JSON
+    * result every trigger — upload → recompute → result queryable at any
+    * time via [[fetchResult]]/[[lookup]]. Complete-mode `foreachBatch`
+    * hands the full recomputed result to the same sink `run` uses, so
+    * batch and streaming outputs are byte-compatible.
+    */
+  def runStream(spark: SparkSession, config: JobConfig) = {
+    val result = graft.streaming.StreamingPipelines.operationStream(
+      spark, config.inputPath, config.operation, config.faithful)
+    result.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sinks.sortedSingleFileJson(batch, batch.columns.head, config.outputPath)
+      }
+      .start()
+  }
+
   /** EP2 analog (`GET /final_output`): read back a stored result. */
   def fetchResult(spark: SparkSession, resultPath: String): DataFrame =
     spark.read.json(resultPath)

@@ -128,6 +128,22 @@ class EngineSpec extends AnyFunSuite {
     assert(Main.dispatch(spark, Seq("bogus")) == 2)
   }
 
+  test("Engine.runStream: file arrival republishes the queryable result (Part-2 loop)") {
+    val corpusDir = Files.createTempDirectory("graft-stream-corpus")
+    Files.writeString(corpusDir.resolve("a.txt"), "hello world\n")
+    val out = Files.createTempDirectory("graft-out").toString + "/live"
+    val q = Engine.runStream(spark, JobConfig("wordcount", corpusDir.toString, out))
+    try {
+      q.processAllAvailable()
+      assert(Engine.lookup(spark, out, "hello").head().getAs[Long]("count") == 1L)
+
+      Files.writeString(corpusDir.resolve("b.txt"), "hello again\n")
+      q.processAllAvailable()
+      assert(Engine.lookup(spark, out, "hello").head().getAs[Long]("count") == 2L)
+      assert(Engine.fetchResult(spark, out).count() == 3)
+    } finally q.stop()
+  }
+
   test("partition count is config-driven and does not change results") {
     val corpus = tmpCorpus()
     val o1 = Files.createTempDirectory("graft-out").toString + "/p1"
