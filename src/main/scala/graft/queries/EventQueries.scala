@@ -101,6 +101,20 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // ---- pivot: per-user event counts, one column per event type ----
+    // Explicit pivot values pin the output schema (and skip the extra
+    // distinct-values job Spark otherwise runs); Catalyst plans this as a
+    // single pass of conditional partial aggregates — the oracle mirrors
+    // with CASE-filtered counts.
+    "event_pivot" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
     // ---- per-user funnel-ish stats: conditional aggregation ----
     "event_user_stats" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -169,6 +183,15 @@ object EventQueries {
         |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "event_pivot" ->
+      """SELECT user_id,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "event_user_stats" ->
       """SELECT user_id,
