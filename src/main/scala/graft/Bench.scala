@@ -21,7 +21,7 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       try Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
     // A query that throws still gets a timing entry, but is ALSO listed in

@@ -28,18 +28,42 @@ object JobConfig {
     */
   def fromJsonFile(spark: SparkSession, path: String): JobConfig = {
     val row = spark.read.option("multiLine", "true").json(path).head()
-    def opt[T](names: String*): Option[T] = names.iterator
-      .flatMap(n => scala.util.Try(row.getAs[T](n)).toOption)
-      .collectFirst { case v if v != null => v }
-    def req(names: String*): String = opt[String](names: _*).getOrElse(
-      throw new IllegalArgumentException(
-        s"config $path missing required field (any of: ${names.mkString(", ")})"))
+    // match on the runtime value, not an erased getAs[T]: foreign configs
+    // carry loosely-typed fields ("3" vs 3 vs 3.0) and a bad value should
+    // fail HERE naming the field, not as a ClassCastException downstream
+    def raw(names: String*): Option[(String, Any)] = names.iterator
+      .filter(row.schema.fieldNames.contains)
+      .map(n => n -> row.get(row.fieldIndex(n)))
+      .collectFirst { case (n, v) if v != null => (n, v) }
+    def str(names: String*): String = raw(names: _*) match {
+      case Some((_, s: String)) => s
+      case Some((n, other)) => throw new IllegalArgumentException(
+        s"config $path: field $n must be a string, got $other")
+      case None => throw new IllegalArgumentException(
+        s"config $path missing required field (any of: ${names.mkString(", ")})")
+    }
+    def int(names: String*): Int = raw(names: _*) match {
+      case Some((_, l: java.lang.Long)) => l.toInt
+      case Some((_, d: java.lang.Double)) => d.toInt
+      case Some((n, s: String)) => scala.util.Try(s.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(s"config $path: field $n is not a number: $s"))
+      case Some((n, other)) => throw new IllegalArgumentException(
+        s"config $path: field $n must be a number, got $other")
+      case None => 0
+    }
+    def bool(names: String*): Boolean = raw(names: _*) match {
+      case Some((_, b: java.lang.Boolean)) => b
+      case Some((_, s: String)) => s.trim.equalsIgnoreCase("true")
+      case Some((n, other)) => throw new IllegalArgumentException(
+        s"config $path: field $n must be a boolean, got $other")
+      case None => false
+    }
     JobConfig(
-      operation = req("operation", "operation_name"),
-      inputPath = req("inputPath", "raw_input_data_path"),
-      outputPath = req("outputPath", "output_data_path"),
-      partitions = opt[Long]("partitions", "mapper_count").map(_.toInt).getOrElse(0),
-      faithful = opt[Boolean]("faithful").getOrElse(false))
+      operation = str("operation", "operation_name"),
+      inputPath = str("inputPath", "raw_input_data_path"),
+      outputPath = str("outputPath", "output_data_path"),
+      partitions = int("partitions", "mapper_count"),
+      faithful = bool("faithful"))
   }
 }
 
@@ -107,18 +131,21 @@ object Engine {
     spark.read.json(resultPath)
 
   /** PDF Part-2 "Streaming Search" (P7): point lookup of one key in a
-    * stored result. `keyCol` defaults to the result's first STRING-typed
-    * column: `spark.read.json` orders inferred columns alphabetically, so
-    * the positional first column of the read-back result is NOT the sink's
-    * key column (for wordcount it would be `count`).
+    * stored result. The key column resolves, in order: explicit `keyCol`
+    * argument → the `_graft_key` sidecar the sink records (authoritative
+    * for any registered operation) → the first STRING-typed column
+    * (`spark.read.json` orders inferred columns alphabetically, so the
+    * positional first column of the read-back result is NOT the sink's
+    * key — for wordcount it would be `count`).
     */
   def lookup(spark: SparkSession, resultPath: String, term: String,
       keyCol: String = ""): DataFrame = {
     val df = fetchResult(spark, resultPath)
     val key =
       if (keyCol.nonEmpty) keyCol
-      else df.schema.fields.find(_.dataType == org.apache.spark.sql.types.StringType)
-        .map(_.name).getOrElse(df.columns.head)
+      else Sinks.readKeyColumn(spark, resultPath)
+        .orElse(df.schema.fields.find(_.dataType == org.apache.spark.sql.types.StringType).map(_.name))
+        .getOrElse(df.columns.head)
     df.filter(col(key) === term)
   }
 }

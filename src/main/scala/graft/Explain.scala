@@ -19,16 +19,18 @@ object Explain {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = EngineSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-explain")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val unknown = names.filterNot(SparkEntry.queries.contains)
     names.foreach { name =>
-      SparkEntry.queries.get(name) match {
-        case Some(fn) =>
-          println(s"===== $name =====")
-          println(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
-        case None =>
-          System.err.println(
-            s"unknown query '$name' (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+      SparkEntry.queries.get(name).foreach { fn =>
+        println(s"===== $name =====")
+        println(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
       }
     }
     spark.stop()
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")} (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+      sys.exit(2)
+    }
   }
 }

@@ -43,9 +43,17 @@ object Main {
       2
   }
 
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def runJob(spark: SparkSession, cfg: JobConfig): Int = {
     val n = Engine.run(spark, cfg).count()
-    println(s"""{"status":"complete","operation":"${cfg.operation}","rows":$n,"output":"${cfg.outputPath}"}""")
+    println(s"""{"status":"complete","operation":${jsonStr(cfg.operation)},"rows":$n,"output":${jsonStr(cfg.outputPath)}}""")
     0
   }
 

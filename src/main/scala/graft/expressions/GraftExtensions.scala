@@ -17,7 +17,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("ascii_clean"),
       new ExpressionInfo(classOf[AsciiClean].getName, "ascii_clean"),
-      (children: Seq[Expression]) => AsciiClean(children.head)))
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => AsciiClean(c)
+        case _ => throw new IllegalArgumentException(
+          s"ascii_clean expects exactly 1 argument, got ${children.size}")
+      }))
     // upgrade hand-composed regex cleanup chains to the native expression
     ext.injectOptimizerRule(_ => graft.plans.CleanupChainRule)
   }

@@ -20,8 +20,16 @@ case class Scored(sim: Double, nn_id: Long)
   */
 class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
-  private val ord: Ordering[Scored] =
-    Ordering.by((s: Scored) => (-s.sim, s.nn_id))
+  // descending sim with NaN ranked FIRST — matching Spark's `ORDER BY sim
+  // DESC` (and DuckDB's), where NaN compares greater than any value; a
+  // plain Ordering.by(-sim) would rank NaN last and silently diverge from
+  // the window formulation on NaN cosines (zero-norm vectors)
+  private val ord: Ordering[Scored] = new Ordering[Scored] {
+    def compare(a: Scored, b: Scored): Int = {
+      val c = java.lang.Double.compare(b.sim, a.sim)
+      if (c != 0) c else java.lang.Long.compare(a.nn_id, b.nn_id)
+    }
+  }
 
   private def bound(xs: Seq[Scored]): Seq[Scored] = xs.sorted(ord).take(k)
 

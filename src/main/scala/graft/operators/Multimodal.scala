@@ -56,21 +56,6 @@ object Multimodal {
     * single object boundary exists only to host the decoder, initialized
     * once per partition, executor-side — no driver collect.
     */
-  /** Aspect-preserving resize plan over extracted features: fit (width,
-    * height) into a (maxW × maxH) box, never upscale. The geometry is pure
-    * codegen'd arithmetic — engine work, value-checked by the oracle; the
-    * actual pixel resample belongs to the codec behind the
-    * [[MediaDecoder.decode]] boundary.
-    */
-  def planResize(features: DataFrame, maxW: Int, maxH: Int): DataFrame =
-    features
-      .withColumn("scale",
-        least(lit(maxW) / col("width"), lit(maxH) / col("height"), lit(1.0)))
-      .withColumn("target_width",
-        greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
-      .withColumn("target_height",
-        greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
-
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media
@@ -86,4 +71,19 @@ object Multimodal {
         }
       }
   }
+
+  /** Aspect-preserving resize plan over extracted features: fit (width,
+    * height) into a (maxW × maxH) box, never upscale. The geometry is pure
+    * codegen'd arithmetic — engine work, value-checked by the oracle; the
+    * actual pixel resample belongs to the codec behind the
+    * [[MediaDecoder.decode]] boundary.
+    */
+  def planResize(features: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    features
+      .withColumn("scale",
+        least(lit(maxW) / col("width"), lit(maxH) / col("height"), lit(1.0)))
+      .withColumn("target_width",
+        greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
+      .withColumn("target_height",
+        greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
 }

@@ -15,9 +15,40 @@ object Sinks {
   /** Reference-parity sink: global sort on `sortCol`, merged to ONE json
     * file. `coalesce(1)` after a range-partitioned sort preserves global
     * order (partitions are concatenated in range order). Small results only.
+    *
+    * The result is staged to a sibling `.inprogress` directory and swapped
+    * in with delete+rename, so concurrent readers (`Engine.fetchResult`/
+    * `lookup`, e.g. while `Engine.runStream` republishes per trigger) race
+    * only against a millisecond-scale rename, not the whole rewrite. A
+    * `_graft_key` sidecar records the sort/key column for
+    * [[graft.Engine.lookup]] — `spark.read.json` reorders columns
+    * alphabetically, so the key is not recoverable from position.
     */
-  def sortedSingleFileJson(df: DataFrame, sortCol: String, path: String): Unit =
-    df.orderBy(sortCol).coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+  def sortedSingleFileJson(df: DataFrame, sortCol: String, path: String): Unit = {
+    val tmp = path + ".inprogress"
+    df.orderBy(sortCol).coalesce(1).write.mode(SaveMode.Overwrite).json(tmp)
+    val hc = df.sparkSession.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(tmp)
+    val fs = target.getFileSystem(hc)
+    val keyFile = fs.create(new org.apache.hadoop.fs.Path(staged, "_graft_key"), true)
+    try keyFile.write(sortCol.getBytes("UTF-8")) finally keyFile.close()
+    fs.delete(target, true)
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(s"failed to move $tmp to $path")
+  }
+
+  /** Read back the `_graft_key` sidecar written by [[sortedSingleFileJson]]. */
+  def readKeyColumn(spark: org.apache.spark.sql.SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_key")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
 
   /** Engine-default sink: partitioned parquet table. */
   def parquetTable(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {

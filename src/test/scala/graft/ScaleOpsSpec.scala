@@ -45,6 +45,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     val other = Seq(Scored(0.95, 7L), Scored(0.1, 3L)).foldLeft(agg.zero)(agg.reduce)
     assert(agg.finish(agg.merge(buf, other)) ==
       Seq(Scored(0.95, 7L), Scored(0.9, 1L), Scored(0.9, 5L)))
+    // NaN similarity ranks FIRST, matching ORDER BY sim DESC in Spark and
+    // the oracle (NaN compares greater than any double in a descending sort)
+    val withNaN = Seq(Scored(Double.NaN, 4L), Scored(0.99, 8L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(withNaN, buf)).head.nn_id == 4L)
 
     // identical results to the window-ranked form, but the physical plan
     // prunes map-side: partial_topk runs BEFORE the exchange
