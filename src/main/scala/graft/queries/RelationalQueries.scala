@@ -225,6 +225,25 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- variance/stddev, deterministically: the built-in stddev's
+    // sum-of-squares accumulates in doubles, so its low bits depend on
+    // partition merge order and can never hash-match an oracle. Instead:
+    // EXACT decimal sums (order-independent), cast once to double, then
+    // the same scalar formula on both engines — bit-identical results. ----
+    "agg_variance" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val x = dec(col("l_quantity"))
+      val agged = l.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(x)).as("sum_x"),
+          dbl(sum((x * x).cast(DecimalType(25, 4)))).as("sum_x2"))
+      agged.select(col("l_returnflag"), col("n"),
+          ((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1))
+            .as("var_samp"))
+        .withColumn("stddev_samp", sqrt(col("var_samp")))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- cube (all 4 grouping sets; rollup above covers the hierarchy) ----
     "agg_cube" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
@@ -414,6 +433,18 @@ object RelationalQueries {
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS INT) AS days_ago,
         |  CAST(o_orderkey % 7 AS BIGINT) AS key_mod
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_variance" ->
+      """SELECT l_returnflag, n,
+        |  (sum_x2 - sum_x * sum_x / n) / (n - 1) AS var_samp,
+        |  sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev_samp
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_x,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4))) AS DOUBLE) AS sum_x2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
