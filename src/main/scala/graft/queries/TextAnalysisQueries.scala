@@ -30,6 +30,13 @@ object TextAnalysisQueries {
   /** BPE-ish token regex: letter runs, digit runs, single other symbols. */
   private val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** URL / email patterns — explicit character classes only, so the same
+    * literal pattern is Java-regex and RE2 (DuckDB) compatible with no
+    * escaping subtleties.
+    */
+  private val UrlRe = "https?://[A-Za-z0-9./?=&_%+#:-]+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- language ID: stopword-count argmax, fixed tie-break order ----
     "lang_id" -> ((s, dir) => {
@@ -75,6 +82,35 @@ object TextAnalysisQueries {
           size(regexp_extract_all(col("text"), lit(BpeRegex), lit(0))).as("n_bpe_tokens"),
           size(array_distinct(toks)).as("n_distinct_tokens"),
           length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII/URL scrubbing (C4-style corpus hygiene): redact URLs and
+    // email addresses, count what was removed. Pure projection; the
+    // counts make redaction auditable (and oracle-checkable even when a
+    // synthetic corpus contains no matches). ----
+    "text_scrub" -> ((s, dir) => {
+      val scrubbed = regexp_replace(
+        regexp_replace(col("text"), UrlRe, "<URL>"), EmailRe, "<EMAIL>")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), scrubbed.as("scrubbed"),
+          size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
+          size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- repetition ratio (Gopher-style boilerplate signal): fraction of
+    // a doc's 3-gram shingles accounted for by its single most frequent
+    // shingle. High ratio = templated/repeated text. Same explode +
+    // two-stage partial-agg shape as doc_fingerprint. ----
+    "doc_repetition" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("s"))
+        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top_count"), sum(col("c")).as("n_shingles"))
+        .select(col("doc_id"), col("top_count"), col("n_shingles"),
+          (col("top_count") / col("n_shingles")).as("repetition_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -150,6 +186,25 @@ object TextAnalysisQueries {
            |  CAST(len(list_distinct($toksRaw)) AS INT) AS n_distinct_tokens,
            |  CAST(length(text) AS INT) AS n_chars
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_scrub" ->
+        s"""SELECT doc_id,
+           |  regexp_replace(regexp_replace(text, '$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g') AS scrubbed,
+           |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS INT) AS n_urls,
+           |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "doc_repetition" ->
+        s"""SELECT doc_id, CAST(max(c) AS BIGINT) AS top_count,
+           |  CAST(sum(c) AS BIGINT) AS n_shingles,
+           |  CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS repetition_ratio
+           |FROM (
+           |  SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           |    FROM (SELECT doc_id, $toksRaw AS t FROM documents))
+           |  GROUP BY doc_id, s)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "doc_fingerprint" ->
         s"""SELECT doc_id, min(md5(s)) AS fingerprint,
