@@ -85,6 +85,21 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic train/val/test split: a doc's assignment is a
+    // pure function of its id (md5 prefix compared against hex
+    // thresholds: 'cd' = 205/256 ≈ 80%, 'e6' = 230/256 ≈ 90%), so splits
+    // are stable across reprocessing, partitioning, and engine — the
+    // property `rand()`-based splitting loses the moment a pipeline rerun
+    // reshuffles rows. String comparison on the hex prefix keeps the
+    // oracle byte-identical with no base conversion. ----
+    "sample_split" -> ((s, dir) => {
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), h2.as("bucket"),
+          when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // ---- PII/URL scrubbing (C4-style corpus hygiene): redact URLs and
     // email addresses, count what was removed. Pure projection; the
     // counts make redaction auditable (and oracle-checkable even when a
@@ -186,6 +201,13 @@ object TextAnalysisQueries {
            |  CAST(len(list_distinct($toksRaw)) AS INT) AS n_distinct_tokens,
            |  CAST(length(text) AS INT) AS n_chars
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "sample_split" ->
+        """SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+          |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+          |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "text_scrub" ->
         s"""SELECT doc_id,
