@@ -53,7 +53,8 @@ object JobConfig {
     }
     def bool(names: String*): Boolean = raw(names: _*) match {
       case Some((_, b: java.lang.Boolean)) => b
-      case Some((_, s: String)) => s.trim.equalsIgnoreCase("true")
+      case Some((_, s: String)) if s.trim.equalsIgnoreCase("true") => true
+      case Some((_, s: String)) if s.trim.equalsIgnoreCase("false") => false
       case Some((n, other)) => throw new IllegalArgumentException(
         s"config $path: field $n must be a boolean, got $other")
       case None => false

@@ -18,9 +18,17 @@ object EngineSession {
     * conf it surfaces as nanos-since-epoch LONG and [[Tables]] rebuilds a
     * proper TimestampType column (same ns→us truncation DuckDB applies).
     */
+  /** `ansi.enabled=false`: Spark 4 defaults to ANSI mode, where x/0 and
+    * out-of-bounds element_at THROW; the DuckDB oracle (and classic Spark)
+    * return NULL. A tokenless document would otherwise crash text_quality
+    * (0/0), a single-row group agg_variance (n-1=0), and a zero-norm
+    * vector the cosine queries — legal inputs must degrade to NULL rows,
+    * not kill the job.
+    */
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.ansi.enabled" -> "false")
 
   /** Builder carrying the engine's required confs and extensions but NO
     * master or parallelism settings — for cluster deployment, where

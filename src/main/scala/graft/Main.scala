@@ -43,17 +43,12 @@ object Main {
       2
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-
   private def runJob(spark: SparkSession, cfg: JobConfig): Int = {
-    val n = Engine.run(spark, cfg).count()
-    println(s"""{"status":"complete","operation":${jsonStr(cfg.operation)},"rows":$n,"output":${jsonStr(cfg.outputPath)}}""")
+    Engine.run(spark, cfg)
+    // count the WRITTEN result (one small JSON file) — counting the
+    // returned DataFrame would re-execute the whole uncached pipeline
+    val n = Engine.fetchResult(spark, cfg.outputPath).count()
+    println(s"""{"status":"complete","operation":${JsonUtil.escape(cfg.operation)},"rows":$n,"output":${JsonUtil.escape(cfg.outputPath)}}""")
     0
   }
 

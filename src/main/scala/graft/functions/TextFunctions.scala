@@ -23,6 +23,17 @@ object TextFunctions {
   /** Matches any non-ASCII char (the reference's `encode("ascii","ignore")`). */
   val NonAscii: String = """[^\x00-\x7F]"""
 
+  /** ASCII whitespace, written as an EXPLICIT class — never `\s`: Java's
+    * `\s` includes vertical tab (0x0B) but RE2's (DuckDB's engine) does
+    * not, so a `\s`-based pattern silently tokenizes differently in the
+    * oracle. The explicit class means the same six chars in both engines,
+    * and equals Python's ASCII `str.split()` whitespace set.
+    */
+  val WsClass: String = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** Trim pattern built from [[WsClass]] (Python `str.strip()` semantics). */
+  val TrimRe: String = s"^$WsClass+|$WsClass+$$"
+
   def stripPunct(c: Column): Column = regexp_replace(c, PunctClass, "")
 
   def asciiOnly(c: Column): Column = regexp_replace(c, NonAscii, "")
@@ -30,7 +41,7 @@ object TextFunctions {
   /** Python `str.strip()` trims ALL whitespace (tabs/newlines too), unlike
     * SQL `trim` which only strips spaces — use a regex trim for parity.
     */
-  def trimWs(c: Column): Column = regexp_replace(c, """^\s+|\s+$""", "")
+  def trimWs(c: Column): Column = regexp_replace(c, TrimRe, "")
 
   /** Full reference cleanup chain, in reference order:
     * punctuation-strip → trim → lowercase → ASCII-fold — as ONE native
@@ -54,7 +65,7 @@ object TextFunctions {
     * empty tokens dropped.
     */
   def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => length(t) > 0)
+    filter(split(c, s"$WsClass+"), t => length(t) > 0)
 
   /** Faithful-mode predicate (reference quirk Q1, `reducer.py:28`): only
     * tokens whose first char is a–z survive the reference's shuffle.
@@ -84,13 +95,16 @@ object TextFunctions {
   // Single-quotes are doubled for SQL embedding; DuckDB regexp_replace needs
   // the 'g' flag (Spark's is global by default).
 
-  /** DuckDB expression applying [[cleanLine]] to SQL expression `e`. */
+  /** DuckDB expression applying [[cleanLine]] to SQL expression `e`.
+    * The trim uses [[TrimRe]]'s explicit whitespace class, not `\s` —
+    * RE2's `\s` excludes vertical tab while Java's includes it.
+    */
   def cleanLineSql(e: String): String =
     s"regexp_replace(lower(regexp_replace(regexp_replace($e, " +
       """'[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g'), """ +
-      """'^\s+|\s+$', '', 'g')), '[^\x00-\x7F]', '', 'g')"""
+      s"'$TrimRe', '', 'g')), '[^\\x00-\\x7F]', '', 'g')"
 
   /** DuckDB expression producing the token list of [[tokens]] over `e`. */
   def tokensSql(e: String): String =
-    s"""list_filter(string_split_regex($e, '\\s+'), t -> len(t) > 0)"""
+    s"""list_filter(string_split_regex($e, '$WsClass+'), t -> len(t) > 0)"""
 }

@@ -21,8 +21,6 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object CleanupChainRule extends Rule[LogicalPlan] {
 
-  private val TrimRe = """^\s+|\s+$"""
-
   private def is(e: Expression, s: String): Boolean = e match {
     case Literal(v, _) => v != null && v.toString == s
     case _ => false
@@ -31,11 +29,14 @@ object CleanupChainRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case RegExpReplace(
-            Lower(RegExpReplace(RegExpReplace(x, p, r1, _), t, r2, _)),
-            na, r3, _)
-          if is(p, TextFunctions.PunctClass) && is(t, TrimRe) &&
+            Lower(RegExpReplace(RegExpReplace(x, p, r1, pos1), t, r2, pos2)),
+            na, r3, pos3)
+          if is(p, TextFunctions.PunctClass) && is(t, TextFunctions.TrimRe) &&
             is(na, TextFunctions.NonAscii) &&
-            is(r1, "") && is(r2, "") && is(r3, "") =>
+            is(r1, "") && is(r2, "") && is(r3, "") &&
+            // a non-default start position changes semantics — only the
+            // full-string (pos=1) form is equivalent to AsciiClean
+            is(pos1, "1") && is(pos2, "1") && is(pos3, "1") =>
         AsciiClean(x)
     }
 }

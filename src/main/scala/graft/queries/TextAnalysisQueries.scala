@@ -27,8 +27,11 @@ object TextAnalysisQueries {
   private def stopCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
 
-  /** BPE-ish token regex: letter runs, digit runs, single other symbols. */
-  private val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  /** BPE-ish token regex: letter runs, digit runs, single other symbols.
+    * Whitespace as an explicit class (`\s` differs between Java and RE2
+    * on vertical tab — see TextFunctions.WsClass).
+    */
+  private val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
 
   /** URL / email patterns — explicit character classes only, so the same
     * literal pattern is Java-regex and RE2 (DuckDB) compatible with no

@@ -156,7 +156,9 @@ object StreamingPipelines {
           val incoming = rows.map { case (_, us, _) => (us, us, 1L) }.toList
           val sessions = merge(state.getOption.getOrElse(Nil) ++ incoming)
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (closed, open) = sessions.partition { case (_, e, _) => e + gapUs <= wmUs }
+          // strictly less: an on-time event AT end+gap still merges into
+          // the session (the batch oracle's gap test is `diff > gap`)
+          val (closed, open) = sessions.partition { case (_, e, _) => e + gapUs < wmUs }
           if (open.isEmpty) state.remove()
           else {
             state.update(open)
