@@ -144,6 +144,14 @@ class EngineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("engine sessions use non-ANSI semantics: x/0 and bad element_at are NULL") {
+    // Spark 4 defaults to ANSI (these THROW); the DuckDB oracle returns
+    // NULL, and a tokenless document must degrade, not kill the job
+    val r = spark.sql("SELECT 1/0 AS d, element_at(array(1), 5) AS e").head()
+    assert(r.isNullAt(0), "x/0 must be NULL under engine sessions")
+    assert(r.isNullAt(1), "out-of-bounds element_at must be NULL under engine sessions")
+  }
+
   test("partition count is config-driven and does not change results") {
     val corpus = tmpCorpus()
     val o1 = Files.createTempDirectory("graft-out").toString + "/p1"

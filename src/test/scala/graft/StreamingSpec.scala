@@ -187,6 +187,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("closedSessions merges an event arriving exactly at end+gap (boundary)") {
+    val dir = Files.createTempDirectory("graft-boundary")
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    def writeBatch(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    // two events exactly 30 min (= the gap) apart: batch semantics keep
+    // them in ONE session (its gap test is diff > gap)
+    writeBatch(Seq(
+      (1L, 10 * hourNs, 7L, "click", 1.0, "{}"),
+      (2L, 10 * hourNs + hourNs / 2, 7L, "click", 1.0, "{}")))
+
+    val q = StreamingPipelines.closedSessions(
+        StreamingPipelines.eventStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("boundary_sessions")
+      .trigger(Trigger.ProcessingTime(200))
+      .start()
+    try {
+      q.processAllAvailable()
+      // watermark far past the session -> it must emit as ONE merged session
+      writeBatch(Seq((99L, 100 * hourNs, 8L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events FROM boundary_sessions WHERE user_id = 7")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((7L, 2L)), s"expected one merged 2-event session, got $rows")
+    } finally q.stop()
+  }
+
   test("session windows (append mode): sessions emit once the watermark passes") {
     val dir = eventsDir()
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
