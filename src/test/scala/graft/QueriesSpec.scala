@@ -59,6 +59,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(builtin.exceptAll(viaUdaf).count() == 0)
   }
 
+  test("tokenless document degrades to NULL ratios instead of crashing") {
+    // the pipeline-level regression for the ANSI fix: a punctuation-only
+    // doc has zero tokens, so stopword_ratio divides by zero — must yield
+    // NULL (matching the oracle), not SparkArithmeticException
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    Seq((1L, "!!! ???", "en", "synth", 7L),
+        (2L, "real words appear here", "en", "synth", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val rows = SparkEntry.queries("text_quality")(spark, dir).collect()
+    assert(rows.length == 2)
+    val tokenless = rows.find(_.getLong(0) == 1L).get
+    assert(tokenless.isNullAt(tokenless.fieldIndex("stopword_ratio")))
+    assert(!rows.find(_.getLong(0) == 2L).get.isNullAt(
+      rows.head.fieldIndex("stopword_ratio")))
+  }
+
   test("result is invariant to input partitioning") {
     val docs = Tables(spark, Sf0001, "documents")
     val base = docs
