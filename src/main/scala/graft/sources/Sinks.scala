@@ -27,15 +27,44 @@ object Sinks {
   def sortedSingleFileJson(df: DataFrame, sortCol: String, path: String): Unit = {
     val tmp = path + ".inprogress"
     df.orderBy(sortCol).coalesce(1).write.mode(SaveMode.Overwrite).json(tmp)
-    val hc = df.sparkSession.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(path)
-    val staged = new org.apache.hadoop.fs.Path(tmp)
-    val fs = target.getFileSystem(hc)
-    val keyFile = fs.create(new org.apache.hadoop.fs.Path(staged, "_graft_key"), true)
+    val fs = fileSystem(df.sparkSession, path)
+    val keyFile = fs.create(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tmp), "_graft_key"), true)
     try keyFile.write(sortCol.getBytes("UTF-8")) finally keyFile.close()
-    fs.delete(target, true)
-    if (!fs.rename(staged, target))
-      throw new java.io.IOException(s"failed to move $tmp to $path")
+    swapInto(fs, tmp, path)
+  }
+
+  /** Compact a parquet directory to ~`targetMB`-sized files — the standard
+    * maintenance pass for sinks that accumulated small files (streaming
+    * appends, over-parallel writes): many tiny files wreck scan planning
+    * and NameNode/listing costs at scale. Rows are rewritten verbatim
+    * (round-robin repartition, no shuffle key), staged, and swapped in
+    * atomically like the JSON sink.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetMB: Int = 256): Unit = {
+    val fs = fileSystem(spark, path)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB * 1024L * 1024L)).toInt)
+    val tmp = path + ".inprogress"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapInto(fs, tmp, path)
+  }
+
+  private def fileSystem(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Replace `target` with the staged directory via delete+rename — readers
+    * race a millisecond-scale rename, not a partial rewrite.
+    */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+      staged: String, target: String): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(target)))
+      throw new java.io.IOException(s"failed to move $staged to $target")
   }
 
   /** Read back the `_graft_key` sidecar written by [[sortedSingleFileJson]]. */

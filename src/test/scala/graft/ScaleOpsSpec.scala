@@ -61,6 +61,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_topk"), s"expected map-side partial topk:\n$plan")
   }
 
+  test("compactParquet collapses small files without changing the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val src = Tables(spark, Sf0001, "lineitem").select("l_orderkey", "l_extendedprice")
+    src.repartition(24).write.parquet(dir)   // deliberately fragmented
+    def partFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles == 24)
+    val before = spark.read.parquet(dir).count()
+
+    Sinks.compactParquet(spark, dir, targetMB = 256)
+    assert(partFiles == 1, s"expected 1 compacted file, got $partFiles")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == before)
+    assert(after.exceptAll(src).count() == 0 && src.exceptAll(after).count() == 0)
+  }
+
   test("bucketed tables join with no exchange (co-located sort-merge join)") {
     // a previous JVM's managed-table directories survive on disk while the
     // in-memory catalog does not — clear both before writing
