@@ -25,6 +25,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert((f.width, f.height, f.channels) == (4, 4, 3))
   }
 
+  test("planResize: aspect-preserving fit, never upscaling") {
+    import spark.implicits._
+    val features = Seq(
+      (1L, 64, 48),   // downscale: fits 32x32 at scale 0.5 -> 32x24
+      (2L, 10, 10),   // smaller than the box: untouched
+      (3L, 100, 20)): // wide: width-bound, scale 0.32 -> 32x6
+      Seq[(Long, Int, Int)]
+    val out = Multimodal.planResize(
+        features.toDF("doc_id", "width", "height"), 32, 32)
+      .select("doc_id", "target_width", "target_height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((32, 24)))
+    assert(out(2L) == ((10, 10)))
+    assert(out(3L) == ((32, 6)))
+  }
+
   test("extraction is partition-invariant") {
     val docs = Tables(spark, SparkTestBase.Sf0001, "documents")
     val a = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs)).collect().sortBy(_.doc_id)
