@@ -77,6 +77,21 @@ class QueriesSpec extends AnyFunSuite {
       rows.head.fieldIndex("stopword_ratio")))
   }
 
+  test("ngram-jaccard hot-shingle cap fires: a df>100 shingle creates no pairs") {
+    // 120 docs share exactly one shingle ("xx yy zz", df=120 > MaxShingleDf);
+    // every other shingle is unique per doc. With the cap, the hot bucket is
+    // dropped BEFORE the self-join and no pairs survive; without it, every
+    // doc pair would emit (jaccard = 1/(3+3-1) = 0.2 >= threshold -> 7140
+    // rows and an O(n^2) bucket)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hot").toString
+    (0 until 120).map(i => (i.toLong, s"xx yy zz a$i b$i", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    assert(SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).count() == 0,
+      "hot-shingle bucket must be dropped before the self-join")
+  }
+
   test("result is invariant to input partitioning") {
     val docs = Tables(spark, Sf0001, "documents")
     val base = docs
