@@ -44,6 +44,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("faithful streaming mode drops digit-leading tokens (quirk Q1)") {
+    val dir = Files.createTempDirectory("graft-faithful-stream")
+    Files.writeString(dir.resolve("f.txt"), "1st alpha 2nd beta\n")
+    val q = StreamingPipelines.wordCountStream(spark, dir.toString, faithful = true)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc_faithful_stream")
+      .trigger(Trigger.ProcessingTime(200))
+      .start()
+    try {
+      q.processAllAvailable()
+      val counts = spark.sql("SELECT word, count FROM wc_faithful_stream")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("alpha" -> 1L, "beta" -> 1L), s"got $counts")
+    } finally q.stop()
+  }
+
   test("any registered operation runs as a file-arrival stream (registry dispatch)") {
     val dir = Files.createTempDirectory("graft-opstream")
     Files.writeString(dir.resolve("a.txt"), "alpha beta\n")
