@@ -26,8 +26,13 @@ import org.apache.spark.sql.functions._
   *  - embedding: cosine nearest neighbor inside (coarse cell × sign-LSH
   *             sub-bucket) — the coarse `label` cell count is fixed, so an
   *             all-pairs join within cells is still O(n²/L); the sign-bit
-  *             sub-bucket multiplies the bucket count by 2^[[CellBits]] and
-  *             keeps candidates bounded as the corpus grows
+  *             sub-bucket multiplies the bucket count by 2^[[CellBits]],
+  *             which DIVIDES the quadratic constant but does not remove it
+  *             (cell × sub-bucket is a fixed key space, so per-bucket
+  *             membership still grows linearly with n) — which is why the
+  *             query also drops buckets larger than [[MaxBucket]] before
+  *             the self-join, the same broadcast-anti-join cap as the
+  *             n-gram path
   *
   * All hashing is md5 (identical in Spark and DuckDB), so even the sketch
   * operators are oracle-checkable.
@@ -39,6 +44,13 @@ object DedupQueries {
   private val Bands = 4        // simhash LSH bands (16 bits each → 65,536 buckets/band)
   private val MaxShingleDf = 100 // n-gram Jaccard: drop shingles in more docs than this
   private val CellBits = 8     // embedding dedup: sign-LSH sub-bucket bits within a cell
+  // Any FIXED-width bucket space (simhash bands, sign sub-buckets) admits a
+  // quadratic blow-up when one bucket's membership grows with the corpus;
+  // buckets larger than this are dropped via broadcast anti-join BEFORE the
+  // self-join. Recall cost is negligible by construction: a bucket this hot
+  // is dominated by exact/near-exact duplicates already caught by
+  // dedup_exact / dedup_simhash's Hamming-0 grouping.
+  private val MaxBucket = 100
 
   /** Distinct (doc_id, shingle) pairs ([[TextFunctions.shingles3]] binds
     * the token array once — see its scaladoc for why that matters).
@@ -155,19 +167,27 @@ object DedupQueries {
     // ---- SimHash near-dup pairs: 4×16-bit LSH bands, Hamming in [1,3] ----
     // (Hamming 0 groups are covered by dedup_simhash; 4 bands over 64 bits
     // guarantee recall for Hamming ≤ 3 by pigeonhole.) 16-bit bands give
-    // 65,536 buckets per band, so within-bucket candidate counts stay
-    // bounded as the corpus grows — the r2 8-bit bands had only 256. ONE
-    // self-join on the exploded (band_idx, band_value) key — both join
-    // children are the identical subplan hash-partitioned the same way, so
-    // Spark plans a ReusedExchange instead of recomputing the signature
-    // aggregation per band; the Hamming ≤ 3 filter runs BEFORE the
-    // pair-dedup so the distinct only shuffles survivors.
+    // 65,536 buckets per band — but that space is FIXED, so expected
+    // within-bucket membership grows ~n/2¹⁶: band buckets larger than
+    // [[MaxBucket]] are dropped via broadcast anti-join before the
+    // self-join, so no bucket can go quadratic on a near-dup-dense crawl
+    // (mirror spam). Recall: a band bucket that hot is overwhelmingly
+    // exact/Hamming-0 duplicates, which dedup_exact / dedup_simhash's sig
+    // grouping already catch. ONE self-join on the exploded (band_idx,
+    // band_value) key — both join children are the identical subplan
+    // hash-partitioned the same way, so Spark plans a ReusedExchange
+    // instead of recomputing the signature aggregation per band; the
+    // Hamming ≤ 3 filter runs BEFORE the pair-dedup so the distinct only
+    // shuffles survivors.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val bands = simhashTable(s, dir)
+      val bands0 = simhashTable(s, dir)
         .select(col("doc_id"), col("sig"),
           posexplode(array((0 until Bands).map(b =>
             shiftright(col("sig"), 16 * (Bands - 1 - b)).bitwiseAND(lit(0xFFFFL))): _*)))
         .toDF("doc_id", "sig", "band", "bval")
+      val hot = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
+        .filter(col("n") > MaxBucket).select("band", "bval")
+      val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -205,25 +225,32 @@ object DedupQueries {
     }),
 
     // ---- embedding near-dup: cosine NN within (cell × sign sub-bucket) ----
-    // The coarse `label` cell count is fixed, so candidates must be bounded
-    // by a second, data-scaling key: an 8-bit sign-LSH sub-bucket splits
-    // each cell into 256 buckets, keeping the within-bucket join linear as
-    // the corpus grows. Vectors with no same-bucket neighbor drop out (the
-    // oracle mirrors the identical bucket assignment bit-for-bit).
+    // The (label × 2^CellBits) bucket space is FIXED, so per-bucket
+    // membership grows linearly with the corpus and the within-bucket
+    // self-join quadratically: buckets larger than [[MaxBucket]] are
+    // dropped (broadcast anti-join) before the join — a bucket that hot is
+    // near-identical vectors, i.e. exact-duplicate territory. The NN pick
+    // is a partial-aggregable max(struct(sim, -nn_id)) — ordering-equal to
+    // ROW_NUMBER() ORDER BY sim DESC, nn_id — so each task prunes to one
+    // candidate per vec_id map-side instead of shuffling every scored pair
+    // into a Window sort. Vectors with no same-bucket neighbor drop out
+    // (the oracle mirrors the identical bucket assignment bit-for-bit).
     "dedup_embedding" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      val e0 = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
         .withColumn("bkt", signBucket(col("v"), CellBits))
+      val hot = e0.groupBy("label", "bkt").agg(count(lit(1)).as("n"))
+        .filter(col("n") > MaxBucket).select("label", "bkt")
+      val e = e0.join(broadcast(hot), Seq("label", "bkt"), "left_anti")
       val sim = cosine(col("a.v"), col("b.v"))
-      val pairs = e.as("a").join(e.as("b"),
+      e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.bkt") === col("b.bkt") &&
             col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
           col("b.vec_id").as("nn_id"), sim.as("sim"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn_id"))
-      pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("nn_id"))
+        .groupBy("vec_id", "label")
+        .agg(max(struct(col("sim").as("sim"), (-col("nn_id")).as("neg_id"))).as("best"))
+        .select(col("vec_id"), col("label"), (-col("best.neg_id")).as("nn_id"))
         .orderBy("vec_id")
     })
   )
@@ -296,15 +323,21 @@ object DedupQueries {
       val ham = (0 until BITS).map(j =>
         s"(CASE WHEN substring(a.simhash,${j + 1},1) <> substring(b.simhash,${j + 1},1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      val bandCols = (0 until Bands).map(b =>
-        s"substr(simhash,${1 + 16 * b},16) b${b + 1}").mkString(", ")
-      val bandEq = (0 until Bands).map(b => s"a.b${b + 1}=b.b${b + 1}").mkString(" OR ")
+      // Exploded (band, bval) form so the hot-bucket cap is expressible as
+      // one GROUP BY — the 16-char substring slices are the same buckets as
+      // Spark's shift/mask band values.
       s"""WITH sigs AS ($simhashSqlRel),
-         |bands AS (SELECT doc_id, simhash, $bandCols FROM sigs)
+         |bands AS (
+         |  SELECT doc_id, simhash, band, substr(simhash, 1 + 16 * band, 16) AS bval
+         |  FROM sigs, (SELECT unnest(range($Bands)) AS band)),
+         |hot AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
+         |cold AS (SELECT * FROM bands bd
+         |         WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |                           WHERE h.band = bd.band AND h.bval = bd.bval))
          |SELECT d1, d2, hamming FROM (
          |  SELECT DISTINCT a.doc_id d1, b.doc_id d2, CAST($ham AS INT) AS hamming
-         |  FROM bands a JOIN bands b
-         |    ON a.doc_id < b.doc_id AND ($bandEq))
+         |  FROM cold a JOIN cold b
+         |    ON a.doc_id < b.doc_id AND a.band = b.band AND a.bval = b.bval)
          |WHERE hamming BETWEEN 1 AND 3 ORDER BY d1, d2""".stripMargin
     },
 
@@ -323,8 +356,12 @@ object DedupQueries {
          |ORDER BY d1, d2""".stripMargin,
 
     "dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, label, v, ${signBucketSql("v", CellBits)} AS bkt
-         |           FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+      s"""WITH e0 AS (SELECT vec_id, label, v, ${signBucketSql("v", CellBits)} AS bkt
+         |            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+         |hot AS (SELECT label, bkt FROM e0 GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
+         |e AS (SELECT * FROM e0
+         |      WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |                        WHERE h.label = e0.label AND h.bkt = e0.bkt)),
          |sims AS (
          |  SELECT a.vec_id, a.label, b.vec_id AS nn_id,
          |    ${cosineSql("a.v", "b.v")} AS sim

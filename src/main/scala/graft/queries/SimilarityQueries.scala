@@ -25,13 +25,20 @@ object SimilarityQueries {
 
   private val TopK = 3
   private val NQueries = 8   // vec_id < 8 is the benchmark query set
-  // 16 sign bits → 65,536 buckets: the within-bucket self-join stays linear
-  // as the corpus grows (the r2 8-bit table had only 256 buckets, O(n²/256)
-  // at scale). Recall trade: more bits = smaller buckets = more misses for
+  // 16 sign bits → 65,536 buckets. That space is FIXED, so per-bucket
+  // membership still grows ~n/2¹⁶ with the corpus — the cap below
+  // ([[MaxBucket]], broadcast anti-join before the self-join) is what
+  // actually bounds the quadratic term; the bit width only divides its
+  // constant. Recall trade: more bits = smaller buckets = more misses for
   // near-neighbors that straddle a hyperplane; production would run several
   // independent 16-bit tables (multi-probe) and union candidates — same
   // plan shape, one more posexplode.
   private val LshBits = 16
+  // A sign bucket holding more vectors than this is dropped before the
+  // self-join: such buckets are dense clusters of near-identical vectors
+  // (the dedup_exact/dedup_embedding regime, not the search regime), and
+  // uncapped they are the one quadratic door in this plan at 100×.
+  private val MaxBucket = 100
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -75,16 +82,23 @@ object SimilarityQueries {
     }),
 
     // ---- LSH: sign-bit buckets, top-1 neighbor within bucket ----
+    // Hot buckets (> MaxBucket members) are dropped before the self-join;
+    // the rank-1 pick is max(struct(sim, -nn_id)) — ordering-equal to
+    // ROW_NUMBER() ORDER BY sim DESC, nn_id — so the partial aggregate
+    // prunes to one candidate per vec_id map-side instead of shuffling
+    // every scored pair into a Window sort (the ann_topk_agg plan shape).
     "ann_lsh" -> ((s, dir) => {
-      val e = vecs(s, dir).withColumn("bucket", signBucket(col("v"), LshBits))
-      val pairs = e.as("a").join(e.as("b"),
+      val e0 = vecs(s, dir).withColumn("bucket", signBucket(col("v"), LshBits))
+      val hot = e0.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") > MaxBucket).select("bucket")
+      val e = e0.join(broadcast(hot), Seq("bucket"), "left_anti")
+      e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
           col("b.vec_id").as("nn_id"), cosine(col("a.v"), col("b.v")).as("sim"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn_id"))
-      pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("bucket"), col("nn_id"))
+        .groupBy("vec_id", "bucket")
+        .agg(max(struct(col("sim").as("sim"), (-col("nn_id")).as("neg_id"))).as("best"))
+        .select(col("vec_id"), col("bucket"), (-col("best.neg_id")).as("nn_id"))
         .orderBy("vec_id")
     }),
 
@@ -127,7 +141,10 @@ object SimilarityQueries {
          |  FROM scored) WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
 
     "ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, v, ${signBucketSql("v", LshBits)} AS bucket FROM ($eSql)),
+      s"""WITH e0 AS (SELECT vec_id, v, ${signBucketSql("v", LshBits)} AS bucket FROM ($eSql)),
+         |hot AS (SELECT bucket FROM e0 GROUP BY 1 HAVING count(*) > $MaxBucket),
+         |e AS (SELECT * FROM e0
+         |      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.bucket = e0.bucket)),
          |pairs AS (
          |  SELECT a.vec_id, a.bucket, b.vec_id AS nn_id, ${cosineSql("a.v", "b.v")} AS sim
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)

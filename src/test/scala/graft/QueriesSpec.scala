@@ -92,6 +92,54 @@ class QueriesSpec extends AnyFunSuite {
       "hot-shingle bucket must be dropped before the self-join")
   }
 
+  test("simhash-pairs hot-band cap fires: a 110-doc band bucket yields no pairs") {
+    // 110 docs share text T1 (identical simhash S1 → every S1 band bucket
+    // has 110 > MaxBucket members); one doc has T1 plus an extra token
+    // chosen so hamming(S1, S2) ∈ [1,3] (self-validated below), which by
+    // pigeonhole shares ≥ 1 band with S1. Uncapped, that doc would emit
+    // 110 Hamming-1..3 pairs through the hot band; with the cap the hot
+    // buckets are dropped before the self-join and nothing survives.
+    import spark.implicits._
+    val t1 = (0 until 60).map(i => f"w$i%02d").mkString(" ")
+    val t2 = t1 + " aac"
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotband").toString
+    ((0 until 110).map(i => (i.toLong, t1, "en", "synth", 0L)) :+
+        (110L, t2, "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    // premise check: the two distinct signatures really are Hamming 1..3
+    val sigs = SparkEntry.queries("dedup_simhash")(spark, dir)
+      .select("simhash").distinct().as[String].collect()
+    assert(sigs.length == 2)
+    val hamming = sigs(0).zip(sigs(1)).count { case (a, b) => a != b }
+    assert(hamming >= 1 && hamming <= 3, s"crafted pair drifted: hamming=$hamming")
+    assert(SparkEntry.queries("dedup_simhash_pairs")(spark, dir).count() == 0,
+      "hot band buckets must be dropped before the self-join")
+  }
+
+  test("embedding/ann_lsh hot-bucket caps fire; cold buckets still match") {
+    // 120 vectors share one sign bucket (all dims positive, label 0) →
+    // bucket size 120 > MaxBucket → dropped in both dedup_embedding
+    // (label × 8-bit bkt) and ann_lsh (16-bit bucket). Two vectors with a
+    // negative first dim form a 2-member cold bucket and must survive as
+    // each other's nearest neighbor.
+    import spark.implicits._
+    def vec(first: Float, seed: Int): Array[Float] =
+      first +: Array.tabulate(15)(d => 1.0f + 0.001f * (seed * 16 + d))
+    val rows = (0 until 120).map(i => (i.toLong, vec(1.0f, i), 0)) ++
+      Seq((200L, vec(-1.0f, 200), 0), (201L, vec(-1.0f, 201), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotvec").toString
+    rows.toDF("vec_id", "embedding", "label").write.parquet(dir + "/embeddings.parquet")
+    val emb = SparkEntry.queries("dedup_embedding")(spark, dir)
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert(emb == Set((200L, 201L), (201L, 200L)),
+      s"hot (label, bkt) bucket must be dropped; got $emb")
+    val lsh = SparkEntry.queries("ann_lsh")(spark, dir)
+      .select("vec_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((200L, 201L), (201L, 200L)),
+      s"hot sign bucket must be dropped; got $lsh")
+  }
+
   test("result is invariant to input partitioning") {
     val docs = Tables(spark, Sf0001, "documents")
     val base = docs
