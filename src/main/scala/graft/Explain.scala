@@ -18,12 +18,28 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = EngineSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-explain")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // --run: execute the query first and print the FINAL adaptive plan —
+    // AQE decisions (ReusedExchange, broadcast/skew rewrites) only appear
+    // after execution, so the static plan under-reports exchange reuse.
+    val (flags, queryArgs) = args.partition(_.startsWith("--"))
+    val run = flags.contains("--run")
+    val names = if (queryArgs.nonEmpty) queryArgs.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val unknown = names.filterNot(SparkEntry.queries.contains)
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"===== $name =====")
-        println(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
+        val df = fn(spark, sfDir)
+        if (run) {
+          // collect() drives THIS DataFrame's QueryExecution (a noop write
+          // would plan a fresh one and show the pre-AQE plan); catalog
+          // results are small, so the driver-side materialization is fine.
+          val t0 = System.nanoTime()
+          val n = df.collect().length
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"[$n rows in $secs%.2f s]")
+          println(df.queryExecution.executedPlan.toString)
+        } else
+          println(df.queryExecution.explainString(FormattedMode))
       }
     }
     spark.stop()

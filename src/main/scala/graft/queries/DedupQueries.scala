@@ -54,15 +54,24 @@ object DedupQueries {
 
   /** Distinct (doc_id, shingle) pairs ([[TextFunctions.shingles3]] binds
     * the token array once — see its scaladoc for why that matters).
+    *
+    * The explicit `isNotNull` matches the filter every downstream
+    * equi-join infers on its side of the plan: without it, the hot-bucket
+    * branch (which only groups, so infers nothing) scans/aggregates a
+    * CANONICALLY DIFFERENT subplan and Spark cannot reuse the expensive
+    * exchange between the join sides and the cap branch. doc_id is never
+    * null, so the filter is semantically free.
     */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
       .distinct()
 
-  /** Distinct (doc_id, token) pairs. */
+  /** Distinct (doc_id, token) pairs (isNotNull: see [[shingleTable]]). */
   private def tokenTable(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .distinct()
 
