@@ -48,12 +48,19 @@ object TextQueries {
     // The doc list is emitted as a comma-joined STRING (not ARRAY<BIGINT>):
     // the driver's pandas-based compare cannot sort/hash array cells. The
     // array form stays available via TextPipelines.invertedIndex.
+    //
+    // The aggregation goes through [[graft.operators.Skew.saltedCollectSet]]
+    // (two-phase, value-derived salt): stopword posting lists are the
+    // textbook hot key — at 100× one word's doc list would otherwise
+    // concentrate a task's entire state — and the salted form bounds any
+    // single task to ~1/16 of a hot key's values while staying
+    // value-identical to sort_array(collect_set(...)) (ScaleOpsSpec).
     "inverted_index" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      val pairs = Tables(s, dir, "documents")
         .select(explode(tokens(cleanLine(col("text")))).as("word"), col("doc_id"))
-        .groupBy("word")
-        .agg(concat_ws(",",
-          transform(sort_array(collect_set(col("doc_id"))), d => d.cast("string"))).as("docs"))
+      graft.operators.Skew.saltedCollectSet(pairs, col("word"), col("doc_id"))
+        .select(col("key").as("word"),
+          concat_ws(",", transform(col("values"), d => d.cast("string"))).as("docs"))
         .orderBy("word")
     }),
 

@@ -24,6 +24,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("inverted_index plans the salted two-phase aggregation and survives a hot key") {
+    // plan: the catalog query goes through Skew.saltedCollectSet — the
+    // optimized plan must show BOTH aggregation phases (an exchange on
+    // (word, salt) before the final exchange on word alone)
+    val plan = SparkEntry.queries("inverted_index")(spark, Sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("salt"), s"expected salted two-phase agg:\n$plan")
+
+    // skewed corpus: one stopword in every doc (the hot posting list),
+    // unique words elsewhere — the salted path must still produce the
+    // complete, sorted doc list for the hot key
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    (0 until 500).map(i => (i.toLong, s"the unique$i", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val hotRow = SparkEntry.queries("inverted_index")(spark, dir)
+      .filter(col("word") === "the").select("docs").as[String].head()
+    assert(hotRow == (0 until 500).mkString(","),
+      "hot key's posting list must be complete and sorted")
+  }
+
   test("salted distinct count is exact (equal values share a salt)") {
     val li = Tables(spark, Sf0001, "lineitem")
     val salted = Skew.saltedDistinctCount(li, col("l_returnflag"), col("l_suppkey"), salts = 8)
