@@ -115,14 +115,53 @@ object Engine {
     * time via [[fetchResult]]/[[lookup]]. Complete-mode `foreachBatch`
     * hands the full recomputed result to the same sink `run` uses, so
     * batch and streaming outputs are byte-compatible.
+    *
+    * The checkpoint lives beside the output (`outputPath + ".checkpoint"`):
+    * a restarted stream resumes from the last committed file offsets
+    * instead of re-reading the whole corpus. For the 100-TB-stream path
+    * whose publish cost scales with the delta instead of the result, see
+    * [[runStreamIncremental]].
     */
   def runStream(spark: SparkSession, config: JobConfig) = {
     val result = graft.streaming.StreamingPipelines.operationStream(
       spark, config.inputPath, config.operation, config.faithful)
     result.writeStream
       .outputMode("complete")
+      .option("checkpointLocation", config.outputPath + ".checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Sinks.sortedSingleFileJson(batch, batch.columns.head, config.outputPath)
+      }
+      .start()
+  }
+
+  /** Scale-path streaming: the same registered operation in UPDATE mode,
+    * merged incrementally into a bucket-partitioned parquet result
+    * ([[Sinks.mergeIntoKeyedParquet]]). Each trigger emits only the keys
+    * whose aggregate changed and rewrites only the bucket directories
+    * those keys hash into — publish cost scales with the delta, while
+    * complete-mode [[runStream]] re-sorts and rewrites the entire result
+    * every trigger (reference-faithful, kept as the default).
+    *
+    * Registered pipelines end with a global `orderBy` (the reference's
+    * sorted-artifact contract), which update-mode streams reject — the
+    * top-level Sort is dropped from the logical plan here (a keyed
+    * parquet table has no meaningful row order; readers sort on demand).
+    */
+  def runStreamIncremental(spark: SparkSession, config: JobConfig) = {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    val result = graft.streaming.StreamingPipelines.operationStream(
+      spark, config.inputPath, config.operation, config.faithful)
+    val unsorted = result.queryExecution.logical match {
+      case Sort(_, true, child, _) =>
+        org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, child)
+      case _ => result
+    }
+    val key = unsorted.columns.head
+    unsorted.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", config.outputPath + ".checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sinks.mergeIntoKeyedParquet(batch, key, config.outputPath)
       }
       .start()
   }

@@ -78,12 +78,27 @@ object Multimodal {
     * actual pixel resample belongs to the codec behind the
     * [[MediaDecoder.decode]] boundary.
     */
-  def planResize(features: DataFrame, maxW: Int, maxH: Int): DataFrame =
+  def planResize(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    // Targets come from the INTEGER product divided by the binding
+    // dimension — floor(width * scale) through the double ratio rounds
+    // down at exact-fit boundaries (96 * (32/96) = 31.999… → 31).
+    // w*maxH etc. are exact in doubles and IEEE division is correctly
+    // rounded, so floor((h*maxW)/w) is the true floored quotient.
+    val w = col("width")
+    val h = col("height")
+    val widthBound = lit(maxW) * h <= lit(maxH) * w // maxW/w is the smaller ratio
     features
       .withColumn("scale",
-        least(lit(maxW) / col("width"), lit(maxH) / col("height"), lit(1.0)))
+        least(lit(maxW) / w, lit(maxH) / h, lit(1.0)))
       .withColumn("target_width",
-        greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
+        when(w <= maxW && h <= maxH, w) // never upscale
+          .when(widthBound, lit(maxW))
+          .otherwise(greatest(floor((w * maxH) / h), lit(1)))
+          .cast("int"))
       .withColumn("target_height",
-        greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
+        when(w <= maxW && h <= maxH, h)
+          .when(widthBound, greatest(floor((h * maxW) / w), lit(1)))
+          .otherwise(lit(maxH))
+          .cast("int"))
+  }
 }

@@ -111,7 +111,10 @@ object EventQueries {
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // fill ONLY the pivot output columns: an unrestricted fill(0)
+        // would also rewrite a NULL group key to 0, diverging from the
+        // oracle (which preserves the NULL key)
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .orderBy("user_id")
     }),
 

@@ -69,8 +69,12 @@ object MultimodalQueries {
 
     "multimodal_resize" ->
       """SELECT doc_id, width, height, scale,
-        |  CAST(GREATEST(FLOOR(width * scale), 1) AS INT) AS target_width,
-        |  CAST(GREATEST(FLOOR(height * scale), 1) AS INT) AS target_height
+        |  CAST(CASE WHEN width <= 32 AND height <= 32 THEN width
+        |            WHEN 32 * height <= 32 * width THEN 32
+        |            ELSE GREATEST(FLOOR((width * 32) / height), 1) END AS INT) AS target_width,
+        |  CAST(CASE WHEN width <= 32 AND height <= 32 THEN height
+        |            WHEN 32 * height <= 32 * width THEN GREATEST(FLOOR((height * 32) / width), 1)
+        |            ELSE 32 END AS INT) AS target_height
         |FROM (
         |  SELECT doc_id, width, height,
         |    LEAST(32 / width, 32 / height, 1.0) AS scale

@@ -57,14 +57,28 @@ object Sinks {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Replace `target` with the staged directory via delete+rename — readers
-    * race a millisecond-scale rename, not a partial rewrite.
+  /** Replace `target` with the staged directory via rename-out / rename-in:
+    * the live tree is renamed to a `.old` sibling, the staged tree renamed
+    * into place, and `.old` deleted last. Readers race two metadata-only
+    * renames (not a recursive delete), and a crash between them leaves the
+    * previous result intact in `.old` rather than only in `.inprogress`.
+    * Caveat: HDFS/local renames are atomic; object stores (S3-style)
+    * implement rename as copy+delete — production there should publish via
+    * a manifest/pointer file instead of directory swap.
     */
   private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
       staged: String, target: String): Unit = {
-    fs.delete(new org.apache.hadoop.fs.Path(target), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(target)))
+    val t = new org.apache.hadoop.fs.Path(target)
+    val old = new org.apache.hadoop.fs.Path(target + ".old")
+    fs.delete(old, true)
+    val hadTarget = fs.exists(t)
+    if (hadTarget && !fs.rename(t, old))
+      throw new java.io.IOException(s"failed to move aside $target")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), t)) {
+      if (hadTarget) fs.rename(old, t) // restore the previous result
       throw new java.io.IOException(s"failed to move $staged to $target")
+    }
+    fs.delete(old, true)
   }
 
   /** Read back the `_graft_key` sidecar written by [[sortedSingleFileJson]]. */
@@ -77,6 +91,54 @@ object Sinks {
       try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
       finally in.close()
     }
+  }
+
+  /** Upsert `batch` (≤ one row per `keyCol` value) into a keyed parquet
+    * result partitioned by `_bkt = pmod(hash(key), buckets)` — the
+    * merge-into-parquet sink for UPDATE-mode streaming: each trigger
+    * rewrites only the bucket directories its changed keys hash into,
+    * so publish cost scales with the delta, not the accumulated result
+    * (complete-mode republish rewrites everything every trigger).
+    *
+    * Merge = read ONLY the affected buckets, anti-join out the updated
+    * keys, union the new rows, stage, and swap each affected bucket
+    * directory in ([[swapInto]] per bucket — untouched buckets are never
+    * listed, read, or written).
+    */
+  def mergeIntoKeyedParquet(batch: DataFrame, keyCol: String, path: String,
+      buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val fs = fileSystem(spark, path)
+    // Stage the delta to parquet FIRST: the merge below needs several
+    // actions (bucket probe, anti-join, write), and each action on a
+    // foreachBatch DataFrame re-executes the upstream stateful micro-batch
+    // plan (persist() does not reliably intercept it). One write = one
+    // execution; the staged delta is tiny (changed keys only) and doubles
+    // as the merge's scan source.
+    val delta = path + ".delta"
+    batch.withColumn("_bkt", pmod(hash(col(keyCol)), lit(buckets)))
+      .write.mode(SaveMode.Overwrite).parquet(delta)
+    val b = spark.read.parquet(delta)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      b.write.partitionBy("_bkt").parquet(path)
+    } else {
+      val affected = b.select("_bkt").distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ `buckets` values, driver-safe
+      val existing = spark.read.parquet(path)
+        .filter(col("_bkt").isin(affected.map(Integer.valueOf): _*))
+      val merged = existing
+        .join(b.select(keyCol), Seq(keyCol), "left_anti")
+        .unionByName(b)
+        .select(existing.columns.map(col): _*)
+      val tmp = path + ".inprogress"
+      merged.write.mode(SaveMode.Overwrite).partitionBy("_bkt").parquet(tmp)
+      affected.foreach { k =>
+        swapInto(fs, s"$tmp/_bkt=$k", s"$path/_bkt=$k")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(delta), true)
   }
 
   /** Engine-default sink: partitioned parquet table. */

@@ -30,7 +30,10 @@ class MultimodalSpec extends AnyFunSuite {
     val features = Seq(
       (1L, 64, 48),   // downscale: fits 32x32 at scale 0.5 -> 32x24
       (2L, 10, 10),   // smaller than the box: untouched
-      (3L, 100, 20)): // wide: width-bound, scale 0.32 -> 32x6
+      (3L, 100, 20),  // wide: width-bound, scale 0.32 -> 32x6
+      (4L, 96, 48),   // exact-ratio boundary: 1/3 -> 32x16 (the double-ratio
+                      // form computed floor(96 * 0.333...) = 31 here)
+      (5L, 48, 96)):  // height-bound twin -> 16x32
       Seq[(Long, Int, Int)]
     val out = Multimodal.planResize(
         features.toDF("doc_id", "width", "height"), 32, 32)
@@ -39,6 +42,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) == ((32, 24)))
     assert(out(2L) == ((10, 10)))
     assert(out(3L) == ((32, 6)))
+    assert(out(4L) == ((32, 16)))
+    assert(out(5L) == ((16, 32)))
   }
 
   test("extraction is partition-invariant") {

@@ -81,6 +81,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental streaming merge: delta-only emission, batch-equal result, restartable") {
+    val dir = Files.createTempDirectory("graft-inc-stream")
+    val out = Files.createTempDirectory("graft-inc-out").toString + "/result"
+    Files.writeString(dir.resolve("f1.txt"), "alpha beta\nalpha gamma delta\n")
+    val cfg = JobConfig("wordcount", dir.toString, out)
+
+    def resultMap = spark.read.parquet(out).select("word", "count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val q = Engine.runStreamIncremental(spark, cfg)
+    try {
+      q.processAllAvailable()
+      Files.writeString(dir.resolve("f2.txt"), "beta epsilon\n")
+      q.processAllAvailable()
+      assert(resultMap == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L,
+        "delta" -> 1L, "epsilon" -> 1L))
+      // update mode: the second trigger emitted/updated ONLY the two keys
+      // the new file touched — complete mode would re-emit all five
+      val updates = q.recentProgress.filter(_.numInputRows > 0)
+        .map(_.stateOperators.head.numRowsUpdated).toSeq
+      assert(updates == Seq(4, 2), s"expected delta-sized updates, got $updates")
+    } finally q.stop()
+
+    // restart against the same checkpoint: aggregation state must recover
+    // (beta -> 3, not a from-scratch 1 that would clobber the merged result)
+    Files.writeString(dir.resolve("f3.txt"), "beta\n")
+    val q2 = Engine.runStreamIncremental(spark, cfg)
+    try {
+      q2.processAllAvailable()
+      assert(resultMap("beta") == 3L, s"state not recovered: $resultMap")
+      assert(resultMap("alpha") == 2L)
+    } finally q2.stop()
+  }
+
   test("hourly window counts equal the batch date_trunc query (complete mode)") {
     val stream = StreamingPipelines.hourlyCounts(
       StreamingPipelines.eventStream(spark, eventsDir().toString))
