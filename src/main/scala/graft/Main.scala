@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
   *     result as JSON lines
   *   - `lookup <outDir> <term>`    — PDF Part-2 "Streaming Search" UI: point
   *     lookup of one key in a stored result
+  *   - `serve <port> [config.json]` — start the HTTP front end
+  *     ([[HttpFrontEnd]], the reference's Flask verbs) and block
   *
   * `fetch`/`lookup` collect to the driver deliberately: they serve a final,
   * already-aggregated result (the reference's final-output JSON), not a data
@@ -33,12 +35,19 @@ object Main {
     case "lookup" :: out :: term :: Nil =>
       Engine.lookup(spark, out, term).toJSON.collect().foreach(println)
       0
+    case "serve" :: portStr :: rest if rest.length <= 1 && portStr.forall(_.isDigit) =>
+      val boot = rest.headOption.map(p => JobConfig.fromJsonFile(spark, p))
+      val server = HttpFrontEnd.start(spark, boot, portStr.toInt)
+      println(s"""{"status":"serving","port":${server.getAddress.getPort}}""")
+      synchronized { wait() } // serve until killed
+      0
     case _ =>
       System.err.println(
         """usage: graft.Main run <config.json>
           |       graft.Main run <operation> <inputDir> <outputDir>
           |       graft.Main fetch <outputDir>
           |       graft.Main lookup <outputDir> <term>
+          |       graft.Main serve <port> [config.json]
           |operations: """.stripMargin + OperationRegistry.names.mkString(", "))
       2
   }

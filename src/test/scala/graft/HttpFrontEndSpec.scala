@@ -1,0 +1,61 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end HTTP parity with the reference Flask walkthrough: POST a job,
+  * GET the final output object, point-lookup a key.
+  */
+class HttpFrontEndSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(url: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /launch_map_reduce then GET /final_output and /lookup (reference verbs)") {
+    val corpus = Files.createTempDirectory("graft-http-corpus")
+    Files.writeString(corpus.resolve("a.txt"), "alpha beta\nalpha\n")
+    val out = Files.createTempDirectory("graft-http-out").toString + "/wc"
+
+    val server = HttpFrontEnd.start(spark, None, port = 0)
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      assert(get(s"$base/").body().contains("running"))
+
+      // before any job: final_output is a client error, not a crash
+      assert(get(s"$base/final_output").statusCode() == 500)
+
+      // launch with the REFERENCE's field spellings (app.py boots from
+      // config.json with operation_name / raw_input_data_path / ...)
+      val launch = post(s"$base/launch_map_reduce",
+        s"""{"operation_name": "wordcount",
+           | "raw_input_data_path": "${corpus.toString}",
+           | "output_data_path": "$out"}""".stripMargin)
+      assert(launch.statusCode() == 200, launch.body())
+      assert(launch.body().contains(""""status":"complete""""))
+
+      // final output is ONE object keyed by word, like the reference's
+      // final-output dict
+      val outBody = get(s"$base/final_output").body()
+      assert(outBody.contains(""""alpha": 2"""), outBody)
+      assert(outBody.contains(""""beta": 1"""), outBody)
+      assert(outBody.trim.startsWith("{") && outBody.trim.endsWith("}"))
+
+      val hit = get(s"$base/lookup?term=alpha")
+      assert(hit.statusCode() == 200)
+      assert(hit.body().contains("alpha") && hit.body().contains("2"), hit.body())
+
+      val miss = get(s"$base/lookup")
+      assert(miss.statusCode() == 400)
+    } finally server.stop(0)
+  }
+}
