@@ -15,7 +15,8 @@ case class JobConfig(
     inputPath: String,
     outputPath: String,
     partitions: Int = 0,
-    faithful: Boolean = false)
+    faithful: Boolean = false,
+    pretty: Boolean = false)
 
 object JobConfig {
 
@@ -64,7 +65,8 @@ object JobConfig {
       inputPath = str("inputPath", "raw_input_data_path"),
       outputPath = str("outputPath", "output_data_path"),
       partitions = int("partitions", "mapper_count"),
-      faithful = bool("faithful"))
+      faithful = bool("faithful"),
+      pretty = bool("pretty", "pretty_json"))
   }
 }
 
@@ -100,12 +102,20 @@ object Engine {
 
   /** Run a configured job end-to-end: scan+clean → pipeline → sorted
     * single-file JSON sink. Returns the result for further composition.
+    * `pretty = true` additionally writes `_final_output.json` inside the
+    * output directory — byte-for-byte the reference's
+    * `json.dump(dict(sorted(...)), fp, indent=4)` artifact (quirk Q3
+    * caveat: doc-list ORDER inside a value is this engine's deterministic
+    * sorted order; the reference left it nondeterministic).
     */
   def run(spark: SparkSession, config: JobConfig): DataFrame = {
     val corpus0 = CorpusReader.cleaned(spark, config.inputPath)
     val corpus = if (config.partitions > 0) corpus0.repartition(config.partitions) else corpus0
     val result = OperationRegistry(config.operation)(corpus, config.faithful)
     Sinks.sortedSingleFileJson(result, result.columns.head, config.outputPath)
+    if (config.pretty)
+      Sinks.prettySingleObjectJson(result, result.columns.head,
+        config.outputPath + "/_final_output.json")
     result
   }
 

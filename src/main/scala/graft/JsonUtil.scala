@@ -12,6 +12,8 @@ object JsonUtil {
     case '\n' => "\\n"
     case '\r' => "\\r"
     case '\t' => "\\t"
+    case '\b' => "\\b"
+    case '\f' => "\\f"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""

@@ -141,6 +141,52 @@ object Sinks {
     fs.delete(new org.apache.hadoop.fs.Path(delta), true)
   }
 
+  /** Byte-format parity artifact: the result as ONE pretty-printed JSON
+    * object, rendered exactly like Python's `json.dump(obj, fp, indent=4)`
+    * of a key-sorted dict (the reference's final artifact,
+    * `kv_store_server.py:267-272`) — 4-space indent, `": "` key
+    * separator, list values one element per line, non-ASCII escaped
+    * (`ensure_ascii`). Requires a 2-column (key, value) result.
+    *
+    * Serving-size artifact only: the render is driver-side by design,
+    * like the reference's in-memory `final_output` dict. Written inside
+    * the output directory as `_final_output.json` — the leading
+    * underscore hides it from Spark's directory readers, so
+    * `Engine.fetchResult` on the same path still works.
+    */
+  def prettySingleObjectJson(df: DataFrame, keyCol: String, file: String): Unit = {
+    import graft.JsonUtil.escape
+    val cols = df.columns
+    require(cols.length == 2 && cols.contains(keyCol),
+      s"pretty sink needs a (key, value) result, got ${cols.mkString(", ")}")
+    val valCol = cols.filter(_ != keyCol).head
+
+    def render(v: Any, indent: Int): String = v match {
+      case null => "null"
+      case s: String => asciiEscape(s)
+      case xs: scala.collection.Seq[_] if xs.isEmpty => "[]"
+      case xs: scala.collection.Seq[_] =>
+        val pad = " " * (4 * (indent + 1))
+        xs.map(e => pad + render(e, indent + 1))
+          .mkString("[\n", ",\n", "\n" + " " * (4 * indent) + "]")
+      case other => other.toString // numbers / booleans
+    }
+    // Python ensure_ascii: chars past 0x7e become \uXXXX (surrogates too)
+    def asciiEscape(s: String): String =
+      escape(s).flatMap(c => if (c > '~') f"\\u${c.toInt}%04x" else c.toString)
+
+    val rows = df.select(keyCol, valCol).orderBy(keyCol).collect()
+    val body =
+      if (rows.isEmpty) "{}"
+      else rows.map(r => "    " + asciiEscape(String.valueOf(r.get(0))) +
+          ": " + render(r.get(1), 1))
+        .mkString("{\n", ",\n", "\n}")
+
+    val fs = fileSystem(df.sparkSession, file)
+    val out = fs.create(new org.apache.hadoop.fs.Path(file), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Engine-default sink: partitioned parquet table. */
   def parquetTable(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)

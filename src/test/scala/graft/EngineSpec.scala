@@ -17,6 +17,27 @@ class EngineSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("pretty sink is byte-identical to json.dump(dict(sorted(...)), indent=4)") {
+    // golden strings produced by CPython's json.dumps(obj, indent=4);
+    // doc-list order inside values is this engine's deterministic sorted
+    // order (quirk Q3: the reference left it nondeterministic)
+    val corpus = tmpCorpus()
+    val outWc = Files.createTempDirectory("graft-out").toString + "/wc"
+    Engine.run(spark, JobConfig("wordcount", corpus, outWc, pretty = true))
+    val wcBytes = Files.readString(java.nio.file.Path.of(outWc, "_final_output.json"))
+    assert(wcBytes ==
+      "{\n    \"again\": 1,\n    \"hello\": 2,\n    \"spins\": 1,\n    \"the\": 1,\n    \"world\": 2\n}")
+
+    val outIdx = Files.createTempDirectory("graft-out").toString + "/idx"
+    Engine.run(spark, JobConfig("invertedindex", corpus, outIdx, pretty = true))
+    val idxBytes = Files.readString(java.nio.file.Path.of(outIdx, "_final_output.json"))
+    assert(idxBytes ==
+      "{\n    \"again\": [\n        \"a.txt\"\n    ],\n    \"hello\": [\n        \"a.txt\"\n    ],\n    \"spins\": [\n        \"b.txt\"\n    ],\n    \"the\": [\n        \"b.txt\"\n    ],\n    \"world\": [\n        \"a.txt\",\n        \"b.txt\"\n    ]\n}")
+
+    // the hidden artifact must not corrupt the JSON-lines read path
+    assert(Engine.fetchResult(spark, outWc).count() == 5)
+  }
+
   test("Engine.run wordcount end-to-end: sorted single-file JSON result") {
     val out = Files.createTempDirectory("graft-out").toString + "/wc"
     val result = Engine.run(spark, JobConfig("wordcount", tmpCorpus(), out))
