@@ -13,8 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential-fold dot product of two ARRAY<DOUBLE> columns. */
+  /** Sequential-fold dot product of two ARRAY<DOUBLE> columns — the native
+    * code-generated [[graft.expressions.DotProduct]] (HOF lambdas run
+    * interpreted; this is the ANN hot loop). [[dotHof]] keeps the
+    * composed-builtin form as the semantic reference.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** The same fold as composed built-ins (zip_with + aggregate), which
+    * [[dot]] is tested bit-identical against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

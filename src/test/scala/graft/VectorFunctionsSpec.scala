@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native DotProduct expression against its composed-builtin reference
+  * form (zip_with + aggregate): bit-identical values, identical null
+  * semantics, and codegen-compatible.
+  */
+class VectorFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import SparkTestBase.Sf0001
+
+  test("native dot is bit-identical to the HOF fold over real embedding pairs") {
+    val e = Tables(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.vec_id") < col("b.vec_id") && col("a.vec_id") < 50)
+    val mismatches = pairs
+      .select(dot(col("a.v"), col("b.v")).as("native"),
+        dotHof(col("a.v"), col("b.v")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+    assert(mismatches.count() == 0)
+  }
+
+  test("null semantics match zip_with padding: length mismatch / null element -> NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Seq(3.0, 4.0)),          // 1*3 + 2*4 = 11
+      (2L, Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0)),     // length mismatch -> NULL
+      (3L, Seq(1.0), Seq[Double]())                // vs empty -> NULL
+    ).toDF("id", "a", "b")
+    val both = df.select(col("id"), dot(col("a"), col("b")).as("native"),
+      dotHof(col("a"), col("b")).as("hof")).collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(1), if (r.isNullAt(1)) 0.0 else r.getDouble(1),
+        r.isNullAt(2)))).toMap
+    assert(both(1L) == ((false, 11.0, false)))
+    assert(both(2L)._1 && both(2L)._3, "length mismatch must be NULL in both forms")
+    assert(both(3L)._1 && both(3L)._3)
+
+    // null element -> NULL (matches null propagation through the fold)
+    val withNull = Seq((1L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0)))
+      .toDF("id", "a", "b")
+      .select(dot(col("a").cast("array<double>"), col("b").cast("array<double>")).as("native"))
+      .head()
+    assert(withNull.isNullAt(0))
+  }
+
+  test("cosine stays inside whole-stage codegen (no interpreted HOF in the plan)") {
+    val e = Tables(spark, Sf0001, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val scored = e.select(cosine(col("v"), col("v")).as("c"))
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("dot_product"), plan)
+    assert(!plan.contains("aggregate(zip_with"), s"HOF leaked into the hot path:\n$plan")
+  }
+}
