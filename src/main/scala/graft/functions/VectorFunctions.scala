@@ -38,9 +38,14 @@ object VectorFunctions {
     * locality-sensitive hash (random-hyperplane LSH with unit-axis planes).
     * Exact on floats, so Spark and the SQL oracle always agree.
     */
-  def signBucket(v: Column, nBits: Int): Column =
+  def signBucket(v: Column, nBits: Int): Column = signBucketAt(v, 0, nBits)
+
+  /** Sign bucket over dimensions [offset+1, offset+nBits] — disjoint
+    * offsets give INDEPENDENT hash tables for multi-probe LSH.
+    */
+  def signBucketAt(v: Column, offset: Int, nBits: Int): Column =
     concat((0 until nBits).map(i =>
-      when(element_at(v, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      when(element_at(v, offset + i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
   // ===== DuckDB-oracle SQL mirrors =====
 
@@ -55,7 +60,9 @@ object VectorFunctions {
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
-  def signBucketSql(v: String, nBits: Int): String =
+  def signBucketSql(v: String, nBits: Int): String = signBucketAtSql(v, 0, nBits)
+
+  def signBucketAtSql(v: String, offset: Int, nBits: Int): String =
     (0 until nBits).map(i =>
-      s"(CASE WHEN $v[${i + 1}] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"(CASE WHEN $v[${offset + i + 1}] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 }

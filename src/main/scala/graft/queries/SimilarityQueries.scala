@@ -39,6 +39,9 @@ object SimilarityQueries {
   // (the dedup_exact/dedup_embedding regime, not the search regime), and
   // uncapped they are the one quadratic door in this plan at 100×.
   private val MaxBucket = 100
+  // Independent tables for ann_lsh_multiprobe: 4 disjoint 16-dim slices
+  // of the 64-dim embedding, one sign table each.
+  private val Probes = 4
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -102,6 +105,33 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- multi-probe LSH: 4 independent 16-bit sign tables over the
+    // 64 embedding dimensions, candidates unioned across tables. Recovers
+    // the single-table form's boundary misses: two near-neighbors that
+    // straddle a hyperplane in one table's dimensions still collide in
+    // the other three. Same scale posture as ann_lsh — hot (table,
+    // bucket) pairs capped, rank-1 via the partial-aggregable
+    // max(struct(...)); a pair colliding in several tables just feeds
+    // the same (sim, nn) candidate to the max twice. ----
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val tabs = vecs(s, dir).select(col("vec_id"), col("v"),
+          posexplode(array((0 until Probes).map(t =>
+            signBucketAt(col("v"), t * LshBits, LshBits)): _*)))
+        .toDF("vec_id", "v", "tbl", "bucket")
+      val hot = tabs.groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") > MaxBucket).select("tbl", "bucket")
+      val cold = tabs.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
+      cold.as("a").join(cold.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+          cosine(col("a.v"), col("b.v")).as("sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim").as("sim"), (-col("nn_id")).as("neg_id"))).as("best"))
+        .select(col("vec_id"), (-col("best.neg_id")).as("nn_id"))
+        .orderBy("vec_id")
+    }),
+
     // ---- IVF-style: top-k within the coarse cell, bounded query set ----
     "ann_ivf" -> ((s, dir) => {
       val e = vecs(s, dir)
@@ -152,6 +182,27 @@ object SimilarityQueries {
          |  SELECT vec_id, bucket, nn_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
          |  FROM pairs) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "ann_lsh_multiprobe" -> {
+      val tabArms = (0 until Probes).map(t =>
+        s"SELECT vec_id, v, $t AS tbl, ${signBucketAtSql("v", t * LshBits, LshBits)} AS bucket FROM e")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS ($eSql),
+         |tabs AS (
+         |  $tabArms),
+         |hot AS (SELECT tbl, bucket FROM tabs GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
+         |cold AS (SELECT * FROM tabs tb
+         |         WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |                           WHERE h.tbl = tb.tbl AND h.bucket = tb.bucket)),
+         |pairs AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id, ${cosineSql("a.v", "b.v")} AS sim
+         |  FROM cold a JOIN cold b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nn_id FROM (
+         |  SELECT vec_id, nn_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
+         |  FROM pairs) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
 
     "ann_ivf" ->
       s"""WITH e AS ($eSql),

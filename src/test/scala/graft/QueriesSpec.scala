@@ -140,6 +140,24 @@ class QueriesSpec extends AnyFunSuite {
       s"hot sign bucket must be dropped; got $lsh")
   }
 
+  test("multi-probe LSH recovers neighbors that straddle one table's hyperplane") {
+    // A and B differ ONLY in dimension 1's sign: the single-table ann_lsh
+    // (dims 1-16) puts them in different singleton buckets and finds no
+    // pairs; the multi-probe form still collides them in the three tables
+    // over dims 17-64.
+    import spark.implicits._
+    def vec(first: Float): Array[Float] =
+      first +: Array.tabulate(63)(d => 1.0f + 0.01f * d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-straddle").toString
+    Seq((1L, vec(1.0f), 0), (2L, vec(-1.0f), 0))
+      .toDF("vec_id", "embedding", "label").write.parquet(dir + "/embeddings.parquet")
+    assert(SparkEntry.queries("ann_lsh")(spark, dir).count() == 0,
+      "single-table LSH must miss the straddling pair (that's the trade)")
+    val mp = SparkEntry.queries("ann_lsh_multiprobe")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(mp == Set((1L, 2L), (2L, 1L)), s"multi-probe must recover it; got $mp")
+  }
+
   test("result is invariant to input partitioning") {
     val docs = Tables(spark, Sf0001, "documents")
     val base = docs
