@@ -176,9 +176,19 @@ object Engine {
       .start()
   }
 
-  /** EP2 analog (`GET /final_output`): read back a stored result. */
-  def fetchResult(spark: SparkSession, resultPath: String): DataFrame =
-    spark.read.json(resultPath)
+  /** EP2 analog (`GET /final_output`): read back a stored result — the
+    * JSON artifact [[run]] publishes, or the bucket-partitioned parquet
+    * table [[runStreamIncremental]] maintains (detected by its `_bkt=`
+    * partition directories; the internal bucket column is dropped).
+    */
+  def fetchResult(spark: SparkSession, resultPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(resultPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val isParquet = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("_bkt="))
+    if (isParquet) spark.read.parquet(resultPath).drop("_bkt")
+    else spark.read.json(resultPath)
+  }
 
   /** PDF Part-2 "Streaming Search" (P7): point lookup of one key in a
     * stored result. The key column resolves, in order: explicit `keyCol`

@@ -122,6 +122,11 @@ object Sinks {
     val b = spark.read.parquet(delta)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
       b.write.partitionBy("_bkt").parquet(path)
+      // same sidecar the JSON sink writes, so Engine.lookup resolves the
+      // key column of a parquet result too (underscore = invisible to scans)
+      val keyFile = fs.create(
+        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), "_graft_key"), true)
+      try keyFile.write(keyCol.getBytes("UTF-8")) finally keyFile.close()
     } else {
       val affected = b.select("_bkt").distinct()
         .collect().map(_.getInt(0)).sorted // ≤ `buckets` values, driver-safe

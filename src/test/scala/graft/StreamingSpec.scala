@@ -113,6 +113,15 @@ class StreamingSpec extends AnyFunSuite {
       assert(resultMap("beta") == 3L, s"state not recovered: $resultMap")
       assert(resultMap("alpha") == 2L)
     } finally q2.stop()
+
+    // the merged parquet result serves through the same verbs as the JSON
+    // artifact: fetchResult auto-detects the bucket table, lookup resolves
+    // the key column from the sidecar
+    val fetched = Engine.fetchResult(spark, out)
+    assert(fetched.columns.toSeq == Seq("word", "count"), fetched.columns.toSeq)
+    assert(fetched.count() == 5)
+    val hit = Engine.lookup(spark, out, "beta").collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("count") == 3L)
   }
 
   test("hourly window counts equal the batch date_trunc query (complete mode)") {
