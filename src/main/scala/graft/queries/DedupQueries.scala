@@ -246,8 +246,12 @@ object DedupQueries {
     // (the oracle mirrors the identical bucket assignment bit-for-bit).
     "dedup_embedding" -> ((s, dir) => {
       val e0 = Tables(s, dir, "embeddings")
+        // isNotNull on BOTH join keys so the cap branch canonicalizes
+        // like the join sides (exchange reuse — see tokenTable scaladoc)
+        .filter(col("vec_id").isNotNull && col("label").isNotNull)
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
         .withColumn("bkt", signBucket(col("v"), CellBits))
+        .filter(col("bkt").isNotNull)
       val hot = e0.groupBy("label", "bkt").agg(count(lit(1)).as("n"))
         .filter(col("n") > MaxBucket).select("label", "bkt")
       val e = e0.join(broadcast(hot), Seq("label", "bkt"), "left_anti")

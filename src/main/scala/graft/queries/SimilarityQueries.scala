@@ -43,8 +43,16 @@ object SimilarityQueries {
   // of the 64-dim embedding, one sign table each.
   private val Probes = 4
 
+  // isNotNull matches the filters the self-joins infer on their sides, so
+  // every branch of a query canonicalizes identically — a precondition
+  // for exchange reuse wherever a shared exchange exists (the self-join's
+  // two identical children under SMJ; see DedupQueries.tokenTable for the
+  // case where this pays for a whole 64-md5 aggregation). The embedding
+  // scan itself is cheap; this costs nothing and never changes results
+  // (vec_id is never null).
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
+      .filter(col("vec_id").isNotNull)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -92,6 +100,7 @@ object SimilarityQueries {
     // every scored pair into a Window sort (the ann_topk_agg plan shape).
     "ann_lsh" -> ((s, dir) => {
       val e0 = vecs(s, dir).withColumn("bucket", signBucket(col("v"), LshBits))
+        .filter(col("bucket").isNotNull) // align with the join's inferred filter
       val hot = e0.groupBy("bucket").agg(count(lit(1)).as("n"))
         .filter(col("n") > MaxBucket).select("bucket")
       val e = e0.join(broadcast(hot), Seq("bucket"), "left_anti")
@@ -118,6 +127,7 @@ object SimilarityQueries {
           posexplode(array((0 until Probes).map(t =>
             signBucketAt(col("v"), t * LshBits, LshBits)): _*)))
         .toDF("vec_id", "v", "tbl", "bucket")
+        .filter(col("bucket").isNotNull) // align with the join's inferred filter
       val hot = tabs.groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
         .filter(col("n") > MaxBucket).select("tbl", "bucket")
       val cold = tabs.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")

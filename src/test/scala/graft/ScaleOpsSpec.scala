@@ -83,6 +83,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_topk"), s"expected map-side partial topk:\n$plan")
   }
 
+  test("mergeIntoKeyedParquet rewrites ONLY the buckets the delta touches") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/t"
+    val initial = (0 until 200).map(i => (s"key$i", i.toLong)).toDF("k", "n")
+    Sinks.mergeIntoKeyedParquet(initial, "k", path, buckets = 8)
+
+    def bucketDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("_bkt=")).map(d => d.getName -> d.lastModified()).toMap
+    val before = bucketDirs
+    assert(before.size > 1, "expected several bucket directories")
+
+    Thread.sleep(1100) // directory mtime granularity
+    val delta = Seq(("key7", 999L)).toDF("k", "n")
+    Sinks.mergeIntoKeyedParquet(delta, "k", path, buckets = 8)
+    val after = bucketDirs
+
+    val changed = after.filter { case (d, m) => before(d) != m }.keySet
+    assert(changed.size == 1, s"exactly one bucket dir should be swapped, got $changed")
+
+    val merged = spark.read.parquet(path).drop("_bkt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged("key7") == 999L, "updated key must carry the new value")
+    assert(merged.size == 200 && merged("key8") == 8L, "untouched keys intact")
+  }
+
   test("compactParquet collapses small files without changing the data") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     val src = Tables(spark, Sf0001, "lineitem").select("l_orderkey", "l_extendedprice")
