@@ -22,6 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"ascii_clean expects exactly 1 argument, got ${children.size}")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"dot_product expects exactly 2 arguments, got ${children.size}")
+      }))
     // upgrade hand-composed regex cleanup chains to the native expression
     ext.injectOptimizerRule(_ => graft.plans.CleanupChainRule)
   }

@@ -47,6 +47,14 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(withNull.isNullAt(0))
   }
 
+  test("dot_product is registered on the SQL surface (GraftExtensions)") {
+    val row = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(row.getDouble(0) == 11.0)
+    assert(spark.sql("SELECT dot_product(array(1.0D), array(1.0D, 2.0D)) AS d")
+      .head().isNullAt(0))
+  }
+
   test("cosine stays inside whole-stage codegen (no interpreted HOF in the plan)") {
     val e = Tables(spark, Sf0001, "embeddings")
       .select(col("embedding").cast("array<double>").as("v"))
