@@ -124,6 +124,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(after.exceptAll(src).count() == 0 && src.exceptAll(after).count() == 0)
   }
 
+  test("partitioned parquet sink prunes partitions at the scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/ev"
+    Sinks.parquetTable(
+      Tables(spark, Sf0001, "events").select("event_id", "event_type", "value"),
+      path, partitionBy = Seq("event_type"))
+    val types = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("event_type="))
+    assert(types > 1, "expected one directory per event type")
+
+    val pruned = spark.read.parquet(path).filter(col("event_type") === "click")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    // a pruned scan lists ONE partition directory's files, not all of them
+    assert("""event_type#\d+ = click""".r.findFirstIn(plan).nonEmpty, plan)
+  }
+
   test("bucketed tables join with no exchange (co-located sort-merge join)") {
     // a previous JVM's managed-table directories survive on disk while the
     // in-memory catalog does not — clear both before writing

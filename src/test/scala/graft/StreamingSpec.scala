@@ -124,6 +124,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(hit.length == 1 && hit.head.getAs[Long]("count") == 3L)
   }
 
+  test("incremental merge handles the invertedindex operation (array values)") {
+    val dir = Files.createTempDirectory("graft-inc-idx")
+    val out = Files.createTempDirectory("graft-inc-idx-out").toString + "/idx"
+    Files.writeString(dir.resolve("a.txt"), "alpha beta\n")
+    val q = Engine.runStreamIncremental(spark, JobConfig("invertedindex", dir.toString, out))
+    try {
+      q.processAllAvailable()
+      Files.writeString(dir.resolve("b.txt"), "beta\n")
+      q.processAllAvailable()
+      val docs = Engine.fetchResult(spark, out)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      assert(docs == Map("alpha" -> List("a.txt"), "beta" -> List("a.txt", "b.txt")))
+    } finally q.stop()
+  }
+
   test("hourly window counts equal the batch date_trunc query (complete mode)") {
     val stream = StreamingPipelines.hourlyCounts(
       StreamingPipelines.eventStream(spark, eventsDir().toString))
