@@ -114,8 +114,11 @@ object Engine {
     val result = OperationRegistry(config.operation)(corpus, config.faithful)
     Sinks.sortedSingleFileJson(result, result.columns.head, config.outputPath)
     if (config.pretty)
-      Sinks.prettySingleObjectJson(result, result.columns.head,
-        config.outputPath + "/_final_output.json")
+      // render from the just-published small artifact — rendering from
+      // `result` would re-execute the whole uncached pipeline (same
+      // reasoning as Main.runJob's count)
+      Sinks.prettySingleObjectJson(fetchResult(spark, config.outputPath),
+        result.columns.head, config.outputPath + "/_final_output.json")
     result
   }
 
@@ -158,14 +161,24 @@ object Engine {
     * parquet table has no meaningful row order; readers sort on demand).
     */
   def runStreamIncremental(spark: SparkSession, config: JobConfig) = {
-    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort, SubqueryAlias}
+    // peel the first global Sort off the top of the plan, looking through
+    // the benign wrappers a pipeline may stack above it (a trailing
+    // .select/.withColumnRenamed/.as leaves Project/SubqueryAlias over the
+    // Sort). Deeper sorts (e.g. under a Limit = top-k) are left alone —
+    // they are semantic, and update mode will reject them loudly rather
+    // than have us silently change the query.
+    def stripTopSort(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+      case Sort(_, true, child, _) => Some(child)
+      case p: Project => stripTopSort(p.child).map(c => p.withNewChildren(Seq(c)))
+      case a: SubqueryAlias => stripTopSort(a.child).map(c => a.withNewChildren(Seq(c)))
+      case _ => None
+    }
     val result = graft.streaming.StreamingPipelines.operationStream(
       spark, config.inputPath, config.operation, config.faithful)
-    val unsorted = result.queryExecution.logical match {
-      case Sort(_, true, child, _) =>
-        org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, child)
-      case _ => result
-    }
+    val unsorted = stripTopSort(result.queryExecution.logical)
+      .map(org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, _))
+      .getOrElse(result)
     val key = unsorted.columns.head
     unsorted.writeStream
       .outputMode("update")

@@ -28,6 +28,9 @@ object HttpFrontEnd {
   def start(spark: SparkSession, bootConfig: Option[JobConfig],
       port: Int): HttpServer = {
     @volatile var current: Option[JobConfig] = bootConfig
+    // one launch at a time: concurrent Engine.run calls for the same
+    // output would race in the shared .inprogress staging directory
+    val launchLock = new Object
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
     server.createContext("/", (x: HttpExchange) =>
@@ -35,7 +38,7 @@ object HttpFrontEnd {
       else respond(x, 200, "<h1>graft engine is running</h1>", "text/html"))
 
     server.createContext("/launch_map_reduce", (x: HttpExchange) =>
-      handle(x) {
+      handle(x, method = "POST") { // side-effecting: never run on GET prefetches
         val body = new String(x.getRequestBody.readAllBytes(), UTF_8).trim
         val cfg =
           if (body.isEmpty)
@@ -48,21 +51,23 @@ object HttpFrontEnd {
             try JobConfig.fromJsonFile(spark, f.toString)
             finally java.nio.file.Files.delete(f)
           }
-        Engine.run(spark, cfg)
-        current = Some(cfg)
+        launchLock.synchronized {
+          Engine.run(spark, cfg)
+          current = Some(cfg)
+        }
         val n = Engine.fetchResult(spark, cfg.outputPath).count()
         (200, s"""{"status":"complete","operation":${JsonUtil.escape(cfg.operation)},"rows":$n}""")
       })
 
     server.createContext("/final_output", (x: HttpExchange) =>
-      handle(x) {
+      handle(x, method = "GET") {
         val cfg = current.getOrElse(throw new IllegalStateException(
           "no job has run yet"))
         (200, resultObject(spark, cfg.outputPath))
       })
 
     server.createContext("/lookup", (x: HttpExchange) =>
-      handle(x) {
+      handle(x, method = "GET") {
         val cfg = current.getOrElse(throw new IllegalStateException(
           "no job has run yet"))
         val term = Option(x.getRequestURI.getQuery).getOrElse("")
@@ -93,7 +98,10 @@ object HttpFrontEnd {
       df.toJSON.collect().mkString("[", ",", "]")
     } else {
       val v = valueCols.head
-      df.select(key, v).collect()
+      // orderBy: the JSON artifact happens to be pre-sorted, but the
+      // parquet-backed incremental result arrives in bucket order — the
+      // reference's final-output dict is key-sorted
+      df.select(key, v).orderBy(key).collect()
         .map(r => s"${JsonUtil.escape(String.valueOf(r.get(0)))}: ${renderJson(r.get(1))}")
         .mkString("{", ", ", "}")
     }
@@ -106,13 +114,16 @@ object HttpFrontEnd {
     case other => other.toString // numbers / booleans
   }
 
-  private def handle(x: HttpExchange)(body: => (Int, String)): Unit = {
+  private def handle(x: HttpExchange, method: String)(body: => (Int, String)): Unit = {
     val (code, payload) =
-      try body
-      catch {
-        case e: IllegalArgumentException => (400, s"""{"error":${JsonUtil.escape(e.getMessage)}}""")
-        case e: Exception => (500, s"""{"error":${JsonUtil.escape(String.valueOf(e.getMessage))}}""")
-      }
+      if (x.getRequestMethod != method)
+        (405, s"""{"error":"use $method"}""")
+      else
+        try body
+        catch {
+          case e: IllegalArgumentException => (400, s"""{"error":${JsonUtil.escape(e.getMessage)}}""")
+          case e: Exception => (500, s"""{"error":${JsonUtil.escape(String.valueOf(e.getMessage))}}""")
+        }
     respond(x, code, payload)
   }
 

@@ -39,7 +39,7 @@ object Main {
       val boot = rest.headOption.map(p => JobConfig.fromJsonFile(spark, p))
       val server = HttpFrontEnd.start(spark, boot, portStr.toInt)
       println(s"""{"status":"serving","port":${server.getAddress.getPort}}""")
-      synchronized { wait() } // serve until killed
+      while (true) synchronized { wait() } // serve until killed (wait() wakes spuriously)
       0
     case _ =>
       System.err.println(

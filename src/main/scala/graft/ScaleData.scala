@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions._
 object ScaleData {
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorStr) = args.padTo(3, null) match {
-      case Array(s, o, null) => Array(s, o, "10")
-      case a => a
+    val (srcDir, outDir, factor) = args match {
+      case Array(s, o) => (s, o, 10)
+      case Array(s, o, f) if f.forall(_.isDigit) && f.nonEmpty => (s, o, f.toInt)
+      case _ =>
+        System.err.println("usage: graft.ScaleData <srcSfDir> <outDir> [factor=10]")
+        sys.exit(2)
     }
-    val factor = factorStr.toInt
     val spark = EngineSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "*"), "graft-scaledata")
     try scaleUp(spark, srcDir, outDir, factor) finally spark.stop()
   }

@@ -1,7 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -23,18 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * static call so it stays inside whole-stage codegen.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  private def ok(t: DataType): Boolean = t match {
-    case ArrayType(DoubleType, _) => true
-    case _ => false
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two ARRAY<DOUBLE> arguments, got " +
-        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  // ImplicitCastInputTypes: ARRAY<FLOAT>/ARRAY<INT> arguments coerce to
+  // ARRAY<DOUBLE> like they did through the HOF composition — the SQL
+  // surface must not be stricter than the form it replaced. (Return type
+  // left inferred: AbstractDataType is private[sql]; Seq covariance makes
+  // Seq[ArrayType] a conforming override.)
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

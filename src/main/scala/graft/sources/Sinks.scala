@@ -67,9 +67,10 @@ object Sinks {
     * a manifest/pointer file instead of directory swap.
     */
   private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
-      staged: String, target: String): Unit = {
+      staged: String, target: String, oldLocation: String = null): Unit = {
     val t = new org.apache.hadoop.fs.Path(target)
-    val old = new org.apache.hadoop.fs.Path(target + ".old")
+    val old = new org.apache.hadoop.fs.Path(
+      if (oldLocation != null) oldLocation else target + ".old")
     fs.delete(old, true)
     val hadTarget = fs.exists(t)
     if (hadTarget && !fs.rename(t, old))
@@ -120,6 +121,14 @@ object Sinks {
     batch.withColumn("_bkt", pmod(hash(col(keyCol)), lit(buckets)))
       .write.mode(SaveMode.Overwrite).parquet(delta)
     val b = spark.read.parquet(delta)
+    val affected = b.select("_bkt").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ `buckets` values, driver-safe
+    if (affected.isEmpty) {
+      // empty trigger: publishing a row-less parquet root would poison
+      // every later read ('unable to infer schema') — leave no trace
+      fs.delete(new org.apache.hadoop.fs.Path(delta), true)
+      return
+    }
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
       b.write.partitionBy("_bkt").parquet(path)
       // same sidecar the JSON sink writes, so Engine.lookup resolves the
@@ -128,8 +137,6 @@ object Sinks {
         new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), "_graft_key"), true)
       try keyFile.write(keyCol.getBytes("UTF-8")) finally keyFile.close()
     } else {
-      val affected = b.select("_bkt").distinct()
-        .collect().map(_.getInt(0)).sorted // ≤ `buckets` values, driver-safe
       val existing = spark.read.parquet(path)
         .filter(col("_bkt").isin(affected.map(Integer.valueOf): _*))
       val merged = existing
@@ -138,10 +145,17 @@ object Sinks {
         .select(existing.columns.map(col): _*)
       val tmp = path + ".inprogress"
       merged.write.mode(SaveMode.Overwrite).partitionBy("_bkt").parquet(tmp)
+      // the displaced trees go OUTSIDE the table root: a `_bkt=7.old`
+      // sibling would be discovered as partition value "7.old" (the
+      // underscore-hiding rule skips names containing '='), duplicating
+      // bucket rows for concurrent readers
+      val oldBase = path + ".oldbkt"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(oldBase))
       affected.foreach { k =>
-        swapInto(fs, s"$tmp/_bkt=$k", s"$path/_bkt=$k")
+        swapInto(fs, s"$tmp/_bkt=$k", s"$path/_bkt=$k", s"$oldBase/_bkt=$k")
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.delete(new org.apache.hadoop.fs.Path(oldBase), true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(delta), true)
   }

@@ -56,6 +56,10 @@ class HttpFrontEndSpec extends AnyFunSuite {
 
       val miss = get(s"$base/lookup")
       assert(miss.statusCode() == 400)
+
+      // side-effecting launch must not run on a GET (prefetch/crawler safety)
+      assert(get(s"$base/launch_map_reduce").statusCode() == 405)
+      assert(post(s"$base/final_output", "{}").statusCode() == 405)
     } finally server.stop(0)
   }
 }

@@ -124,6 +124,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(hit.length == 1 && hit.head.getAs[Long]("count") == 3L)
   }
 
+  test("incremental merge survives an empty first trigger and a projected sort") {
+    // file 1 cleans to nothing -> the first foreachBatch gets 0 rows and
+    // must NOT publish a row-less parquet root (which would poison every
+    // later read); the operation also renames a column after its orderBy,
+    // so the Sort sits under a Project and must still be stripped
+    OperationRegistry.register("wc_renamed", (corpus, faithful) =>
+      graft.operators.TextPipelines.wordCount(corpus, faithful)
+        .withColumnRenamed("count", "cnt"))
+    val dir = Files.createTempDirectory("graft-inc-empty")
+    val out = Files.createTempDirectory("graft-inc-empty-out").toString + "/r"
+    Files.writeString(dir.resolve("a.txt"), "!!! ???\n")
+    val q = Engine.runStreamIncremental(spark, JobConfig("wc_renamed", dir.toString, out))
+    try {
+      q.processAllAvailable()
+      assert(!new java.io.File(out).exists(), "empty trigger must publish nothing")
+      Files.writeString(dir.resolve("b.txt"), "alpha alpha\n")
+      q.processAllAvailable()
+      val rows = Engine.fetchResult(spark, out)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("alpha" -> 2L), rows.toString)
+    } finally q.stop()
+  }
+
   test("incremental merge handles the invertedindex operation (array values)") {
     val dir = Files.createTempDirectory("graft-inc-idx")
     val out = Files.createTempDirectory("graft-inc-idx-out").toString + "/idx"

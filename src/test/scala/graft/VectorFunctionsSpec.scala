@@ -53,6 +53,15 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(row.getDouble(0) == 11.0)
     assert(spark.sql("SELECT dot_product(array(1.0D), array(1.0D, 2.0D)) AS d")
       .head().isNullAt(0))
+    // implicit casts: ARRAY<FLOAT> (the on-disk embedding type) and integer
+    // literals coerce like they did through the HOF composition
+    spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+      .createOrReplaceTempView("emb_raw")
+    val viaSql = spark.sql(
+      "SELECT vec_id, dot_product(embedding, embedding) AS d FROM emb_raw ORDER BY vec_id LIMIT 1")
+      .head().getDouble(1)
+    assert(viaSql > 0.0)
+    assert(spark.sql("SELECT dot_product(array(1, 2), array(3, 4)) AS d").head().getDouble(0) == 11.0)
   }
 
   test("cosine stays inside whole-stage codegen (no interpreted HOF in the plan)") {
