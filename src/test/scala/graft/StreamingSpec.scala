@@ -124,6 +124,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(hit.length == 1 && hit.head.getAs[Long]("count") == 3L)
   }
 
+  test("complete-mode runStream recovers across restart via its checkpoint") {
+    val dir = Files.createTempDirectory("graft-restart")
+    val out = Files.createTempDirectory("graft-restart-out").toString + "/wc"
+    Files.writeString(dir.resolve("a.txt"), "alpha beta\n")
+    val cfg = JobConfig("wordcount", dir.toString, out)
+
+    val q = Engine.runStream(spark, cfg)
+    try q.processAllAvailable() finally q.stop()
+
+    // restart: committed offsets + state come back from outputPath.checkpoint,
+    // so the new file ADDS to the previous counts instead of replacing them
+    Files.writeString(dir.resolve("b.txt"), "alpha\n")
+    val q2 = Engine.runStream(spark, cfg)
+    try {
+      q2.processAllAvailable()
+      val counts = Engine.fetchResult(spark, out)
+        .collect().map(r => r.getAs[String]("word") -> r.getAs[Long]("count")).toMap
+      assert(counts == Map("alpha" -> 2L, "beta" -> 1L), counts.toString)
+    } finally q2.stop()
+  }
+
   test("incremental merge survives an empty first trigger and a projected sort") {
     // file 1 cleans to nothing -> the first foreachBatch gets 0 rows and
     // must NOT publish a row-less parquet root (which would poison every
