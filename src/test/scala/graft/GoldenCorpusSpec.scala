@@ -38,6 +38,22 @@ class GoldenCorpusSpec extends AnyFunSuite {
     assert(golden.values.sum == 221070L)
   }
 
+  test("pretty sink reproduces the reference's committed artifact BYTE-for-byte") {
+    // the strongest parity claim available: same corpus in, identical
+    // bytes out against the artifact the reference engine itself wrote
+    // (json.dump(dict(sorted(...)), indent=4) — S5/kv_store_server.py)
+    val out = java.nio.file.Files.createTempDirectory("graft-golden-out").toString + "/wc"
+    Engine.run(spark,
+      JobConfig("wordcount", CorpusDir, out, faithful = true, pretty = true))
+    val ours = java.nio.file.Files.readString(java.nio.file.Path.of(out, "_final_output.json"))
+    val goldenBytes = java.nio.file.Files.readString(java.nio.file.Path.of(GoldenFile))
+    assert(ours.length == goldenBytes.length,
+      s"length ${ours.length} vs golden ${goldenBytes.length}")
+    val firstDiff = ours.zip(goldenBytes).indexWhere { case (a, b) => a != b }
+    assert(firstDiff == -1,
+      s"first byte diff at $firstDiff: ...${ours.slice(firstDiff - 40, firstDiff + 40)}...")
+  }
+
   test("faithful wordcount reproduces the reference's committed output exactly") {
     val missing = golden.keySet -- computed.keySet
     val extra = computed.keySet -- golden.keySet
