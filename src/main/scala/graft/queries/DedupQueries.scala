@@ -137,18 +137,31 @@ object DedupQueries {
     // band become candidates (for shingle-Jaccard j, a band matches with
     // probability j², a pair survives with 1-(1-j²)⁴ — steep around
     // j≈0.5); estimated Jaccard = fraction of agreeing signature
-    // components, exact md5 arithmetic on both engines. Bucket count grows
-    // with the corpus (band value = md5 of two 128-bit mins), so
-    // candidates stay bounded — same shape as dedup_simhash_pairs below.
+    // components, exact md5 arithmetic on both engines. The band-value
+    // SPACE grows with distinct content (bval = md5 of two 128-bit mins),
+    // but every member of one duplicate CLASS shares all band values — a
+    // mirror-spam crawl (the dedup use case) collapses into one bucket per
+    // band and the self-join goes O(dupes²). Hence the same [[MaxBucket]]
+    // broadcast-anti-join cap as dedup_simhash_pairs: a band bucket that
+    // hot is exact/near-exact-duplicate territory, already caught by
+    // dedup_exact / dedup_minhash's signature grouping. The explicit
+    // `bval.isNotNull` mirrors the filter the self-join infers on its
+    // children (h_i are nullable min() aggregates), so the cap branch
+    // canonicalizes identically and the expensive signature aggregation is
+    // computed once (ReusedExchange), not once per branch.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val mins = (0 until K).map(i =>
         min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
       val sigs = shingleTable(s, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bands = sigs.select(
+      val bands0 = sigs.select(
         (col("doc_id") +: (0 until K).map(i => col(s"h$i"))) :+
           posexplode(array((0 until K / 2).map(b =>
             md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*)): _*)
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+        .filter(col("bval").isNotNull)
+      val hot = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
+        .filter(col("n") > MaxBucket).select("band", "bval")
+      val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
       val matches = (0 until K).map(i =>
         when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)).reduce(_ + _)
       bands.as("a").join(bands.as("b"),
@@ -311,17 +324,26 @@ object DedupQueries {
 
     "dedup_minhash_lsh" -> {
       val mins = (0 until K).map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(", ")
-      val bandCols = (0 until K / 2).map(b =>
-        s"md5(h${2 * b} || h${2 * b + 1}) AS b$b").mkString(", ")
-      val bandEq = (0 until K / 2).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+      // Exploded (band, bval) form — the same buckets as Spark's
+      // posexplode'd md5(h_{2b} || h_{2b+1}) — so the hot-bucket cap is
+      // one GROUP BY + NOT EXISTS, mirroring the dedup_simhash_pairs oracle.
+      val bvalCase = "CASE band " + (0 until K / 2 - 1).map(b =>
+        s"WHEN $b THEN md5(h${2 * b} || h${2 * b + 1})").mkString(" ") +
+        s" ELSE md5(h${2 * (K / 2 - 1)} || h${2 * (K / 2 - 1) + 1}) END"
       val matches = (0 until K).map(i =>
         s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
       s"""WITH sigs AS (SELECT doc_id, $mins FROM ($shSqlRel) GROUP BY doc_id),
-         |bands AS (SELECT *, $bandCols FROM sigs)
+         |bands AS (SELECT *, $bvalCase AS bval
+         |          FROM sigs, (SELECT unnest(range(${K / 2})) AS band)),
+         |hot AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
+         |cold AS (SELECT * FROM bands bd
+         |         WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |                           WHERE h.band = bd.band AND h.bval = bd.bval))
          |SELECT d1, d2, est_jaccard FROM (
          |  SELECT DISTINCT a.doc_id d1, b.doc_id d2,
          |    ($matches) / ${K.toDouble} AS est_jaccard
-         |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ($bandEq))
+         |  FROM cold a JOIN cold b
+         |    ON a.doc_id < b.doc_id AND a.band = b.band AND a.bval = b.bval)
          |WHERE est_jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
     },
 

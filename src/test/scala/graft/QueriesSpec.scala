@@ -117,6 +117,29 @@ class QueriesSpec extends AnyFunSuite {
       "hot band buckets must be dropped before the self-join")
   }
 
+  test("minhash-lsh hot-band cap fires: 110 identical docs yield no pairs; cold pair survives") {
+    // 110 copies of T1: identical shingle sets → identical minhash
+    // signatures → identical band values, so every T1 band bucket has
+    // 110 > MaxBucket members — a duplicate CLASS collapsing into one
+    // bucket per band, the exact mirror-spam shape that uncapped goes
+    // O(dupes²) (110·109/2 · 4 bands ≈ 24k join rows). With the cap all
+    // hot buckets are dropped before the self-join. Two copies of T2 form
+    // a 2-member cold bucket and must still emerge as a pair (est_jaccard
+    // = 1.0), proving the cap drops buckets, not the operator.
+    import spark.implicits._
+    val t1 = (0 until 20).map(i => f"aa$i%02d").mkString(" ")
+    val t2 = (0 until 20).map(i => f"zz$i%02d").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotmh").toString
+    ((0 until 110).map(i => (i.toLong, t1, "en", "synth", 0L)) ++
+        Seq((200L, t2, "en", "synth", 0L), (201L, t2, "en", "synth", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((200L, 201L)),
+      s"hot band buckets must be dropped before the self-join; got $pairs")
+  }
+
   test("embedding/ann_lsh hot-bucket caps fire; cold buckets still match") {
     // 120 vectors share one sign bucket (all dims positive, label 0) →
     // bucket size 120 > MaxBucket → dropped in both dedup_embedding
