@@ -49,16 +49,20 @@ object TextQueries {
     // the driver's pandas-based compare cannot sort/hash array cells. The
     // array form stays available via TextPipelines.invertedIndex.
     //
-    // The aggregation goes through [[graft.operators.Skew.saltedCollectSet]]
-    // (two-phase, value-derived salt): stopword posting lists are the
+    // The aggregation goes through
+    // [[graft.operators.Skew.saltedCollectSetHybrid]] (two-phase,
+    // value-derived salt, hot keys only): stopword posting lists are the
     // textbook hot key — at 100× one word's doc list would otherwise
     // concentrate a task's entire state — and the salted form bounds any
-    // single task to ~1/16 of a hot key's values while staying
-    // value-identical to sort_array(collect_set(...)) (ScaleOpsSpec).
+    // single task to ~1/16 of a hot key's values. The rare-word tail skips
+    // the salt (salt 0 → one phase-1 group per key), so the second shuffle
+    // carries one tiny row per cold key instead of taxing every key; the
+    // result stays value-identical to sort_array(collect_set(...))
+    // (ScaleOpsSpec) whichever route a key takes.
     "inverted_index" -> ((s, dir) => {
       val pairs = Tables(s, dir, "documents")
         .select(explode(tokens(cleanLine(col("text")))).as("word"), col("doc_id"))
-      graft.operators.Skew.saltedCollectSet(pairs, col("word"), col("doc_id"))
+      graft.operators.Skew.saltedCollectSetHybrid(pairs, col("word"), col("doc_id"))
         .select(col("key").as("word"),
           concat_ws(",", transform(col("values"), d => d.cast("string"))).as("docs"))
         .orderBy("word")

@@ -17,24 +17,33 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("salted collect_set is value-identical to the unsalted aggregation") {
     val pairs = Tables(spark, Sf0001, "documents")
       .select(explode(tokens(cleanLine(col("text")))).as("word"), col("doc_id"))
-    val salted = Skew.saltedCollectSet(pairs, col("word"), col("doc_id"), salts = 8)
     val plain = pairs.groupBy(col("word").as("key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("values"))
+    val salted = Skew.saltedCollectSet(pairs, col("word"), col("doc_id"), salts = 8)
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
+    // hybrid, with a threshold low enough that common words REALLY take the
+    // salted route and rare words the single-phase route — both value-equal
+    val hybrid = Skew.saltedCollectSetHybrid(pairs, col("word"), col("doc_id"),
+      salts = 8, hotThreshold = 50)
+    assert(hybrid.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(hybrid).count() == 0)
   }
 
-  test("inverted_index plans the salted two-phase aggregation and survives a hot key") {
-    // plan: the catalog query goes through Skew.saltedCollectSet — the
-    // optimized plan must show BOTH aggregation phases (an exchange on
-    // (word, salt) before the final exchange on word alone)
+  test("inverted_index plans the hybrid salted aggregation and survives a hot key") {
+    // plan: the catalog query goes through Skew.saltedCollectSetHybrid —
+    // the optimized plan must show the conditional salt (two aggregation
+    // phases with the hot-key routing join feeding the salt column)
     val plan = SparkEntry.queries("inverted_index")(spark, Sf0001)
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("salt"), s"expected salted two-phase agg:\n$plan")
+    assert(plan.contains("is_hot"), s"expected hybrid hot-key routing:\n$plan")
 
     // skewed corpus: one stopword in every doc (the hot posting list),
-    // unique words elsewhere — the salted path must still produce the
-    // complete, sorted doc list for the hot key
+    // unique words elsewhere. Exercised BOTH through the catalog query
+    // (threshold-independent result) and directly with a threshold the
+    // hot key exceeds, so the salted route itself is proven to produce
+    // the complete, sorted doc list.
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
     (0 until 500).map(i => (i.toLong, s"the unique$i", "en", "synth", 0L))
@@ -44,6 +53,15 @@ class ScaleOpsSpec extends AnyFunSuite {
       .filter(col("word") === "the").select("docs").as[String].head()
     assert(hotRow == (0 until 500).mkString(","),
       "hot key's posting list must be complete and sorted")
+
+    val pairs = Tables(spark, dir, "documents")
+      .select(explode(tokens(cleanLine(col("text")))).as("word"), col("doc_id"))
+    val viaHot = Skew.saltedCollectSetHybrid(pairs, col("word"), col("doc_id"),
+        salts = 8, hotThreshold = 100)  // "the" has 500 rows > 100 → salted
+      .filter(col("key") === "the").select("values")
+      .as[Seq[Long]].head()
+    assert(viaHot == (0L until 500L),
+      "salted route must rebuild the hot key's complete sorted list")
   }
 
   test("salted distinct count is exact (equal values share a salt)") {
