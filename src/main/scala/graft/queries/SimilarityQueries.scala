@@ -57,6 +57,12 @@ object SimilarityQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force top-k for a bounded query set (broadcast queries) ----
+    // KEPT in the window-ranked form deliberately, as the physical contrast
+    // to ann_topk_agg / ann_ivf: Window.partitionBy(qid) has at most
+    // NQueries distinct partitions, so every scored row funnels into ≤
+    // NQueries tasks regardless of cluster size — fine for a bounded demo
+    // query set, wrong at scale. The aggregator twins show the scale plan
+    // (map-side partial_topk; exchange carries k·|queries|·partitions rows).
     "ann_bruteforce" -> ((s, dir) => {
       val e = vecs(s, dir)
       val q = e.filter(col("vec_id") < NQueries)
@@ -143,18 +149,27 @@ object SimilarityQueries {
     }),
 
     // ---- IVF-style: top-k within the coarse cell, bounded query set ----
+    // Ranks via the typed [[graft.functions.TopK]] aggregator (the
+    // ann_topk_agg shape): the partial aggregate prunes to k per
+    // (qid, partition) map-side, so the exchange carries
+    // k·|queries|·partitions rows however large the probed cells are —
+    // instead of a Window over ≤ NQueries partitions concentrating every
+    // scored row into a handful of tasks (see ann_bruteforce, kept as the
+    // documented contrast).
     "ann_ivf" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopK(TopK))
       val e = vecs(s, dir)
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("label").as("qcell"), col("v").as("qv"))
-      val scored = e.join(broadcast(q),
+      e.join(broadcast(q),
           col("label") === col("qcell") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nn_id"),
-          cosine(col("qv"), col("v")).as("sim"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nn_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("rank"), col("nn_id"))
+        .select(col("qid"), cosine(col("qv"), col("v")).as("sim"),
+          col("vec_id").as("nn_id"))
+        .groupBy("qid")
+        .agg(topk(col("sim"), col("nn_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.nn_id").as("nn_id"))
         .orderBy("qid", "rank")
     })
   )

@@ -99,6 +99,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaWindow.exceptAll(viaAgg).count() == 0)
     val plan = viaAgg.queryExecution.executedPlan.toString
     assert(plan.contains("partial_topk"), s"expected map-side partial topk:\n$plan")
+
+    // ann_ivf uses the same aggregator shape (no ≤ NQueries-partition
+    // window funnel): partial_topk must appear before its exchange too
+    val ivfPlan = SparkEntry.queries("ann_ivf")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("partial_topk"),
+      s"ann_ivf must rank via the map-side TopK aggregator:\n$ivfPlan")
   }
 
   test("mergeIntoKeyedParquet rewrites ONLY the buckets the delta touches") {
