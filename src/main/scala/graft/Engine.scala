@@ -190,16 +190,17 @@ object Engine {
   }
 
   /** EP2 analog (`GET /final_output`): read back a stored result — the
-    * JSON artifact [[run]] publishes, or the bucket-partitioned parquet
-    * table [[runStreamIncremental]] maintains (detected by its `_bkt=`
-    * partition directories; the internal bucket column is dropped).
+    * JSON artifact [[run]] publishes, or the manifest-published keyed
+    * parquet table [[runStreamIncremental]] maintains (detected by its
+    * `_graft_log` manifest directory; the read resolves ONE manifest, so
+    * it sees one whole generation even while a merge publishes).
     */
   def fetchResult(spark: SparkSession, resultPath: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(resultPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val isParquet = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith("_bkt="))
-    if (isParquet) spark.read.parquet(resultPath).drop("_bkt")
+    val isKeyedParquet = fs.exists(p) &&
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_log"))
+    if (isKeyedParquet) Sinks.readKeyedParquet(spark, resultPath)
     else spark.read.json(resultPath)
   }
 

@@ -94,17 +94,106 @@ object Sinks {
     }
   }
 
+  /** The generation manifest a keyed parquet result publishes through.
+    * Line-based (`k=v`), one file per generation under `_graft_log/`,
+    * committed by an atomic single-file rename — never edited in place.
+    */
+  private[graft] case class Manifest(gen: Long, buckets: Int,
+      dirs: Map[Int, String], retired: Seq[String]) {
+    def render: String = {
+      val b = dirs.toSeq.sortBy(_._1).map { case (k, d) => s"bucket:$k=$d" }
+      (Seq(s"gen=$gen", s"buckets=$buckets") ++ b :+
+        s"retired=${retired.mkString(",")}").mkString("", "\n", "\n")
+    }
+  }
+
+  private[graft] object Manifest {
+    def logDir(path: String) = new org.apache.hadoop.fs.Path(path, "_graft_log")
+
+    def parse(text: String): Manifest = {
+      val kv = text.linesIterator.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toSeq
+      Manifest(
+        gen = kv.collectFirst { case ("gen", v) => v.toLong }.get,
+        buckets = kv.collectFirst { case ("buckets", v) => v.toInt }.get,
+        dirs = kv.collect { case (k, v) if k.startsWith("bucket:") =>
+          k.stripPrefix("bucket:").toInt -> v }.toMap,
+        retired = kv.collectFirst { case ("retired", v) if v.nonEmpty =>
+          v.split(",").toSeq }.getOrElse(Nil))
+    }
+
+    /** Latest committed generation, or None for a fresh/absent table. */
+    def latest(fs: org.apache.hadoop.fs.FileSystem, path: String): Option[Manifest] = {
+      val log = logDir(path)
+      if (!fs.exists(log)) return None
+      val files = fs.listStatus(log).map(_.getPath)
+        .filter(_.getName.startsWith("manifest-"))
+      if (files.isEmpty) None
+      else {
+        val newest = files.maxBy(_.getName.stripPrefix("manifest-").toLong)
+        val in = fs.open(newest)
+        try Some(parse(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")))
+        finally in.close()
+      }
+    }
+
+    /** Commit: write to a dot-temp in the log dir, rename to
+      * `manifest-<gen>` — a single-file rename, atomic on HDFS/local and a
+      * single-object PUT on stores that implement rename that way; readers
+      * either see the whole new manifest or the previous one, never a
+      * partial file (the dot-prefix keeps the temp out of `latest`).
+      */
+    def commit(fs: org.apache.hadoop.fs.FileSystem, path: String, m: Manifest): Unit = {
+      val log = logDir(path)
+      fs.mkdirs(log)
+      val tmp = new org.apache.hadoop.fs.Path(log, s".tmp-${m.gen}")
+      val out = fs.create(tmp, true)
+      try out.write(m.render.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(log, s"manifest-${m.gen}")))
+        throw new java.io.IOException(s"failed to commit manifest gen ${m.gen} under $path")
+    }
+  }
+
+  /** Read the current generation of a manifest-published keyed parquet
+    * result ([[mergeIntoKeyedParquet]]): resolve the latest manifest, then
+    * read exactly the bucket directories it lists — a consistent whole-
+    * generation snapshot however many merges race this read, because data
+    * directories are immutable once published (merges write NEW
+    * directories and flip the manifest).
+    */
+  def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val fs = fileSystem(spark, path)
+    val m = Manifest.latest(fs, path).getOrElse(
+      throw new java.io.FileNotFoundException(s"no manifest under $path"))
+    spark.read.parquet(m.dirs.values.toSeq.sorted.map(d => s"$path/$d"): _*)
+  }
+
   /** Upsert `batch` (≤ one row per `keyCol` value) into a keyed parquet
-    * result partitioned by `_bkt = pmod(hash(key), buckets)` — the
-    * merge-into-parquet sink for UPDATE-mode streaming: each trigger
-    * rewrites only the bucket directories its changed keys hash into,
-    * so publish cost scales with the delta, not the accumulated result
-    * (complete-mode republish rewrites everything every trigger).
+    * result split over `buckets` hash buckets — the merge-into-parquet
+    * sink for UPDATE-mode streaming: each trigger rewrites only the
+    * buckets its changed keys hash into, so publish cost scales with the
+    * delta, not the accumulated result (complete-mode republish rewrites
+    * everything every trigger).
     *
-    * Merge = read ONLY the affected buckets, anti-join out the updated
-    * keys, union the new rows, stage, and swap each affected bucket
-    * directory in ([[swapInto]] per bucket — untouched buckets are never
-    * listed, read, or written).
+    * Publish protocol (no torn reads, object-store safe): bucket data
+    * lives in immutable per-generation directories `b<bucket>-g<gen>`; a
+    * merge writes NEW directories for the affected buckets — invisible
+    * until referenced — then atomically commits a [[Manifest]] pointing
+    * unaffected buckets at their existing directories and affected ones at
+    * the new generation. A reader ([[readKeyedParquet]]) resolves ONE
+    * manifest and therefore sees ONE whole generation, never bucket 3 new
+    * + bucket 7 old (the flaw of per-directory swaps). Directories a
+    * generation retires are deleted only when the NEXT generation commits,
+    * so a reader holding the previous manifest has a full trigger interval
+    * to finish — the documented staleness bound.
+    *
+    * Merge cost: read ONLY the affected buckets' directories, anti-join
+    * out the updated keys, union the new rows — untouched buckets are
+    * never listed, read, or written; replay after a crash is idempotent
+    * (same anti-join + union, and an uncommitted generation's directories
+    * are simply overwritten).
     */
   def mergeIntoKeyedParquet(batch: DataFrame, keyCol: String, path: String,
       buckets: Int = 64): Unit = {
@@ -117,46 +206,67 @@ object Sinks {
     // plan (persist() does not reliably intercept it). One write = one
     // execution; the staged delta is tiny (changed keys only) and doubles
     // as the merge's scan source.
+    val current = Manifest.latest(fs, path)
+    val nBkt = current.map(_.buckets).getOrElse(buckets)
     val delta = path + ".delta"
-    batch.withColumn("_bkt", pmod(hash(col(keyCol)), lit(buckets)))
+    batch.withColumn("_bkt", pmod(hash(col(keyCol)), lit(nBkt)))
       .write.mode(SaveMode.Overwrite).parquet(delta)
     val b = spark.read.parquet(delta)
     val affected = b.select("_bkt").distinct()
       .collect().map(_.getInt(0)).sorted // ≤ `buckets` values, driver-safe
     if (affected.isEmpty) {
-      // empty trigger: publishing a row-less parquet root would poison
-      // every later read ('unable to infer schema') — leave no trace
+      // empty trigger: publishing a row-less table would poison every
+      // later read ('unable to infer schema') — leave no trace
       fs.delete(new org.apache.hadoop.fs.Path(delta), true)
       return
     }
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
-      b.write.partitionBy("_bkt").parquet(path)
+    val gen = current.map(_.gen + 1).getOrElse(1L)
+    val merged = current match {
+      case None => b
+      case Some(m) =>
+        val existingDirs = affected.toSeq.flatMap(m.dirs.get).map(d => s"$path/$d")
+        if (existingDirs.isEmpty) b
+        else {
+          // per-generation dirs store no _bkt column (partitionBy strips
+          // it); recompute it — same deterministic hash expression
+          val existing = spark.read.parquet(existingDirs: _*)
+            .withColumn("_bkt", pmod(hash(col(keyCol)), lit(nBkt)))
+          existing
+            .join(b.select(keyCol), Seq(keyCol), "left_anti")
+            .unionByName(b.select(existing.columns.map(col): _*))
+        }
+    }
+    // one job writes every affected bucket; dirs are renamed into their
+    // generation names BEFORE the manifest commit, so readers never see
+    // a name they can't read yet
+    val stage = path + s".stage-g$gen"
+    merged.write.mode(SaveMode.Overwrite).partitionBy("_bkt").parquet(stage)
+    affected.foreach { k =>
+      val d = new org.apache.hadoop.fs.Path(path, s"b$k-g$gen")
+      fs.delete(d, true) // crash-replay leftover from an uncommitted run
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stage/_bkt=$k"), d))
+        throw new java.io.IOException(s"failed to place bucket $k of generation $gen")
+    }
+    if (current.isEmpty) {
       // same sidecar the JSON sink writes, so Engine.lookup resolves the
       // key column of a parquet result too (underscore = invisible to scans)
       val keyFile = fs.create(
         new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), "_graft_key"), true)
       try keyFile.write(keyCol.getBytes("UTF-8")) finally keyFile.close()
-    } else {
-      val existing = spark.read.parquet(path)
-        .filter(col("_bkt").isin(affected.map(Integer.valueOf): _*))
-      val merged = existing
-        .join(b.select(keyCol), Seq(keyCol), "left_anti")
-        .unionByName(b)
-        .select(existing.columns.map(col): _*)
-      val tmp = path + ".inprogress"
-      merged.write.mode(SaveMode.Overwrite).partitionBy("_bkt").parquet(tmp)
-      // the displaced trees go OUTSIDE the table root: a `_bkt=7.old`
-      // sibling would be discovered as partition value "7.old" (the
-      // underscore-hiding rule skips names containing '='), duplicating
-      // bucket rows for concurrent readers
-      val oldBase = path + ".oldbkt"
-      fs.mkdirs(new org.apache.hadoop.fs.Path(oldBase))
-      affected.foreach { k =>
-        swapInto(fs, s"$tmp/_bkt=$k", s"$path/_bkt=$k", s"$oldBase/_bkt=$k")
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      fs.delete(new org.apache.hadoop.fs.Path(oldBase), true)
     }
+    val dirs = current.map(_.dirs).getOrElse(Map.empty) ++
+      affected.map(k => k -> s"b$k-g$gen")
+    val retiredNow = current.toSeq.flatMap(m =>
+      affected.toSeq.flatMap(m.dirs.get))
+    Manifest.commit(fs, path, Manifest(gen, nBkt, dirs, retiredNow))
+    // one-generation grace: delete what the PREVIOUS generation retired
+    // (no current reader can hold a manifest that references it), plus
+    // manifests older than the previous generation
+    current.foreach { m =>
+      m.retired.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(path, d), true))
+      fs.delete(new org.apache.hadoop.fs.Path(Manifest.logDir(path), s"manifest-${m.gen - 1}"), false)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     fs.delete(new org.apache.hadoop.fs.Path(delta), true)
   }
 

@@ -109,28 +109,74 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("mergeIntoKeyedParquet rewrites ONLY the buckets the delta touches") {
+    import graft.sources.Sinks.Manifest
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val initial = (0 until 200).map(i => (s"key$i", i.toLong)).toDF("k", "n")
     Sinks.mergeIntoKeyedParquet(initial, "k", path, buckets = 8)
 
-    def bucketDirs = new java.io.File(path).listFiles()
-      .filter(_.getName.startsWith("_bkt=")).map(d => d.getName -> d.lastModified()).toMap
-    val before = bucketDirs
-    assert(before.size > 1, "expected several bucket directories")
+    val before = Manifest.latest(fs, path).get
+    assert(before.dirs.size > 1, "expected several bucket directories")
+    assert(before.dirs.values.forall(d => new java.io.File(path, d).isDirectory))
 
-    Thread.sleep(1100) // directory mtime granularity
     val delta = Seq(("key7", 999L)).toDF("k", "n")
     Sinks.mergeIntoKeyedParquet(delta, "k", path, buckets = 8)
-    val after = bucketDirs
+    val after = Manifest.latest(fs, path).get
 
-    val changed = after.filter { case (d, m) => before(d) != m }.keySet
-    assert(changed.size == 1, s"exactly one bucket dir should be swapped, got $changed")
+    // the manifest is the rewrite ledger: exactly one bucket entry moved to
+    // the new generation; every other bucket still points at (and keeps) its
+    // ORIGINAL immutable directory — untouched buckets were never written
+    val changed = after.dirs.filter { case (k, d) => before.dirs(k) != d }
+    assert(changed.size == 1, s"exactly one bucket should move, got $changed")
+    assert(changed.values.forall(_.endsWith(s"-g${after.gen}")))
+    assert(after.retired == Seq(before.dirs(changed.keys.head)),
+      "the replaced directory must be queued for deferred deletion")
 
-    val merged = spark.read.parquet(path).drop("_bkt")
+    val merged = Sinks.readKeyedParquet(spark, path)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged("key7") == 999L, "updated key must carry the new value")
     assert(merged.size == 200 && merged("key8") == 8L, "untouched keys intact")
+  }
+
+  test("manifest publish: a reader mid-flight across a multi-bucket merge sees one whole generation") {
+    import graft.sources.Sinks.Manifest
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-genread").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val initial = (0 until 200).map(i => (s"key$i", 1L)).toDF("k", "n")
+    Sinks.mergeIntoKeyedParquet(initial, "k", path, buckets = 8)
+
+    // a reader resolves generation 1 (manifest + directory list) NOW...
+    val g1Reader = Sinks.readKeyedParquet(spark, path)
+
+    // ...then a merge updates EVERY key (all 8 buckets swap generations).
+    // The per-directory-swap design failed exactly here: the reader could
+    // see bucket 3 new + bucket 7 old. With manifest publish the g1
+    // directories are immutable and still on disk (deferred deletion), so
+    // the in-flight reader materializes the complete OLD generation.
+    Sinks.mergeIntoKeyedParquet(
+      (0 until 200).map(i => (s"key$i", 2L)).toDF("k", "n"), "k", path)
+    val seen = g1Reader.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seen.size == 200 && seen.values.forall(_ == 1L),
+      s"mid-flight reader must see one whole generation, got ${seen.values.toSet}")
+
+    // a NEW reader resolves generation 2 and sees only new values
+    val fresh = Sinks.readKeyedParquet(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fresh.values.forall(_ == 2L))
+
+    // the generation-1 directories die when generation 3 commits (one-
+    // generation grace), and old manifests are pruned with them
+    val g2 = Manifest.latest(fs, path).get
+    assert(g2.retired.nonEmpty)
+    Sinks.mergeIntoKeyedParquet(Seq(("key7", 3L)).toDF("k", "n"), "k", path)
+    g2.retired.foreach(d =>
+      assert(!new java.io.File(path, d).exists(), s"$d must be deleted at gen 3"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_log/manifest-1")),
+      "superseded manifests beyond the grace window must be pruned")
   }
 
   test("compactParquet collapses small files without changing the data") {

@@ -87,7 +87,7 @@ class StreamingSpec extends AnyFunSuite {
     Files.writeString(dir.resolve("f1.txt"), "alpha beta\nalpha gamma delta\n")
     val cfg = JobConfig("wordcount", dir.toString, out)
 
-    def resultMap = spark.read.parquet(out).select("word", "count")
+    def resultMap = Engine.fetchResult(spark, out).select("word", "count")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     val q = Engine.runStreamIncremental(spark, cfg)
