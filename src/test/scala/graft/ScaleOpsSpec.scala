@@ -212,6 +212,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert("""event_type#\d+ = click""".r.findFirstIn(plan).nonEmpty, plan)
   }
 
+  test("AQE splits the skewed partition of a hot-key fact join (skew=true in the executed plan)") {
+    // SCALE.md's relational-spine claim, exercised: a lineitem-shaped fact
+    // table where 90% of rows share one join key concentrates one shuffle
+    // partition; AQE's skew-join rewrite must split it at runtime. The
+    // thresholds are lowered to make a 6k-row corpus exhibit what a 100 TB
+    // join hits at the defaults (256 MB partitions) — the PLAN mechanism is
+    // identical. Broadcast is disabled so the join actually shuffles (the
+    // production fact⋈fact regime; a broadcastable dim side needs no skew
+    // handling in the first place).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+
+      // repartition first: skew split happens along MAP-output boundaries,
+      // and a single small parquet file scans as one map task — splittable
+      // nowhere. Real 100-TB inputs always have many map tasks; 16 here
+      // recreates that precondition.
+      val li = Tables(spark, Sf0001, "lineitem").repartition(16)
+        .withColumn("k", when(col("l_orderkey") % 10 < 9, lit(1L)).otherwise(col("l_orderkey")))
+      val o = Tables(spark, Sf0001, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderdate"))
+      val joined = li.join(o, "k")
+      // drive THIS DataFrame's QueryExecution (count() would plan a fresh
+      // one and leave joined.queryExecution at isFinalPlan=false)
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot partition's SMJ skew=true:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with no exchange (co-located sort-merge join)") {
     // a previous JVM's managed-table directories survive on disk while the
     // in-memory catalog does not — clear both before writing

@@ -168,6 +168,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental mode strips ONLY the trailing presentation sort; a semantic top-k sort fails loudly") {
+    // Contract of Engine.runStreamIncremental's plan surgery: the sort it
+    // peels is the pipeline-final presentation orderBy (possibly under
+    // trailing Projects/aliases). A Sort UNDER a Limit is top-k — semantic,
+    // not presentation — and must be left in place so update mode rejects
+    // the query loudly rather than have the engine silently change results.
+    OperationRegistry.register("wc_top5", (corpus, faithful) =>
+      graft.operators.TextPipelines.wordCount(corpus, faithful)
+        .orderBy(col("count").desc).limit(5))
+    val dir = Files.createTempDirectory("graft-inc-topk")
+    Files.writeString(dir.resolve("a.txt"), "alpha beta\n")
+    val out = Files.createTempDirectory("graft-inc-topk-out").toString + "/r"
+    val thrown = intercept[Exception] {
+      val q = Engine.runStreamIncremental(spark, JobConfig("wc_top5", dir.toString, out))
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(thrown.getMessage.toLowerCase.contains("sort"),
+      s"top-k must be rejected by update mode, got: ${thrown.getMessage}")
+
+    // ...while a pipeline whose top Sort sits under a pure projection is
+    // stripped: the streaming plan must carry NO Sort and run clean
+    OperationRegistry.register("wc_proj", (corpus, faithful) =>
+      graft.operators.TextPipelines.wordCount(corpus, faithful)
+        .select(col("word"), (col("count") * 2).as("doubled")))
+    val out2 = Files.createTempDirectory("graft-inc-proj-out").toString + "/r"
+    val q2 = Engine.runStreamIncremental(spark, JobConfig("wc_proj", dir.toString, out2))
+    try {
+      q2.processAllAvailable()
+      val rows = Engine.fetchResult(spark, out2)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("alpha" -> 2L, "beta" -> 2L), rows.toString)
+    } finally q2.stop()
+  }
+
   test("incremental merge handles the invertedindex operation (array values)") {
     val dir = Files.createTempDirectory("graft-inc-idx")
     val out = Files.createTempDirectory("graft-inc-idx-out").toString + "/idx"
