@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR (or the directory given as the first argument —
+  * e.g. the 10× `.localdata/sf1` replica `graft.ScaleData` builds) and
+  * prints ONE JSON line with per-query seconds, so scaling evidence is
+  * the same machine-checkable artifact at every SF.
   *
   * Queries are forced through the `noop` sink rather than `.count()` —
   * count() lets Catalyst prune all projections away, which would benchmark
@@ -11,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = EngineSession.local(cpus, "graft-bench")
 
