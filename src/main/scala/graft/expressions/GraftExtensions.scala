@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"dot_product expects exactly 2 arguments, got ${children.size}")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("hex_msb_mask"),
+      new ExpressionInfo(classOf[HexMsbMask].getName, "hex_msb_mask"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => HexMsbMask(c)
+        case _ => throw new IllegalArgumentException(
+          s"hex_msb_mask expects exactly 1 argument, got ${children.size}")
+      }))
     // upgrade hand-composed regex cleanup chains to the native expression
     ext.injectOptimizerRule(_ => graft.plans.CleanupChainRule)
   }

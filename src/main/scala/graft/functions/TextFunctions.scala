@@ -61,6 +61,15 @@ object TextFunctions {
   def cleanLineRegex(c: Column): Column =
     asciiOnly(lower(trimWs(stripPunct(c))))
 
+  /** INT mask of "hex digit >= '8'" over the first 32 chars (bit 31-i for
+    * char i) — the native SimHash kernel ([[graft.expressions.HexMsbMask]]);
+    * see its scaladoc for the parity argument vs the substring form.
+    */
+  def hexMsbMask(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.HexMsbMask(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** Whitespace tokenize matching Python `str.split()`: runs of whitespace,
     * empty tokens dropped.
     */

@@ -85,17 +85,31 @@ object DedupQueries {
     * Integer form matters at scale: hamming distance between two sketches
     * is one codegen'd `bit_count(a ^ b)` instead of 64 substring compares,
     * and band keys are shift/mask arithmetic instead of string slicing.
+    *
+    * The per-token digit predicate goes through the native
+    * [[graft.expressions.HexMsbMask]]: the two md5 hex strings are packed
+    * into one LONG per token (a digit >= '8' is its nibble's high bit),
+    * and the 64 majority-vote sums become shift/mask arithmetic on that
+    * word — replacing 64 `substring(...) >= '8'` string compares per
+    * token in the aggregate's hot loop. Values are bit-identical to the
+    * substring form (HexMsbMaskProps fuzz) so the DuckDB oracle, which
+    * keeps the substring spelling, still hash-matches.
     */
   private def simhashTable(s: SparkSession, dir: String): DataFrame = {
-    val sums = (0 until BITS).map { j =>
-      val h = if (j < 32) md5(col("w")) else md5(concat(lit("x:"), col("w")))
-      val d = if (j < 32) j + 1 else j - 31
-      sum(when(substring(h, d, 1) >= "8", 1).otherwise(0)).as(s"s$j")
-    } :+ count(lit(1)).as("n")
+    import graft.functions.TextFunctions.hexMsbMask
+    // digit i of md5(w) ↔ packed bit 63-i; digit i of md5('x:'||w) ↔
+    // packed bit 31-i — so sig bit 63-j reads packed bit 63-j for ALL j
+    val packed = shiftleft(hexMsbMask(md5(col("w"))).cast("long"), 32)
+      .bitwiseOR(hexMsbMask(md5(concat(lit("x:"), col("w")))).cast("long")
+        .bitwiseAND(lit(0xFFFFFFFFL)))
+    val sums = (0 until BITS).map(j =>
+      sum(shiftright(col("bits"), 63 - j).bitwiseAND(lit(1L))).as(s"s$j")) :+
+      count(lit(1)).as("n")
     val sigInt = (0 until BITS).map(j =>
       when(col(s"s$j") * 2 >= col("n"), lit(1L << (63 - j))).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
     tokenTable(s, dir)
+      .withColumn("bits", packed)
       .groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), sigInt.cast("long").as("sig"))
