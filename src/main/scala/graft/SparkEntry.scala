@@ -21,6 +21,7 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (TextAnalysisQueries.queries, TextAnalysisQueries.oracles),
+      (CurationQueries.queries, CurationQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles)
     )
 

@@ -18,14 +18,40 @@ import org.apache.spark.sql.functions._
 object TextAnalysisQueries {
 
   /** language -> stopword list for the n-gram/stopword-count heuristic. */
-  private val Stopwords: Seq[(String, Seq[String])] = Seq(
+  private[queries] val Stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
     "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu"),
     "fr" -> Seq("le", "la", "les", "et", "un", "est", "dans"),
     "es" -> Seq("el", "los", "las", "y", "una", "es", "que"))
 
-  private def stopCount(toks: Column, words: Seq[String]): Column =
+  private[queries] def stopCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** The text_quality score as a reusable expression over a raw text
+    * column — also the ranking signal for [[CurationQueries]]. NULL for
+    * tokenless docs (0/0); both consumers mirror that in their oracles.
+    */
+  private[queries] def qualityExpr(text: Column): Column = {
+    val toks = tokens(cleanLine(text))
+    val nTok = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    val nAlpha = length(regexp_replace(text, "[^a-z]", "")).cast("long")
+    val nStop = stopCount(toks, Stopwords.flatMap(_._2)).cast("long")
+    (nAlpha / nChars) * 0.5 + (nStop / nTok) * 0.25 +
+      least(nTok / lit(50.0), lit(1.0)) * 0.25
+  }
+
+  /** DuckDB mirror of [[qualityExpr]] applied to column `text`. */
+  private[queries] def qualitySqlExpr: String = {
+    val toksClean = tokensSql(cleanLineSql("text"))
+    val inList = Stopwords.flatMap(_._2).map(w => s"'$w'").mkString(",")
+    val nStop = s"len(list_filter($toksClean, x -> x IN ($inList)))"
+    s"""(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+       |   / CAST(length(text) AS BIGINT)) * 0.5
+       | + (CAST($nStop AS BIGINT)
+       |   / CAST(len($toksClean) AS BIGINT)) * 0.25
+       | + LEAST(CAST(len($toksClean) AS BIGINT) / 50.0, 1.0) * 0.25""".stripMargin
+  }
 
   /** BPE-ish token regex: letter runs, digit runs, single other symbols.
     * Whitespace as an explicit class (`\s` differs between Java and RE2

@@ -181,6 +181,50 @@ class QueriesSpec extends AnyFunSuite {
     assert(mp == Set((1L, 2L), (2L, 1L)), s"multi-probe must recover it; got $mp")
   }
 
+  test("doc_chunks: stride/window geometry, tail kept, chunks reassemble the doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunks").toString
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    Seq((1L, text, "en", "synth", 0L), (2L, "", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val rows = SparkEntry.queries("doc_chunks")(spark, dir)
+      .select("doc_id", "chunk_id", "chunk", "n_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    // empty doc -> no chunks; 60 tokens, window 32 stride 24 -> 3 chunks
+    assert(rows.forall(_._1 == 1L) && rows.length == 3)
+    assert(rows.map(_._4).toSeq == Seq(32, 32, 12), "window fills, tail keeps the remainder")
+    assert(rows(0)._3.startsWith("w1 w2 ") && rows(2)._3.endsWith(" w60"))
+    // consecutive chunks overlap by window - stride = 8 tokens
+    val (c0, c1) = (rows(0)._3.split(" "), rows(1)._3.split(" "))
+    assert(c0.takeRight(8).sameElements(c1.take(8)))
+    // stride-spaced prefixes reassemble the document exactly
+    val reassembled = rows.map(_._3.split(" ").take(24)).flatten
+      .take(60 - 12) ++ rows.last._3.split(" ")
+    assert(reassembled.length >= 60 && (1 to 60).map(i => s"w$i").forall(reassembled.contains))
+  }
+
+  test("curation_topk agrees with the quality ranking and plans map-side") {
+    import spark.implicits._
+    val top = SparkEntry.queries("curation_topk")(spark, Sf0001)
+      .select("lang", "rank", "doc_id").as[(String, Int, Long)].collect()
+    // rank-1 of each stratum must be that stratum's argmax in text_quality
+    val quality = SparkEntry.queries("text_quality")(spark, Sf0001)
+      .select("doc_id", "quality").as[(Long, Option[Double])].collect()
+      .collect { case (id, Some(q)) => id -> q }.toMap
+    val langOf = Tables(spark, Sf0001, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    top.filter(_._2 == 1).foreach { case (lang, _, docId) =>
+      val best = quality.filter { case (id, _) => langOf(id) == lang }
+        .minBy { case (id, q) => (-q, id) }._1
+      assert(docId == best, s"rank-1 of $lang must be the quality argmax")
+    }
+    val plan = SparkEntry.queries("curation_topk")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk"),
+      s"curation must prune map-side like the ANN queries:\n$plan")
+  }
+
   test("result is invariant to input partitioning") {
     val docs = Tables(spark, Sf0001, "documents")
     val base = docs
