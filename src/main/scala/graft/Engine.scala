@@ -198,9 +198,13 @@ object Engine {
   def fetchResult(spark: SparkSession, resultPath: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(resultPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val isKeyedParquet = fs.exists(p) &&
-      fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_log"))
-    if (isKeyedParquet) Sinks.readKeyedParquet(spark, resultPath)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_log")))
+      Sinks.readKeyedParquet(spark, resultPath)
+    else if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("_bkt=")))
+      // pre-manifest layout (upgraded in place by the next merge): the
+      // bucket id is a partition column here, not data
+      spark.read.parquet(resultPath).drop("_bkt")
     else spark.read.json(resultPath)
   }
 

@@ -33,16 +33,23 @@ object CurationQueries {
   private val TopN = 3         // docs kept per language stratum
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- sliding-window chunking: ceil(n/stride) chunks per doc ----
-    // The token array is bound ONCE via the single-element transform
-    // (shingles3's pattern): HOF lambdas re-evaluate embedded non-lambda
-    // subexpressions per element, so inlining tokens(...) would
-    // re-tokenize the document once per chunk.
+    // ---- sliding-window chunking ----
+    // Chunk count is the standard 1 + ceil((n - window)/stride) for
+    // n > window, else 1: windows stop once one reaches the end of the
+    // document — the naive ceil(n/stride) emits a final chunk that is a
+    // strict SUBSET of its predecessor whenever n mod stride lands inside
+    // the previous window's tail, double-counting tail tokens in the
+    // training batches. The token array is bound ONCE via the
+    // single-element transform (shingles3's pattern): HOF lambdas
+    // re-evaluate embedded non-lambda subexpressions per element, so
+    // inlining tokens(...) would re-tokenize the document once per chunk.
     "doc_chunks" -> ((s, dir) => {
       val chunks = element_at(transform(array(tokens(col("text"))), tv =>
         when(size(tv) > 0,
           transform(
-            sequence(lit(0), ceil(size(tv) / lit(Stride.toDouble)).cast("int") - 1),
+            sequence(lit(0),
+              when(size(tv) <= ChunkSize, lit(0))
+                .otherwise(ceil((size(tv) - ChunkSize) / lit(Stride.toDouble)).cast("int"))),
             i => struct(
               concat_ws(" ", slice(tv, i * Stride + 1, lit(ChunkSize))).as("chunk"),
               least(lit(ChunkSize), size(tv) - i * Stride).as("n_tokens"))))
@@ -98,9 +105,12 @@ object CurationQueries {
   def oracles: Map[String, String] = Map(
     "doc_chunks" -> {
       val tv = tokensSql("text")
+      val nChunks = s"""CASE WHEN len(tv) = 0 THEN 0
+         |  WHEN len(tv) <= $ChunkSize THEN 1
+         |  ELSE 1 + CAST(ceil((len(tv) - $ChunkSize) / ${Stride.toDouble}) AS BIGINT) END"""
+        .stripMargin
       s"""WITH t AS (SELECT doc_id, $tv AS tv FROM documents),
-         |e AS (SELECT doc_id, tv,
-         |        unnest(range(CAST(ceil(len(tv) / ${Stride.toDouble}) AS BIGINT))) AS chunk_id
+         |e AS (SELECT doc_id, tv, unnest(range($nChunks)) AS chunk_id
          |      FROM t)
          |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
          |  array_to_string(tv[chunk_id * $Stride + 1 : least(chunk_id * $Stride + $ChunkSize, len(tv))], ' ') AS chunk,

@@ -86,19 +86,18 @@ object TextAnalysisQueries {
     }),
 
     // ---- quality score: alpha/stopword ratios + length fit ----
+    // The composite score is [[qualityExpr]] — the same expression
+    // curation_topk ranks by, factored so the two can never drift.
     "text_quality" -> ((s, dir) => {
       val toks = tokens(cleanLine(col("text")))
       val nTok = size(toks).cast("long")
       val nChars = length(col("text")).cast("long")
       val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
       val nStop = stopCount(toks, Stopwords.flatMap(_._2)).cast("long")
-      val alphaRatio = nAlpha / nChars
-      val stopRatio = nStop / nTok
-      val lenFit = least(nTok / lit(50.0), lit(1.0))
       Tables(s, dir, "documents")
         .select(col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
-          alphaRatio.as("alpha_ratio"), stopRatio.as("stopword_ratio"),
-          (alphaRatio * 0.5 + stopRatio * 0.25 + lenFit * 0.25).as("quality"))
+          (nAlpha / nChars).as("alpha_ratio"), (nStop / nTok).as("stopword_ratio"),
+          qualityExpr(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -208,18 +207,17 @@ object TextAnalysisQueries {
 
       "text_quality" -> {
         val allStop = Stopwords.flatMap(_._2)
-        s"""SELECT doc_id, n_tokens, n_chars,
-           |  n_alpha / n_chars AS alpha_ratio,
-           |  n_stop / n_tokens AS stopword_ratio,
-           |  (n_alpha / n_chars) * 0.5 + (n_stop / n_tokens) * 0.25
-           |    + LEAST(n_tokens / 50.0, 1.0) * 0.25 AS quality
-           |FROM (
-           |  SELECT doc_id,
-           |    CAST(len(toks) AS BIGINT) AS n_tokens,
-           |    CAST(length(text) AS BIGINT) AS n_chars,
-           |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
-           |    CAST(${stopSql("toks", allStop)} AS BIGINT) AS n_stop
-           |  FROM (SELECT doc_id, text, $toksClean AS toks FROM documents))
+        // components spelled out; the composite column is the shared
+        // [[qualitySqlExpr]] (same fragment curation_topk ranks by)
+        s"""SELECT doc_id,
+           |  CAST(len($toksClean) AS BIGINT) AS n_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+           |    / CAST(length(text) AS BIGINT) AS alpha_ratio,
+           |  CAST(${stopSql(toksClean, allStop)} AS BIGINT)
+           |    / CAST(len($toksClean) AS BIGINT) AS stopword_ratio,
+           |  $qualitySqlExpr AS quality
+           |FROM documents
            |ORDER BY doc_id""".stripMargin
       },
 

@@ -67,10 +67,9 @@ object Sinks {
     * a manifest/pointer file instead of directory swap.
     */
   private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
-      staged: String, target: String, oldLocation: String = null): Unit = {
+      staged: String, target: String): Unit = {
     val t = new org.apache.hadoop.fs.Path(target)
-    val old = new org.apache.hadoop.fs.Path(
-      if (oldLocation != null) oldLocation else target + ".old")
+    val old = new org.apache.hadoop.fs.Path(target + ".old")
     fs.delete(old, true)
     val hadTarget = fs.exists(t)
     if (hadTarget && !fs.rename(t, old))
@@ -206,25 +205,48 @@ object Sinks {
     // plan (persist() does not reliably intercept it). One write = one
     // execution; the staged delta is tiny (changed keys only) and doubles
     // as the merge's scan source.
+    val root = new org.apache.hadoop.fs.Path(path)
     val current = Manifest.latest(fs, path)
     val nBkt = current.map(_.buckets).getOrElse(buckets)
-    val delta = path + ".delta"
+    // one-time migration: a table written by the pre-manifest layout
+    // (_bkt= partition dirs, no _graft_log) is folded whole into
+    // generation 1 — without this, its accumulated keys would silently
+    // vanish behind a fresh manifest that never references them
+    val legacyBuckets: Seq[Int] =
+      if (current.isEmpty && fs.exists(root))
+        fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("_bkt=")).map(_.stripPrefix("_bkt=").toInt).toSeq
+      else Nil
+    // the delta and stage live INSIDE the root as dot-dirs (hidden from
+    // parquet directory readers): a crash leaks nothing outside the table,
+    // and the scan-based GC below reclaims them
+    val delta = s"$path/.delta"
     batch.withColumn("_bkt", pmod(hash(col(keyCol)), lit(nBkt)))
       .write.mode(SaveMode.Overwrite).parquet(delta)
     val b = spark.read.parquet(delta)
-    val affected = b.select("_bkt").distinct()
-      .collect().map(_.getInt(0)).sorted // ≤ `buckets` values, driver-safe
-    if (affected.isEmpty) {
+    val deltaBuckets = b.select("_bkt").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ `buckets` values, driver-safe
+    if (deltaBuckets.isEmpty && legacyBuckets.isEmpty) {
       // empty trigger: publishing a row-less table would poison every
-      // later read ('unable to infer schema') — leave no trace
+      // later read ('unable to infer schema') — leave no trace, including
+      // the root the in-root delta just created on a fresh table
       fs.delete(new org.apache.hadoop.fs.Path(delta), true)
+      if (current.isEmpty && fs.exists(root) && fs.listStatus(root).isEmpty)
+        fs.delete(root, false)
       return
     }
+    val affected = (deltaBuckets ++ legacyBuckets).distinct.sorted
     val gen = current.map(_.gen + 1).getOrElse(1L)
     val merged = current match {
+      case None if legacyBuckets.nonEmpty =>
+        // legacy partition discovery rebuilds _bkt from the dir names
+        val legacy = spark.read.parquet(path)
+        legacy
+          .join(b.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(b.select(legacy.columns.map(col): _*))
       case None => b
       case Some(m) =>
-        val existingDirs = affected.toSeq.flatMap(m.dirs.get).map(d => s"$path/$d")
+        val existingDirs = affected.flatMap(m.dirs.get).map(d => s"$path/$d")
         if (existingDirs.isEmpty) b
         else {
           // per-generation dirs store no _bkt column (partitionBy strips
@@ -239,7 +261,7 @@ object Sinks {
     // one job writes every affected bucket; dirs are renamed into their
     // generation names BEFORE the manifest commit, so readers never see
     // a name they can't read yet
-    val stage = path + s".stage-g$gen"
+    val stage = s"$path/.stage-g$gen"
     merged.write.mode(SaveMode.Overwrite).partitionBy("_bkt").parquet(stage)
     affected.foreach { k =>
       val d = new org.apache.hadoop.fs.Path(path, s"b$k-g$gen")
@@ -250,24 +272,43 @@ object Sinks {
     if (current.isEmpty) {
       // same sidecar the JSON sink writes, so Engine.lookup resolves the
       // key column of a parquet result too (underscore = invisible to scans)
-      val keyFile = fs.create(
-        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path), "_graft_key"), true)
+      val keyFile = fs.create(new org.apache.hadoop.fs.Path(root, "_graft_key"), true)
       try keyFile.write(keyCol.getBytes("UTF-8")) finally keyFile.close()
     }
     val dirs = current.map(_.dirs).getOrElse(Map.empty) ++
       affected.map(k => k -> s"b$k-g$gen")
-    val retiredNow = current.toSeq.flatMap(m =>
-      affected.toSeq.flatMap(m.dirs.get))
+    val retiredNow = current.toSeq.flatMap(m => affected.flatMap(m.dirs.get))
     Manifest.commit(fs, path, Manifest(gen, nBkt, dirs, retiredNow))
-    // one-generation grace: delete what the PREVIOUS generation retired
-    // (no current reader can hold a manifest that references it), plus
-    // manifests older than the previous generation
-    current.foreach { m =>
-      m.retired.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(path, d), true))
-      fs.delete(new org.apache.hadoop.fs.Path(Manifest.logDir(path), s"manifest-${m.gen - 1}"), false)
+    // migrated legacy dirs are unreferenced by any manifest — drop them now
+    legacyBuckets.foreach(k =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"_bkt=$k"), true))
+    // Scan-based GC, not a retired-list walk: everything in the root that
+    // neither the NEW manifest nor the PREVIOUS one references (readers
+    // get a one-generation grace) is garbage — including directories a
+    // crashed run left behind at ANY earlier generation, which a
+    // one-step-back cleanup would orphan forever. One listStatus of the
+    // table root per trigger.
+    val DataDir = "^b\\d+-g\\d+$".r
+    val keep = dirs.values.toSet ++ current.toSeq.flatMap(_.dirs.values)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        (DataDir.findFirstIn(n).isDefined && !keep.contains(n)) ||
+          (n.startsWith(".stage-g") &&
+            n.stripPrefix(".stage-g").toLongOption.exists(_ <= gen)) ||
+          n == ".delta" ||
+          // a crash after commit but before the explicit legacy deletion
+          // above leaves _bkt= dirs behind; once ANY manifest exists they
+          // are unreferenced by definition
+          n.startsWith("_bkt=")
+      if (stale) fs.delete(st.getPath, true)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    fs.delete(new org.apache.hadoop.fs.Path(delta), true)
+    fs.listStatus(Manifest.logDir(path)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("manifest-") &&
+          n.stripPrefix("manifest-").toLongOption.exists(_ < gen - 1))
+        fs.delete(st.getPath, false)
+    }
   }
 
   /** Byte-format parity artifact: the result as ONE pretty-printed JSON

@@ -185,14 +185,20 @@ class QueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chunks").toString
     val text = (1 to 60).map(i => s"w$i").mkString(" ")
-    Seq((1L, text, "en", "synth", 0L), (2L, "", "en", "synth", 0L))
+    val exactFit = (1 to 32).map(i => s"x$i").mkString(" ")
+    Seq((1L, text, "en", "synth", 0L), (2L, "", "en", "synth", 0L),
+        (3L, exactFit, "en", "synth", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(dir + "/documents.parquet")
-    val rows = SparkEntry.queries("doc_chunks")(spark, dir)
+    val all = SparkEntry.queries("doc_chunks")(spark, dir)
       .select("doc_id", "chunk_id", "chunk", "n_tokens")
       .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    // a doc that fits one window gets exactly ONE chunk — ceil(n/stride)
+    // would emit a second chunk that is a strict subset of the first
+    assert(all.count(_._1 == 3L) == 1, "exact-fit doc must not grow a redundant tail chunk")
+    val rows = all.filter(_._1 == 1L)
     // empty doc -> no chunks; 60 tokens, window 32 stride 24 -> 3 chunks
-    assert(rows.forall(_._1 == 1L) && rows.length == 3)
+    assert(rows.length == 3 && !all.exists(_._1 == 2L))
     assert(rows.map(_._4).toSeq == Seq(32, 32, 12), "window fills, tail keeps the remainder")
     assert(rows(0)._3.startsWith("w1 w2 ") && rows(2)._3.endsWith(" w60"))
     // consecutive chunks overlap by window - stride = 8 tokens

@@ -140,6 +140,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(merged.size == 200 && merged("key8") == 8L, "untouched keys intact")
   }
 
+  test("a pre-manifest (_bkt= partitioned) table is migrated whole into generation 1") {
+    import graft.sources.Sinks.Manifest
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod, hash => sqlHash}
+    // build the OLD layout by hand: _bkt= partition dirs + _graft_key
+    val path = java.nio.file.Files.createTempDirectory("graft-legacy").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0 until 100).map(i => (s"key$i", i.toLong)).toDF("k", "n")
+      .withColumn("_bkt", pmod(sqlHash(col("k")), lit(8)))
+      .write.partitionBy("_bkt").parquet(path)
+    val keyFile = fs.create(new org.apache.hadoop.fs.Path(path, "_graft_key"), true)
+    try keyFile.write("k".getBytes("UTF-8")) finally keyFile.close()
+
+    // the legacy table must still read through fetchResult (pre-upgrade path)
+    assert(Engine.fetchResult(spark, path).count() == 100)
+
+    // first manifest-era merge folds EVERY legacy bucket into generation 1
+    Sinks.mergeIntoKeyedParquet(Seq(("key7", 999L), ("newkey", 1L)).toDF("k", "n"),
+      "k", path, buckets = 8)
+    val m = Manifest.latest(fs, path).get
+    assert(m.gen == 1L)
+    val merged = Sinks.readKeyedParquet(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.size == 101, "all accumulated legacy keys must survive the upgrade")
+    assert(merged("key7") == 999L && merged("key3") == 3L && merged("newkey") == 1L)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(_.getPath.getName.startsWith("_bkt=")),
+      "legacy partition dirs must be dropped once the manifest references generation 1")
+    assert(Engine.fetchResult(spark, path).count() == 101)
+  }
+
   test("manifest publish: a reader mid-flight across a multi-bucket merge sees one whole generation") {
     import graft.sources.Sinks.Manifest
     import spark.implicits._
