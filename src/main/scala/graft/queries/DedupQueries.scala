@@ -115,6 +115,29 @@ object DedupQueries {
       .select(col("doc_id"), sigInt.cast("long").as("sig"))
   }
 
+  /** SimHash near-dup candidate pairs (d1 < d2, Hamming 1–3), shared by
+    * `dedup_simhash_pairs` (the pair list) and `dedup_clusters` (the
+    * connected components over them). See the `dedup_simhash_pairs` entry
+    * for the banding/cap/reuse rationale.
+    */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands0 = simhashTable(s, dir)
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until Bands).map(b =>
+          shiftright(col("sig"), 16 * (Bands - 1 - b)).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "sig", "band", "bval")
+    val hot = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
+      .filter(col("n") > MaxBucket).select("band", "bval")
+    val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
+      .filter(col("hamming").between(1, 3))
+      .dropDuplicates("d1", "d2")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: canonical doc per identical text ----
     "dedup_exact" -> ((s, dir) => {
@@ -215,23 +238,50 @@ object DedupQueries {
     // instead of recomputing the signature aggregation per band; the
     // Hamming ≤ 3 filter runs BEFORE the pair-dedup so the distinct only
     // shuffles survivors.
-    "dedup_simhash_pairs" -> ((s, dir) => {
-      val bands0 = simhashTable(s, dir)
-        .select(col("doc_id"), col("sig"),
-          posexplode(array((0 until Bands).map(b =>
-            shiftright(col("sig"), 16 * (Bands - 1 - b)).bitwiseAND(lit(0xFFFFL))): _*)))
-        .toDF("doc_id", "sig", "band", "bval")
-      val hot = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
-        .filter(col("n") > MaxBucket).select("band", "bval")
-      val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
-        .filter(col("hamming").between(1, 3))
-        .dropDuplicates("d1", "d2")
-        .orderBy("d1", "d2")
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(s, dir).orderBy("d1", "d2")),
+
+    // ---- near-dup CLUSTERS: connected components over the pair graph ----
+    // The end-product of dedup at scale is not a pair list but a cluster
+    // id per document (keep min, drop the rest). Components are computed
+    // by iterative min-label propagation over the simhash pair edges:
+    // each round every doc takes the min label among itself and its
+    // neighbors; a fixpoint is a connected component labeled by its
+    // smallest doc_id. The driver loop runs on CHECKPOINTED iterations
+    // (localCheckpoint truncates the logical plan — without it the plan
+    // doubles per round and re-executes the whole simhash pipeline each
+    // join) and converges in O(diameter) rounds — near-dup clusters are
+    // dense, so single digits in practice; 32 rounds is the loud-failure
+    // bound. Labels are integers, so the fixpoint is exactly reproducible
+    // by the oracle's recursive reachability closure (no float order
+    // sensitivity).
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val pairs = simhashPairs(s, dir).select("d1", "d2").localCheckpoint()
+      val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
+        .localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 32) {
+        val neighborMin = edges.join(labels, edges("d2") === labels("id"))
+          .groupBy(col("d1")).agg(min(col("label")).as("nmin"))
+        val next = labels.join(neighborMin, labels("id") === neighborMin("d1"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .localCheckpoint()
+        // min-label is monotonically decreasing, so the integer label sum
+        // is a convergence certificate (one cheap agg per round)
+        converged = next.agg(sum("label")).head().getLong(0) ==
+          labels.agg(sum("label")).head().getLong(0)
+        labels = next
+        rounds += 1
+      }
+      require(converged, s"dedup_clusters failed to converge in $rounds rounds")
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
     }),
 
     // ---- n-gram Jaccard near-dup pairs (shingle-bucket candidates) ----
@@ -317,6 +367,32 @@ object DedupQueries {
        |  SELECT doc_id, count(*) AS n, $sums FROM ($tokSqlRel) GROUP BY doc_id)""".stripMargin
   }
 
+  /** CTE list producing `pairs(d1, d2, hamming)` — the oracle mirror of
+    * [[simhashPairs]], shared by the pair-list and cluster oracles.
+    * Exploded (band, bval) form so the hot-bucket cap is expressible as
+    * one GROUP BY — the 16-char substring slices are the same buckets as
+    * Spark's shift/mask band values.
+    */
+  private def simhashPairCtes: String = {
+    val ham = (0 until BITS).map(j =>
+      s"(CASE WHEN substring(a.simhash,${j + 1},1) <> substring(b.simhash,${j + 1},1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""sigs AS ($simhashSqlRel),
+       |bands AS (
+       |  SELECT doc_id, simhash, band, substr(simhash, 1 + 16 * band, 16) AS bval
+       |  FROM sigs, (SELECT unnest(range($Bands)) AS band)),
+       |hot AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
+       |cold AS (SELECT * FROM bands bd
+       |         WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                           WHERE h.band = bd.band AND h.bval = bd.bval)),
+       |pairs AS (
+       |  SELECT d1, d2, hamming FROM (
+       |    SELECT DISTINCT a.doc_id d1, b.doc_id d2, CAST($ham AS INT) AS hamming
+       |    FROM cold a JOIN cold b
+       |      ON a.doc_id < b.doc_id AND a.band = b.band AND a.bval = b.bval)
+       |  WHERE hamming BETWEEN 1 AND 3)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_hash,
@@ -368,27 +444,28 @@ object DedupQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_size
          |FROM sigs ORDER BY doc_id""".stripMargin,
 
-    "dedup_simhash_pairs" -> {
-      val ham = (0 until BITS).map(j =>
-        s"(CASE WHEN substring(a.simhash,${j + 1},1) <> substring(b.simhash,${j + 1},1) THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      // Exploded (band, bval) form so the hot-bucket cap is expressible as
-      // one GROUP BY — the 16-char substring slices are the same buckets as
-      // Spark's shift/mask band values.
-      s"""WITH sigs AS ($simhashSqlRel),
-         |bands AS (
-         |  SELECT doc_id, simhash, band, substr(simhash, 1 + 16 * band, 16) AS bval
-         |  FROM sigs, (SELECT unnest(range($Bands)) AS band)),
-         |hot AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
-         |cold AS (SELECT * FROM bands bd
-         |         WHERE NOT EXISTS (SELECT 1 FROM hot h
-         |                           WHERE h.band = bd.band AND h.bval = bd.bval))
-         |SELECT d1, d2, hamming FROM (
-         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2, CAST($ham AS INT) AS hamming
-         |  FROM cold a JOIN cold b
-         |    ON a.doc_id < b.doc_id AND a.band = b.band AND a.bval = b.bval)
-         |WHERE hamming BETWEEN 1 AND 3 ORDER BY d1, d2""".stripMargin
-    },
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashPairCtes
+         |SELECT d1, d2, hamming FROM pairs ORDER BY d1, d2""".stripMargin,
+
+    "dedup_clusters" ->
+      // connected components as a recursive reachability closure: reach
+      // holds every (doc, reachable doc) over the undirected pair edges
+      // (UNION dedupes, so the fixpoint terminates); the component id is
+      // the min reachable doc — exactly the label-propagation fixpoint
+      // the Spark side iterates to.
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY 1)
+         |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh0 AS ($shSqlRel),

@@ -140,6 +140,53 @@ class QueriesSpec extends AnyFunSuite {
       s"hot band buckets must be dropped before the self-join; got $pairs")
   }
 
+  test("dedup_clusters equals an independent union-find over the pair graph; chains propagate") {
+    import spark.implicits._
+    // independent algorithm cross-check at sf0.001: Scala union-find over
+    // the emitted pairs must produce the same components as the iterative
+    // min-label propagation (and the oracle's recursive closure)
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, Sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val docs = Tables(spark, Sf0001, "documents")
+      .select("doc_id").as[Long].collect()
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs.map(d => d -> find(d)).toMap
+    val got = SparkEntry.queries("dedup_clusters")(spark, Sf0001)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got == expected, "components must match an independent union-find")
+
+    // crafted transitive chain: B is within Hamming 3 of both A and C,
+    // but A and C are farther apart — the cluster {A,B,C} only forms if
+    // the label propagates THROUGH B (multi-round convergence)
+    val t1 = (0 until 60).map(i => f"w$i%02d").mkString(" ")
+    def corpusFor(extra: String) = Seq(
+      (1L, t1, "en", "synth", 0L), (2L, t1 + " aac", "en", "synth", 0L),
+      (3L, t1 + " aac " + extra, "en", "synth", 0L))
+    val candidates = Seq("aaa", "aab", "aad", "aae", "aaf", "aag", "aah", "aai",
+      "aaj", "aak", "aal", "aam", "aan", "aao", "aap", "aaq", "aar", "aas")
+    val chain = candidates.view.map { extra =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-chain").toString
+      corpusFor(extra).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(dir + "/documents.parquet")
+      val es = SparkEntry.queries("dedup_simhash_pairs")(spark, dir)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      (dir, es)
+    }.find { case (_, es) =>
+      es.contains((1L, 2L)) && es.contains((2L, 3L)) && !es.contains((1L, 3L))
+    }
+    assert(chain.nonEmpty, "no candidate token produced an A-B-C chain; widen the list")
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, chain.get._1)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(clusters == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)),
+      s"chain must collapse into one cluster via B; got $clusters")
+  }
+
   test("embedding/ann_lsh hot-bucket caps fire; cold buckets still match") {
     // 120 vectors share one sign bucket (all dims positive, label 0) →
     // bucket size 120 > MaxBucket → dropped in both dedup_embedding
