@@ -259,8 +259,16 @@ object DedupQueries {
       val docs = Tables(s, dir, "documents").select(col("doc_id"))
       val pairs = simhashPairs(s, dir).select("d1", "d2").localCheckpoint()
       val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
+      // iterate over PAIRED docs only — singletons can never change label,
+      // and they dominate the corpus (the iteration working set is the
+      // pair-graph vertex set, orders of magnitude smaller than the docs)
+      var labels = edges.select(col("d1").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
         .localCheckpoint()
+      // min-label is monotonically decreasing, so the integer label sum is
+      // a convergence certificate — one agg per round, previous round's
+      // value carried forward instead of recomputed
+      var prevSum = labels.agg(sum("label")).head().getLong(0)
       var converged = false
       var rounds = 0
       while (!converged && rounds < 32) {
@@ -269,18 +277,18 @@ object DedupQueries {
         val next = labels.join(neighborMin, labels("id") === neighborMin("d1"), "left")
           .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
           .localCheckpoint()
-        // min-label is monotonically decreasing, so the integer label sum
-        // is a convergence certificate (one cheap agg per round)
-        converged = next.agg(sum("label")).head().getLong(0) ==
-          labels.agg(sum("label")).head().getLong(0)
+        val nextSum = next.agg(sum("label")).head().getLong(0)
+        converged = nextSum == prevSum
+        prevSum = nextSum
         labels = next
         rounds += 1
       }
       require(converged, s"dedup_clusters failed to converge in $rounds rounds")
-      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "label")
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-          col("cluster_size"))
+      val full = docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      val sizes = full.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      full.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
     }),
 
