@@ -17,6 +17,25 @@ class EngineSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("gzip-compressed corpus files read transparently (crawl-dump format)") {
+    // real crawl corpora arrive as .txt.gz / .warc.gz; spark.read.text
+    // decompresses by extension, so the whole engine surface works on
+    // compressed input unchanged — pinned here so a CorpusReader rewrite
+    // cannot silently drop it. (Gzip is not splittable: one file = one
+    // task, so a 100-TB corpus wants many files, not one big archive.)
+    val dir = Files.createTempDirectory("graft-gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("a.txt.gz")))
+    try gz.write("Hello, world!\nhello again.\n".getBytes("UTF-8")) finally gz.close()
+    Files.writeString(dir.resolve("b.txt"), "the world spins\n") // mixed plain+gz
+    val out = Files.createTempDirectory("graft-gz-out").toString + "/wc"
+    Engine.run(spark, JobConfig("wordcount", dir.toString, out))
+    val counts = Engine.fetchResult(spark, out)
+      .collect().map(r => r.getAs[String]("word") -> r.getAs[Long]("count")).toMap
+    assert(counts == Map("hello" -> 2L, "world" -> 2L, "again" -> 1L,
+      "the" -> 1L, "spins" -> 1L), counts.toString)
+  }
+
   test("pretty sink is byte-identical to json.dump(dict(sorted(...)), indent=4)") {
     // golden strings produced by CPython's json.dumps(obj, indent=4);
     // doc-list order inside values is this engine's deterministic sorted
