@@ -267,9 +267,14 @@ object DedupQueries {
         .localCheckpoint()
       // min-label is monotonically decreasing, so the integer label sum is
       // a convergence certificate — one agg per round, previous round's
-      // value carried forward instead of recomputed
-      var prevSum = labels.agg(sum("label")).head().getLong(0)
-      var converged = false
+      // value carried forward instead of recomputed. The sum is coalesced:
+      // sum() over an EMPTY frame is NULL (a clean corpus with zero
+      // near-dup pairs), and the loop must fall through to all-singletons
+      // instead of throwing on the null.
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = labels.isEmpty
       var rounds = 0
       while (!converged && rounds < 32) {
         val neighborMin = edges.join(labels, edges("d2") === labels("id"))
@@ -277,18 +282,22 @@ object DedupQueries {
         val next = labels.join(neighborMin, labels("id") === neighborMin("d1"), "left")
           .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
           .localCheckpoint()
-        val nextSum = next.agg(sum("label")).head().getLong(0)
+        val nextSum = labelSum(next)
         converged = nextSum == prevSum
         prevSum = nextSum
         labels = next
         rounds += 1
       }
       require(converged, s"dedup_clusters failed to converge in $rounds rounds")
-      val full = docs.join(labels, docs("doc_id") === labels("id"), "left")
-        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      val sizes = full.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-      full.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      // sizes come from the SMALL checkpointed labels frame, not from the
+      // full docs join (which would execute the corpus-wide join twice):
+      // every doc absent from `labels` has no edge, hence cluster size 1
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      val labeled = labels.join(sizes, "label")
+      docs.join(labeled, docs("doc_id") === labeled("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          coalesce(col("sz"), lit(1L)).as("cluster_size"))
         .orderBy("doc_id")
     }),
 

@@ -212,10 +212,10 @@ object Sinks {
     // (_bkt= partition dirs, no _graft_log) is folded whole into
     // generation 1 — without this, its accumulated keys would silently
     // vanish behind a fresh manifest that never references them
-    val legacyBuckets: Seq[Int] =
+    val legacyDirs: Seq[String] =
       if (current.isEmpty && fs.exists(root))
         fs.listStatus(root).map(_.getPath.getName)
-          .filter(_.startsWith("_bkt=")).map(_.stripPrefix("_bkt=").toInt).toSeq
+          .filter(_.startsWith("_bkt=")).toSeq
       else Nil
     // the delta and stage live INSIDE the root as dot-dirs (hidden from
     // parquet directory readers): a crash leaks nothing outside the table,
@@ -226,7 +226,7 @@ object Sinks {
     val b = spark.read.parquet(delta)
     val deltaBuckets = b.select("_bkt").distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ `buckets` values, driver-safe
-    if (deltaBuckets.isEmpty && legacyBuckets.isEmpty) {
+    if (deltaBuckets.isEmpty && legacyDirs.isEmpty) {
       // empty trigger: publishing a row-less table would poison every
       // later read ('unable to infer schema') — leave no trace, including
       // the root the in-root delta just created on a fresh table
@@ -235,12 +235,23 @@ object Sinks {
         fs.delete(root, false)
       return
     }
-    val affected = (deltaBuckets ++ legacyBuckets).distinct.sorted
+    val affected = deltaBuckets.distinct.sorted
     val gen = current.map(_.gen + 1).getOrElse(1L)
     val merged = current match {
-      case None if legacyBuckets.nonEmpty =>
-        // legacy partition discovery rebuilds _bkt from the dir names
-        val legacy = spark.read.parquet(path)
+      case None if legacyDirs.nonEmpty =>
+        // Read the legacy data from its _bkt= dirs EXPLICITLY (basePath
+        // keeps partition discovery rooted): scanning the whole root
+        // would hit 'conflicting directory structures' on replay after a
+        // crash that already renamed some b<k>-g1 dirs in. The dir-name
+        // bucket values are DROPPED and recomputed under this table's
+        // modulus — the legacy layout's bucket count was never recorded,
+        // and trusting it with a different `buckets` argument would strand
+        // stale copies of migrated keys in buckets later merges never
+        // anti-join.
+        val legacy = spark.read.option("basePath", path)
+          .parquet(legacyDirs.map(d => s"$path/$d"): _*)
+          .drop("_bkt")
+          .withColumn("_bkt", pmod(hash(col(keyCol)), lit(nBkt)))
         legacy
           .join(b.select(keyCol), Seq(keyCol), "left_anti")
           .unionByName(b.select(legacy.columns.map(col): _*))
@@ -260,10 +271,16 @@ object Sinks {
     }
     // one job writes every affected bucket; dirs are renamed into their
     // generation names BEFORE the manifest commit, so readers never see
-    // a name they can't read yet
+    // a name they can't read yet. The rename set is what the write
+    // ACTUALLY produced: during migration the recomputed modulus can land
+    // legacy rows in any bucket (and leave others empty), so the stage
+    // listing — not the delta's bucket set — is the ground truth.
     val stage = s"$path/.stage-g$gen"
     merged.write.mode(SaveMode.Overwrite).partitionBy("_bkt").parquet(stage)
-    affected.foreach { k =>
+    val written = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath.getName).filter(_.startsWith("_bkt="))
+      .map(_.stripPrefix("_bkt=").toInt).sorted
+    written.foreach { k =>
       val d = new org.apache.hadoop.fs.Path(path, s"b$k-g$gen")
       fs.delete(d, true) // crash-replay leftover from an uncommitted run
       if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stage/_bkt=$k"), d))
@@ -276,12 +293,21 @@ object Sinks {
       try keyFile.write(keyCol.getBytes("UTF-8")) finally keyFile.close()
     }
     val dirs = current.map(_.dirs).getOrElse(Map.empty) ++
-      affected.map(k => k -> s"b$k-g$gen")
-    val retiredNow = current.toSeq.flatMap(m => affected.flatMap(m.dirs.get))
+      written.map(k => k -> s"b$k-g$gen")
+    val retiredNow = current.toSeq.flatMap(m => written.flatMap(m.dirs.get))
     Manifest.commit(fs, path, Manifest(gen, nBkt, dirs, retiredNow))
-    // migrated legacy dirs are unreferenced by any manifest — drop them now
-    legacyBuckets.foreach(k =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"_bkt=$k"), true))
+    // migration also reclaims the PREVIOUS layout's external crash
+    // leftovers (the old code staged in sibling dirs: .delta, .oldbkt,
+    // .stage-gN next to the root) — nothing else ever deletes them
+    if (legacyDirs.nonEmpty && root.getParent != null && fs.exists(root.getParent)) {
+      val base = root.getName
+      fs.listStatus(root.getParent).foreach { st =>
+        val n = st.getPath.getName
+        if (n == s"$base.delta" || n == s"$base.oldbkt" || n == s"$base.inprogress" ||
+            n.startsWith(s"$base.stage-g"))
+          fs.delete(st.getPath, true)
+      }
+    }
     // Scan-based GC, not a retired-list walk: everything in the root that
     // neither the NEW manifest nor the PREVIOUS one references (readers
     // get a one-generation grace) is garbage — including directories a

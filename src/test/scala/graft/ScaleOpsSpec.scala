@@ -157,11 +157,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     // the legacy table must still read through fetchResult (pre-upgrade path)
     assert(Engine.fetchResult(spark, path).count() == 100)
 
-    // first manifest-era merge folds EVERY legacy bucket into generation 1
+    // first manifest-era merge folds the whole legacy table into
+    // generation 1 — under a DIFFERENT bucket count than the legacy
+    // layout's 8: the migration must recompute bucket assignment rather
+    // than trust the _bkt= dir names, or later merges would anti-join the
+    // wrong bucket and strand stale copies of migrated keys
     Sinks.mergeIntoKeyedParquet(Seq(("key7", 999L), ("newkey", 1L)).toDF("k", "n"),
-      "k", path, buckets = 8)
+      "k", path, buckets = 16)
     val m = Manifest.latest(fs, path).get
-    assert(m.gen == 1L)
+    assert(m.gen == 1L && m.buckets == 16)
     val merged = Sinks.readKeyedParquet(spark, path)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged.size == 101, "all accumulated legacy keys must survive the upgrade")
@@ -170,6 +174,14 @@ class ScaleOpsSpec extends AnyFunSuite {
         .exists(_.getPath.getName.startsWith("_bkt=")),
       "legacy partition dirs must be dropped once the manifest references generation 1")
     assert(Engine.fetchResult(spark, path).count() == 101)
+
+    // a later merge updating a migrated key must leave exactly ONE copy
+    // (the modulus recompute put it where the anti-join will look)
+    Sinks.mergeIntoKeyedParquet(Seq(("key3", 333L)).toDF("k", "n"), "k", path)
+    val after = Sinks.readKeyedParquet(spark, path)
+      .filter(col("k") === "key3").collect()
+    assert(after.length == 1 && after.head.getLong(1) == 333L,
+      s"migrated key must not be duplicated by a post-migration update; got ${after.toSeq}")
   }
 
   test("manifest publish: a reader mid-flight across a multi-bucket merge sees one whole generation") {
