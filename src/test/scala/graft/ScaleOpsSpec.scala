@@ -184,6 +184,32 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"migrated key must not be duplicated by a post-migration update; got ${after.toSeq}")
   }
 
+  test("migration replay succeeds after a crash that left half-renamed gen-1 dirs") {
+    import graft.sources.Sinks.Manifest
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod, hash => sqlHash}
+    // legacy table + the debris of a migration that died between renaming
+    // b<k>-g1 dirs in and committing the manifest: a whole-root parquet
+    // scan would fail with 'conflicting directory structures' here, so
+    // replay must read the _bkt= dirs explicitly and overwrite the debris
+    val path = java.nio.file.Files.createTempDirectory("graft-crash").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0 until 50).map(i => (s"key$i", i.toLong)).toDF("k", "n")
+      .withColumn("_bkt", pmod(sqlHash(col("k")), lit(8)))
+      .write.partitionBy("_bkt").parquet(path)
+    // fake half-migrated debris: an unpartitioned gen-1 dir with STALE data
+    Seq(("key0", -1L)).toDF("k", "n")
+      .write.parquet(path + "/b3-g1")
+
+    Sinks.mergeIntoKeyedParquet(Seq(("key7", 777L)).toDF("k", "n"), "k", path, buckets = 8)
+    assert(Manifest.latest(fs, path).get.gen == 1L)
+    val merged = Sinks.readKeyedParquet(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.size == 50 && merged("key7") == 777L && merged("key0") == 0L,
+      s"replay must rebuild from the legacy dirs, not the debris; got ${merged.size} keys")
+  }
+
   test("manifest publish: a reader mid-flight across a multi-bucket merge sees one whole generation") {
     import graft.sources.Sinks.Manifest
     import spark.implicits._
