@@ -200,12 +200,23 @@ object Engine {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_log")))
       Sinks.readKeyedParquet(spark, resultPath)
-    else if (fs.exists(p) &&
-        fs.listStatus(p).exists(_.getPath.getName.startsWith("_bkt=")))
-      // pre-manifest layout (upgraded in place by the next merge): the
-      // bucket id is a partition column here, not data
-      spark.read.parquet(resultPath).drop("_bkt")
-    else spark.read.json(resultPath)
+    else {
+      val legacyDirs =
+        if (fs.exists(p))
+          fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("_bkt="))
+        else Array.empty[String]
+      if (legacyDirs.nonEmpty)
+        // pre-manifest layout (upgraded in place by the next merge): the
+        // bucket id is a partition column here, not data. The _bkt= dirs
+        // are read EXPLICITLY — a whole-root scan would fail with
+        // 'conflicting directory structures' in the window where a
+        // crashed migration already renamed some b<k>-g1 dirs in but
+        // never committed a manifest.
+        spark.read.option("basePath", resultPath)
+          .parquet(legacyDirs.sorted.map(d => s"$resultPath/$d").toIndexedSeq: _*)
+          .drop("_bkt")
+      else spark.read.json(resultPath)
+    }
   }
 
   /** PDF Part-2 "Streaming Search" (P7): point lookup of one key in a

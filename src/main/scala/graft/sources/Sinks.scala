@@ -271,15 +271,30 @@ object Sinks {
     }
     // one job writes every affected bucket; dirs are renamed into their
     // generation names BEFORE the manifest commit, so readers never see
-    // a name they can't read yet. The rename set is what the write
-    // ACTUALLY produced: during migration the recomputed modulus can land
-    // legacy rows in any bucket (and leave others empty), so the stage
-    // listing — not the delta's bucket set — is the ground truth.
+    // a name they can't read yet. During migration the rename set is what
+    // the write ACTUALLY produced (the recomputed modulus can land legacy
+    // rows in any bucket and leave others empty — the stage listing is
+    // the ground truth). On a NORMAL merge the two sets must agree: a
+    // stage bucket outside the affected set means some existing dir held
+    // rows whose hash does not match its bucket (a table corrupted by the
+    // old dir-name-trusting migration) — committing it would repoint that
+    // bucket to a strays-only dir and silently drop its other keys, so
+    // fail loudly instead.
     val stage = s"$path/.stage-g$gen"
     merged.write.mode(SaveMode.Overwrite).partitionBy("_bkt").parquet(stage)
-    val written = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
       .map(_.getPath.getName).filter(_.startsWith("_bkt="))
       .map(_.stripPrefix("_bkt=").toInt).sorted
+    val written =
+      if (legacyDirs.nonEmpty) staged.toSeq
+      else {
+        require(staged.toSet == affected.toSet,
+          s"bucket invariant violated: delta touches ${affected.mkString(",")} " +
+            s"but the merge produced ${staged.mkString(",")} — existing dirs hold " +
+            "rows whose key hash does not match their bucket; repair the table " +
+            "before merging")
+        affected
+      }
     written.foreach { k =>
       val d = new org.apache.hadoop.fs.Path(path, s"b$k-g$gen")
       fs.delete(d, true) // crash-replay leftover from an uncommitted run
@@ -292,13 +307,13 @@ object Sinks {
       val keyFile = fs.create(new org.apache.hadoop.fs.Path(root, "_graft_key"), true)
       try keyFile.write(keyCol.getBytes("UTF-8")) finally keyFile.close()
     }
-    val dirs = current.map(_.dirs).getOrElse(Map.empty) ++
-      written.map(k => k -> s"b$k-g$gen")
-    val retiredNow = current.toSeq.flatMap(m => written.flatMap(m.dirs.get))
-    Manifest.commit(fs, path, Manifest(gen, nBkt, dirs, retiredNow))
-    // migration also reclaims the PREVIOUS layout's external crash
+    // Migration also reclaims the PREVIOUS layout's external crash
     // leftovers (the old code staged in sibling dirs: .delta, .oldbkt,
-    // .stage-gN next to the root) — nothing else ever deletes them
+    // .stage-gN next to the root) — nothing else ever deletes them. Runs
+    // BEFORE the manifest commit: a crash after commit would clear
+    // legacyDirs on replay and skip this block forever, while a crash
+    // before it replays the whole migration (the _bkt= dirs still exist,
+    // so legacyDirs is still non-empty).
     if (legacyDirs.nonEmpty && root.getParent != null && fs.exists(root.getParent)) {
       val base = root.getName
       fs.listStatus(root.getParent).foreach { st =>
@@ -308,6 +323,10 @@ object Sinks {
           fs.delete(st.getPath, true)
       }
     }
+    val dirs = current.map(_.dirs).getOrElse(Map.empty) ++
+      written.map(k => k -> s"b$k-g$gen")
+    val retiredNow = current.toSeq.flatMap(m => written.flatMap(m.dirs.get))
+    Manifest.commit(fs, path, Manifest(gen, nBkt, dirs, retiredNow))
     // Scan-based GC, not a retired-list walk: everything in the root that
     // neither the NEW manifest nor the PREVIOUS one references (readers
     // get a one-generation grace) is garbage — including directories a
@@ -323,9 +342,10 @@ object Sinks {
           (n.startsWith(".stage-g") &&
             n.stripPrefix(".stage-g").toLongOption.exists(_ <= gen)) ||
           n == ".delta" ||
-          // a crash after commit but before the explicit legacy deletion
-          // above leaves _bkt= dirs behind; once ANY manifest exists they
-          // are unreferenced by definition
+          // the migrated legacy layout's _bkt= dirs: once ANY manifest
+          // exists they are unreferenced by definition (this GC branch is
+          // their only deletion path, covering both the normal migration
+          // run and a replay after a crash mid-rename)
           n.startsWith("_bkt=")
       if (stale) fs.delete(st.getPath, true)
     }

@@ -202,6 +202,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     Seq(("key0", -1L)).toDF("k", "n")
       .write.parquet(path + "/b3-g1")
 
+    // the READER must also survive the crashed state (no manifest yet):
+    // fetchResult reads the _bkt= dirs explicitly and ignores the debris
+    val inCrash = Engine.fetchResult(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inCrash.size == 50 && inCrash("key0") == 0L,
+      s"reads must serve the legacy data during the crash window; got ${inCrash.size}")
+
     Sinks.mergeIntoKeyedParquet(Seq(("key7", 777L)).toDF("k", "n"), "k", path, buckets = 8)
     assert(Manifest.latest(fs, path).get.gen == 1L)
     val merged = Sinks.readKeyedParquet(spark, path)
