@@ -62,4 +62,24 @@ class HttpFrontEndSpec extends AnyFunSuite {
       assert(post(s"$base/final_output", "{}").statusCode() == 405)
     } finally server.stop(0)
   }
+
+  test("serves a manifest-published keyed parquet result (the incremental-stream layout)") {
+    // the server's verbs must read the generation-manifest table the
+    // UPDATE-mode stream maintains, not just the JSON artifact — the
+    // serving path goes through the same fetchResult manifest resolution
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-http-inc").toString + "/r"
+    graft.sources.Sinks.mergeIntoKeyedParquet(
+      Seq(("alpha", 2L), ("beta", 1L)).toDF("word", "count"), "word", out)
+
+    val server = HttpFrontEnd.start(spark,
+      Some(JobConfig("wordcount", "/nonexistent", out)), port = 0)
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      val body = get(s"$base/final_output").body()
+      assert(body.contains(""""alpha": 2""") && body.contains(""""beta": 1"""), body)
+      val hit = get(s"$base/lookup?term=beta").body()
+      assert(hit.contains("beta") && hit.contains("1"), hit)
+    } finally server.stop(0)
+  }
 }
