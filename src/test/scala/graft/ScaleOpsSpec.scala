@@ -217,6 +217,36 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"replay must rebuild from the legacy dirs, not the debris; got ${merged.size} keys")
   }
 
+  test("a bucket dir holding mis-hashed rows fails the merge loudly instead of dropping keys") {
+    import graft.sources.Sinks.Manifest
+    import spark.implicits._
+    // handcraft a CORRUPT table: the manifest says bucket 0, but the dir
+    // holds a key whose hash lands elsewhere (what the old dir-name-
+    // trusting migration could produce). A merge touching bucket 0 must
+    // refuse to commit — the silent alternative repointed the stray's
+    // true bucket at a strays-only dir, dropping that bucket's other keys.
+    val path = java.nio.file.Files.createTempDirectory("graft-corrupt").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    import org.apache.spark.sql.functions.{pmod, hash => sqlHash}
+    val all = (0 until 40).map(i => (s"key$i", i.toLong)).toDF("k", "n")
+    Sinks.mergeIntoKeyedParquet(all, "k", path, buckets = 8)
+    val m = Manifest.latest(fs, path).get
+    // plant a stray: copy one row of bucket B into a DIFFERENT bucket's dir
+    val (b0, bOther) = (m.dirs.keys.min, m.dirs.keys.max)
+    spark.read.parquet(s"$path/${m.dirs(bOther)}").limit(1)
+      .write.mode("append").parquet(s"$path/${m.dirs(b0)}")
+
+    // the delta must touch bucket b0 itself, so the merge reads the
+    // corrupted dir and the stray's recomputed bucket shows up in the stage
+    val delta = all.withColumn("b", pmod(sqlHash(col("k")), lit(8)))
+      .filter(col("b") === b0).limit(1).select(col("k"), lit(9999L).as("n"))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeIntoKeyedParquet(delta, "k", path)
+    }
+    assert(e.getMessage.contains("bucket invariant violated"), e.getMessage)
+  }
+
   test("manifest publish: a reader mid-flight across a multi-bucket merge sees one whole generation") {
     import graft.sources.Sinks.Manifest
     import spark.implicits._
