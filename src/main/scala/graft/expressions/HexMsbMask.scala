@@ -46,19 +46,30 @@ case class HexMsbMask(child: Expression)
 
 object HexMsbMaskUtil {
 
-  /** One pass over the raw UTF-8 bytes. Byte-for-character indexing is
-    * exact on ASCII input — the expression's domain is md5 hex output,
-    * which is always 32 ASCII chars. (On multi-byte input, byte positions
-    * and character positions diverge; don't use this as a general
-    * substring-compare replacement.)
+  /** One pass over the raw UTF-8 bytes, indexed by CODEPOINT so the packed
+    * bits match `substring(h, i+1, 1) >= '8'` on any input, not just the
+    * md5-hex ASCII domain (the function is SQL-registered session-wide, so
+    * the general contract must hold). Spark's `substring` counts
+    * codepoints, and comparing a one-codepoint UTF8String against "8" is
+    * an unsigned byte-lexicographic compare — decided entirely by the
+    * codepoint's LEADING UTF-8 byte (every multi-byte lead 0xC2..0xF4 is
+    * > '8', so any non-ASCII codepoint sets its bit). Continuation bytes
+    * (10xxxxxx) are skipped; on ASCII input this degenerates to the
+    * byte-per-character fast path. Property-fuzzed bit-identical in
+    * HexMsbMaskProps, including non-ASCII.
     */
   def mask(s: UTF8String): Int = {
-    val n = math.min(s.numBytes(), 32)
+    val nb = s.numBytes()
     var m = 0
-    var i = 0
-    while (i < n) {
+    var i = 0 // byte index
+    var c = 0 // codepoint index
+    while (i < nb && c < 32) {
       // unsigned compare: getByte returns signed, so flip through & 0xFF
-      if ((s.getByte(i) & 0xFF) >= '8') m |= 1 << (31 - i)
+      val b = s.getByte(i) & 0xFF
+      if ((b & 0xC0) != 0x80) { // a codepoint's leading byte
+        if (b >= '8') m |= 1 << (31 - c)
+        c += 1
+      }
       i += 1
     }
     m

@@ -52,7 +52,13 @@ object Skew {
     val kv = df.select(key.as("key"), value.as("value"))
     val hot = kv.groupBy(col("key")).agg(count(lit(1)).as("n"))
       .filter(col("n") > hotThreshold).select(col("key"))
-    kv.join(broadcast(hot).withColumn("is_hot", lit(true)), Seq("key"), "left")
+    // Null-safe routing key: a plain equi-join can never match a NULL key,
+    // so a hot all-null group would silently take salt 0 and recreate the
+    // single-task state pile-up this operator exists to bound.
+    val hotFlag = broadcast(hot.withColumnRenamed("key", "hot_key")
+      .withColumn("is_hot", lit(true)))
+    kv.join(hotFlag, col("key") <=> col("hot_key"), "left")
+      .drop("hot_key")
       .withColumn("salt", when(col("is_hot"),
         pmod(hash(col("value")), lit(salts))).otherwise(lit(0)))
       .groupBy(col("key"), col("salt"))

@@ -123,19 +123,23 @@ object Sinks {
     }
 
     /** Latest committed generation, or None for a fresh/absent table. */
-    def latest(fs: org.apache.hadoop.fs.FileSystem, path: String): Option[Manifest] = {
+    def latest(fs: org.apache.hadoop.fs.FileSystem, path: String): Option[Manifest] =
+      newest(fs, path, 1).headOption
+
+    /** The newest `n` committed generations, newest first. */
+    def newest(fs: org.apache.hadoop.fs.FileSystem, path: String, n: Int): Seq[Manifest] = {
       val log = logDir(path)
-      if (!fs.exists(log)) return None
-      val files = fs.listStatus(log).map(_.getPath)
+      if (!fs.exists(log)) return Nil
+      fs.listStatus(log).map(_.getPath)
         .filter(_.getName.startsWith("manifest-"))
-      if (files.isEmpty) None
-      else {
-        val newest = files.maxBy(_.getName.stripPrefix("manifest-").toLong)
-        val in = fs.open(newest)
-        try Some(parse(new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")))
-        finally in.close()
-      }
+        .sortBy(-_.getName.stripPrefix("manifest-").toLong)
+        .take(n).toSeq
+        .map { p =>
+          val in = fs.open(p)
+          try parse(new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+          finally in.close()
+        }
     }
 
     /** Commit: write to a dot-temp in the log dir, rename to
@@ -150,8 +154,26 @@ object Sinks {
       val tmp = new org.apache.hadoop.fs.Path(log, s".tmp-${m.gen}")
       val out = fs.create(tmp, true)
       try out.write(m.render.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(log, s"manifest-${m.gen}")))
+      val dest = new org.apache.hadoop.fs.Path(log, s"manifest-${m.gen}")
+      // Single-writer is the contract, but enforce it: HDFS rename fails on
+      // an existing destination, while the local FS (POSIX rename) silently
+      // OVERWRITES — two racing merges would both compute gen+1 and the
+      // later rename would discard the earlier manifest without a sound.
+      // Check-then-rename catches the common case; the read-back below
+      // catches an overwrite that lands inside the remaining window, so a
+      // lost update fails loudly on every filesystem.
+      if (fs.exists(dest))
+        throw new java.io.IOException(
+          s"manifest gen ${m.gen} already committed under $path — concurrent writer")
+      if (!fs.rename(tmp, dest))
         throw new java.io.IOException(s"failed to commit manifest gen ${m.gen} under $path")
+      val in = fs.open(dest)
+      val back = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8") finally in.close()
+      if (back != m.render)
+        throw new java.io.IOException(
+          s"manifest gen ${m.gen} under $path was overwritten by a concurrent " +
+            "writer after commit — this merge's generation is lost")
     }
   }
 
@@ -161,8 +183,22 @@ object Sinks {
     * generation snapshot however many merges race this read, because data
     * directories are immutable once published (merges write NEW
     * directories and flip the manifest).
+    *
+    * STALENESS BOUND: the manifest is resolved eagerly but the files are
+    * read lazily, and the writer garbage-collects directories no longer
+    * referenced by the newest `retainGenerations + 1` manifests (default:
+    * this one and the previous). A DataFrame held across MORE merges than
+    * that scans deleted directories — a loud FileNotFoundException. Readers
+    * that hold results across many triggers should either re-call this per
+    * use or have the writer raise `retainGenerations`. The loud failure is
+    * part of the contract: `spark.sql.files.ignoreMissingFiles=true` would
+    * turn it into silent row loss, so this reader refuses to run under it.
     */
   def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    require(!spark.conf.getOption("spark.sql.files.ignoreMissingFiles").contains("true"),
+      "readKeyedParquet requires spark.sql.files.ignoreMissingFiles=false: a " +
+        "snapshot outliving its retained generations must fail loudly, not " +
+        "silently drop the rows of garbage-collected buckets")
     val fs = fileSystem(spark, path)
     val m = Manifest.latest(fs, path).getOrElse(
       throw new java.io.FileNotFoundException(s"no manifest under $path"))
@@ -183,10 +219,13 @@ object Sinks {
     * unaffected buckets at their existing directories and affected ones at
     * the new generation. A reader ([[readKeyedParquet]]) resolves ONE
     * manifest and therefore sees ONE whole generation, never bucket 3 new
-    * + bucket 7 old (the flaw of per-directory swaps). Directories a
-    * generation retires are deleted only when the NEXT generation commits,
-    * so a reader holding the previous manifest has a full trigger interval
-    * to finish — the documented staleness bound.
+    * + bucket 7 old (the flaw of per-directory swaps). Directories are
+    * garbage-collected only once they fall out of the newest
+    * `retainGenerations + 1` manifests, so a reader holding an older
+    * manifest has `retainGenerations` full trigger intervals to finish —
+    * the documented staleness bound (raise it for slow external readers;
+    * the retained cost is only old copies of the buckets that changed,
+    * never whole-table copies).
     *
     * Merge cost: read ONLY the affected buckets' directories, anti-join
     * out the updated keys, union the new rows — untouched buckets are
@@ -195,7 +234,10 @@ object Sinks {
     * are simply overwritten).
     */
   def mergeIntoKeyedParquet(batch: DataFrame, keyCol: String, path: String,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64, retainGenerations: Int = 1): Unit = {
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1 (got $retainGenerations): with no grace " +
+        "generation, a reader that resolved the previous manifest races the GC")
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     val fs = fileSystem(spark, path)
@@ -328,13 +370,13 @@ object Sinks {
     val retiredNow = current.toSeq.flatMap(m => written.flatMap(m.dirs.get))
     Manifest.commit(fs, path, Manifest(gen, nBkt, dirs, retiredNow))
     // Scan-based GC, not a retired-list walk: everything in the root that
-    // neither the NEW manifest nor the PREVIOUS one references (readers
-    // get a one-generation grace) is garbage — including directories a
-    // crashed run left behind at ANY earlier generation, which a
-    // one-step-back cleanup would orphan forever. One listStatus of the
-    // table root per trigger.
+    // none of the newest `retainGenerations + 1` manifests references is
+    // garbage — including directories a crashed run left behind at ANY
+    // earlier generation, which a one-step-back cleanup would orphan
+    // forever. One listStatus of the table root per trigger.
     val DataDir = "^b\\d+-g\\d+$".r
-    val keep = dirs.values.toSet ++ current.toSeq.flatMap(_.dirs.values)
+    val keep = Manifest.newest(fs, path, retainGenerations + 1)
+      .flatMap(_.dirs.values).toSet
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       val stale =
@@ -351,9 +393,15 @@ object Sinks {
     }
     fs.listStatus(Manifest.logDir(path)).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("manifest-") &&
-          n.stripPrefix("manifest-").toLongOption.exists(_ < gen - 1))
-        fs.delete(st.getPath, false)
+      val staleManifest = n.startsWith("manifest-") &&
+        n.stripPrefix("manifest-").toLongOption.exists(_ < gen - retainGenerations)
+      // a crash between creating .tmp-<g> and its rename abandons the temp
+      // file; nothing else deletes non-manifest names, so reclaim any temp
+      // at or below the committed generation (a racing writer of gen+1 is
+      // strictly above and untouched)
+      val staleTmp = n.startsWith(".tmp-") &&
+        n.stripPrefix(".tmp-").toLongOption.exists(_ <= gen)
+      if (staleManifest || staleTmp) fs.delete(st.getPath, false)
     }
   }
 

@@ -43,4 +43,31 @@ object HexMsbMaskProps extends Properties("HexMsbMask") {
 
   property("equals the substring predicate on arbitrary ASCII") =
     Prop.forAll(ascii) { s => native(s) == reference(s) }
+
+  // --- non-ASCII: the SQL-facing contract is CODEPOINT-indexed ---
+  // Spark's substring counts codepoints, and a one-codepoint UTF8String
+  // compares against "8" byte-lexicographically, which UTF-8 makes
+  // equivalent to comparing the codepoint itself against 0x38. (The Java
+  // String reference above can't express this: String.substring counts
+  // UTF-16 units and would split surrogate pairs.)
+  private val anyCodepoint: Gen[Int] = Gen.oneOf(
+    Gen.choose(0x01, 0x7f), // ASCII
+    Gen.choose(0x80, 0x7ff), // 2-byte UTF-8
+    Gen.choose(0x4e00, 0x9fff), // CJK, 3-byte
+    Gen.choose(0x1f300, 0x1f6ff)) // emoji, 4-byte (surrogate pair in UTF-16)
+
+  private val mixed: Gen[String] =
+    Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, anyCodepoint))
+      .map(_.flatMap(Character.toChars(_)).mkString)
+
+  private def referenceCodepoints(s: String): Int = {
+    val cps = s.codePoints().toArray
+    var m = 0
+    for (i <- 0 until 32)
+      if (i < cps.length && cps(i) >= '8') m |= 1 << (31 - i)
+    m
+  }
+
+  property("codepoint-indexed on mixed-width input (incl. astral)") =
+    Prop.forAll(mixed) { s => native(s) == referenceCodepoints(s) }
 }

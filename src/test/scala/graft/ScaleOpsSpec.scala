@@ -286,6 +286,106 @@ class ScaleOpsSpec extends AnyFunSuite {
       "superseded manifests beyond the grace window must be pruned")
   }
 
+  test("a racing manifest commit fails loudly instead of silently losing the update") {
+    import graft.sources.Sinks.Manifest
+    val path = java.nio.file.Files.createTempDirectory("graft-race").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val first = Manifest(1L, 4, Map(0 -> "b0-g1"), Nil)
+    Manifest.commit(fs, path, first)
+    // a second writer that computed the same next generation: on HDFS the
+    // rename would fail; on the local FS POSIX rename silently overwrites —
+    // the commit protocol must fail loudly on BOTH, keeping the first write
+    val racing = Manifest(1L, 4, Map(0 -> "b0-g1-racing"), Nil)
+    intercept[java.io.IOException] { Manifest.commit(fs, path, racing) }
+    assert(Manifest.latest(fs, path).get == first,
+      "the winning manifest must survive a racing commit attempt")
+  }
+
+  test("retainGenerations widens the reader grace window; expiry fails loudly") {
+    import graft.sources.Sinks.Manifest
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-retain").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val initial = (0 until 100).map(i => (s"key$i", 1L)).toDF("k", "n")
+    Sinks.mergeIntoKeyedParquet(initial, "k", path, buckets = 4, retainGenerations = 2)
+    val g1 = Manifest.latest(fs, path).get
+    val snapshot = Sinks.readKeyedParquet(spark, path) // resolved at gen 1
+
+    def touch(n: Long): Unit = Sinks.mergeIntoKeyedParquet(
+      Seq(("key7", n)).toDF("k", "n"), "k", path, buckets = 4, retainGenerations = 2)
+
+    // with retainGenerations=2 the gen-1 snapshot survives TWO later merges
+    // (the default one-generation grace would already have deleted its
+    // replaced directory after the second)
+    touch(2L); touch(3L)
+    assert(snapshot.count() == 100,
+      "a reader two generations behind must still see its whole snapshot")
+
+    // the third merge pushes gen 1 out of the retained window: the replaced
+    // directory is GC'd and the stale snapshot fails LOUDLY (the reader
+    // refuses ignoreMissingFiles=true, so this can never be silent row loss)
+    touch(4L)
+    val g4 = Manifest.latest(fs, path).get
+    val hotBucket = g4.dirs.collectFirst {
+      case (k, d) if d.endsWith("-g4") => k }.get
+    assert(!new java.io.File(path, g1.dirs(hotBucket)).exists(),
+      "beyond the retained window the old bucket directory must be GC'd")
+    intercept[Exception] { snapshot.count() }
+
+    // current-generation reads are unaffected
+    val now = Sinks.readKeyedParquet(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(now.size == 100 && now("key7") == 4L && now("key8") == 1L)
+  }
+
+  test("readKeyedParquet refuses to run under ignoreMissingFiles=true") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-imf").toString + "/t"
+    Sinks.mergeIntoKeyedParquet(Seq(("a", 1L)).toDF("k", "n"), "k", path, buckets = 2)
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try intercept[IllegalArgumentException] { Sinks.readKeyedParquet(spark, path) }
+    finally spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
+    assert(Sinks.readKeyedParquet(spark, path).count() == 1)
+  }
+
+  test("an abandoned manifest temp file is reclaimed by the next merge's prune") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-tmp").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Sinks.mergeIntoKeyedParquet(
+      (0 until 10).map(i => (s"key$i", 1L)).toDF("k", "n"), "k", path, buckets = 2)
+    // simulate a crash between fs.create(.tmp-<gen>) and the rename: the
+    // orphan sits in _graft_log where only this prune can ever delete it
+    val orphan = new org.apache.hadoop.fs.Path(path, "_graft_log/.tmp-1")
+    val out = fs.create(orphan, true)
+    try out.write("gen=1\n".getBytes("UTF-8")) finally out.close()
+    Sinks.mergeIntoKeyedParquet(Seq(("key3", 2L)).toDF("k", "n"), "k", path, buckets = 2)
+    assert(!fs.exists(orphan), "stale .tmp-* files must be pruned, not accumulate")
+  }
+
+  test("hybrid salting routes a hot NULL key through the salted phase") {
+    import spark.implicits._
+    // 300 rows under the null key (hot), 20 under a rare key: a plain
+    // equi-join can never match NULL, so without null-safe routing the hot
+    // null group would silently take salt 0 — the exact single-task state
+    // pile-up the operator exists to bound
+    val rows = (0 until 300).map(i => (None: Option[String], i.toLong)) ++
+      (0 until 20).map(i => (Some("rare"), 1000L + i))
+    val df = rows.toDF("k", "v")
+    val hybrid = Skew.saltedCollectSetHybrid(df, col("k"), col("v"),
+      salts = 8, hotThreshold = 100)
+    val plain = df.groupBy(col("k").as("key"))
+      .agg(sort_array(collect_set(col("v"))).as("values"))
+    assert(hybrid.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(hybrid).count() == 0)
+    // and the routing join itself must be null-safe in the plan
+    val plan = hybrid.queryExecution.optimizedPlan.toString
+    assert(plan.contains("<=>"), s"hot-set routing must be null-safe:\n$plan")
+  }
+
   test("compactParquet collapses small files without changing the data") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     val src = Tables(spark, Sf0001, "lineitem").select("l_orderkey", "l_extendedprice")
