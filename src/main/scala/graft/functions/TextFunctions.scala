@@ -93,11 +93,18 @@ object TextFunctions {
     * slower on the shingle scan at sf0.1). `tv` is a lambda variable, so
     * every `element_at(tv, …)` is an O(1) read of the materialized array.
     */
-  def shingles3(t: Column): Column =
+  def shingles3(t: Column): Column = shinglesN(t, 3)
+
+  /** `n`-token shingles of a token-array expression (empty when < n
+    * tokens) — same one-binding structure as [[shingles3]]; `n` is a
+    * plan-time constant (decontamination uses 8, the published
+    * benchmark-overlap width).
+    */
+  def shinglesN(t: Column, n: Int): Column =
     element_at(transform(array(t), tv =>
-      when(size(tv) >= 3,
-        transform(sequence(lit(0), size(tv) - 3), i =>
-          concat_ws(" ", element_at(tv, i + 1), element_at(tv, i + 2), element_at(tv, i + 3))))
+      when(size(tv) >= n,
+        transform(sequence(lit(0), size(tv) - n), i =>
+          concat_ws(" ", (1 to n).map(k => element_at(tv, i + k)): _*)))
         .otherwise(array().cast("array<string>"))), 1)
 
   // ===== DuckDB-oracle SQL fragments (mirror the exact same semantics) =====
@@ -116,4 +123,14 @@ object TextFunctions {
   /** DuckDB expression producing the token list of [[tokens]] over `e`. */
   def tokensSql(e: String): String =
     s"""list_filter(string_split_regex($e, '$WsClass+'), t -> len(t) > 0)"""
+
+  /** DuckDB expression: the `n`-token shingle list of a BOUND token-list
+    * column `colName` (callers bind the tokenization in a subquery first —
+    * the SQL mirror of [[shinglesN]]'s one-binding rule). Empty when the
+    * list holds < n tokens (`range` is empty).
+    */
+  def shinglesNSql(colName: String, n: Int): String = {
+    val parts = (0 until n).map(k => s"$colName[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($colName)-${n - 2}), i -> $parts)"
+  }
 }

@@ -25,12 +25,49 @@ import org.apache.spark.sql.functions._
   *    summation-order-dependent and break the exact oracle compare); the
   *    quantized vector is emitted as an md5 over its comma-joined form so
   *    the driver's scalar compare can hash it.
+  *  - `decontaminate`: benchmark decontamination — flag training-split
+  *    documents sharing any 8-token shingle with the held-out split
+  *    (8 is the published overlap width, e.g. PaLM's n-gram filter; the
+  *    train/test split reuses `sample_split`'s deterministic md5 rule).
+  *    At 100 TB the held-out side is a benchmark suite — megabytes — so
+  *    its distinct-shingle set is BROADCAST and the training corpus is
+  *    never shuffled on the shingle: one scan + a map-side hash probe,
+  *    then a per-doc count. The train/test branches share one
+  *    distinct-shingle aggregation via ReusedExchange.
+  *  - `corpus_mix`: training-mix construction — deterministically
+  *    up/down-sample each source to its target weight (2×, 1.5×, 1×,
+  *    0.5× here) by emitting floor(w) copies plus one more when the
+  *    doc's md5 fraction falls under frac(w); a 0-copy doc drops out.
+  *    Projection + explode only — no shuffle, and reproducible across
+  *    runs/partitionings because the coin is the doc id's md5, not RNG.
+  *  - `tfidf_topk`: per-document keyword extraction — top-3 terms by
+  *    tf × (N/df). The inverse-frequency factor is the LOG-FREE rational
+  *    form: IEEE division/multiplication are exactly rounded, so scores
+  *    (and hence ranks) are bit-identical on any engine, while ln() is
+  *    not exactly rounded and would diverge between libms — same
+  *    determinism rule as the quality score. Shapes: two-stage partial
+  *    agg for tf, distinct+agg for df, a shuffle join on the term
+  *    dictionary (too big to broadcast at corpus scale), and a window
+  *    partitioned BY DOCUMENT — millions of partitions, no funnel.
   */
 object CurationQueries {
 
   private val ChunkSize = 32   // tokens per chunk
   private val Stride = 24      // chunk start interval (overlap = 8)
   private val TopN = 3         // docs kept per language stratum
+  private val DecontamN = 8    // decontamination shingle width (PaLM-style)
+  private val TfIdfK = 3       // keywords kept per document
+
+  /** corpus_mix per-source resampling: (sources, base copies, extra-copy
+    * md5-prefix threshold). Lexicographic compare of the first 4 md5 hex
+    * chars against "8000" is an exact fraction-of-keyspace test (1/2 here)
+    * — same mechanism as sample_split's 2-char split rule.
+    */
+  private val MixBands: Seq[(Seq[String], Int, Option[String])] = Seq(
+    ((0 to 4).map("src" + _), 2, None), // 2.0x: always two copies
+    ((5 to 9).map("src" + _), 1, Some("8000")), // 1.5x: 1 + coin
+    ((10 to 14).map("src" + _), 1, None), // 1.0x: keep
+    ((15 to 19).map("src" + _), 0, Some("8000"))) // 0.5x: coin keeps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sliding-window chunking ----
@@ -86,6 +123,81 @@ object CurationQueries {
     // round() is half-away-from-zero on both engines; the int cast
     // happens after round so it is exact. All-zero vectors quantize to
     // zeros with scale 0 (the x/0 = Inf path is guarded out, mirrored).
+    // ---- benchmark decontamination (8-token shingle overlap) ----
+    // The distinct (doc, bucket, shingle) relation is aggregated ONCE and
+    // both split branches filter above it (ReusedExchange); the held-out
+    // side's distinct-shingle set is broadcast — at 100 TB it is a
+    // benchmark suite, megabytes against the corpus — so the train side
+    // is probed map-side and only shuffles for its per-doc count.
+    "decontaminate" -> ((s, dir) => {
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val sh = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), h2.as("bucket"),
+          explode(shinglesN(tokens(col("text")), DecontamN)).as("ng"))
+        .distinct()
+      val testNg = sh.filter(col("bucket") >= "cd").select("ng").distinct()
+      val hits = sh.filter(col("bucket") < "cd")
+        .join(broadcast(testNg), Seq("ng"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && h2 < "cd")
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- training-mix resampling to per-source target weights ----
+    // Deterministic coin = the doc id's md5 prefix (sample_split's rule),
+    // so the mix is identical across runs and partitionings; a 0-copy doc
+    // drops out via the empty array. Projection + explode: no shuffle.
+    "corpus_mix" -> ((s, dir) => {
+      val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
+      val nCopies = MixBands.foldRight(lit(0)) { case ((srcs, base, thr), els) =>
+        val extra = thr.map(t => when(h4 < t, lit(1)).otherwise(lit(0)))
+          .getOrElse(lit(0))
+        when(col("source").isin(srcs.map(_.asInstanceOf[Any]): _*),
+          lit(base) + extra).otherwise(els)
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), nCopies.as("n_copies"))
+        .select(col("doc_id"), col("source"),
+          posexplode(array_repeat(lit(1), col("n_copies"))))
+        .select(col("doc_id"), col("source"), col("pos").cast("int").as("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
+    // ---- per-document keyword extraction: top-k terms by tf x (N/df) ----
+    // The log-free rational idf keeps scores bit-identical across engines
+    // (IEEE divide/multiply are exactly rounded; ln is not — the same
+    // determinism rule the quality score follows). The term-dictionary
+    // join shuffles on term (a 100 TB corpus's vocabulary outgrows a
+    // broadcast); the rank window partitions by DOCUMENT — one partition
+    // per doc, no task funnel.
+    "tfidf_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), explode(tokens(cleanLine(col("text")))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val docFreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val total = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(docFreq, Seq("term"))
+        .crossJoin(broadcast(total))
+        .withColumn("score", col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= TfIdfK)
+        .select(col("doc_id"), col("rank"), col("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     "embedding_quantize" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
       Tables(s, dir, "embeddings")
@@ -128,6 +240,58 @@ object CurationQueries {
          |  FROM scored WHERE quality IS NOT NULL)
          |SELECT lang, rank, doc_id, quality FROM ranked
          |WHERE rank <= $TopN ORDER BY lang, rank""".stripMargin,
+
+    "decontaminate" -> {
+      val sh0 =
+        s"""SELECT DISTINCT doc_id,
+           |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           |  unnest(${shinglesNSql("t", DecontamN)}) AS ng
+           |FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)""".stripMargin
+      s"""WITH sh0 AS ($sh0),
+         |test AS (SELECT DISTINCT ng FROM sh0 WHERE bucket >= 'cd'),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |         FROM sh0 JOIN test USING (ng) WHERE bucket < 'cd'
+         |         GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+         |       COALESCE(h.n_shared, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cd'
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_mix" -> {
+      val cases = MixBands.map { case (srcs, base, thr) =>
+        val list = srcs.map(s => s"'$s'").mkString(",")
+        val n = thr match {
+          case Some(t) => s"$base + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$t' THEN 1 ELSE 0 END"
+          case None => base.toString
+        }
+        s"WHEN source IN ($list) THEN $n"
+      }.mkString("\n         |       ").stripMargin
+      s"""WITH c AS (SELECT doc_id, source,
+         |  CASE $cases ELSE 0 END AS n_copies FROM documents)
+         |SELECT doc_id, source, CAST(copy AS INT) AS copy
+         |FROM (SELECT doc_id, source, unnest(range(n_copies)) AS copy FROM c)
+         |ORDER BY doc_id, copy""".stripMargin
+    },
+
+    "tfidf_topk" -> {
+      val toks = tokensSql(cleanLineSql("text"))
+      s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM toks GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, tf, df, score FROM ranked
+         |WHERE rank <= $TfIdfK ORDER BY doc_id, rank""".stripMargin
+    },
 
     "embedding_quantize" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

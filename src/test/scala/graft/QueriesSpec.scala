@@ -278,6 +278,49 @@ class QueriesSpec extends AnyFunSuite {
       s"curation must prune map-side like the ANN queries:\n$plan")
   }
 
+  test("decontaminate flags a train doc sharing an 8-gram with the held-out split") {
+    import spark.implicits._
+    // split membership is md5(doc_id) (sample_split's rule): doc 0 ("cf")
+    // lands in the held-out split, docs 1 ("c4") and 2 ("c81e") in train
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    Seq(
+      (0L, shared, "en", "synth", 0L), // held-out
+      (1L, s"lead $shared tail", "en", "synth", 0L), // train, contains the 8-gram
+      (2L, "one two three four five six seven eight nine", "en", "synth", 0L)) // train, clean
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(1L, 2L), "held-out docs must not appear in the output")
+    assert(out(1L) == (1L, true), "the overlapping train doc must be flagged")
+    assert(out(2L) == (0L, false), "the clean train doc must pass")
+    // the held-out shingle set must be probed via broadcast — the training
+    // corpus is never shuffled on the shingle
+    val plan = SparkEntry.queries("decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"held-out shingles must broadcast:\n$plan")
+  }
+
+  test("corpus_mix emits the exact deterministic copy counts per band") {
+    import spark.implicits._
+    // md5 4-prefixes: doc 1 "c4ca" >= 8000 (coin fails), doc 6 "1679" < 8000
+    // (coin succeeds); src0 = always 2 copies, src10 = keep, src15 = 0.5x coin
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    Seq(
+      (2L, "a", "en", "src0", 0L), // 2.0x: two copies
+      (4L, "b", "en", "src10", 0L), // 1.0x: one copy
+      (1L, "c", "en", "src15", 0L), // 0.5x, coin fails: dropped
+      (6L, "d", "en", "src15", 0L)) // 0.5x, coin succeeds: kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("corpus_mix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.toSeq == Seq((2L, 0), (2L, 1), (4L, 0), (6L, 0)),
+      s"got ${out.toSeq}")
+  }
+
   test("result is invariant to input partitioning") {
     val docs = Tables(spark, Sf0001, "documents")
     val base = docs
