@@ -462,6 +462,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // production thresholds (creation <= 10 MB, probe >= 10 GB) mean the
+    // filter only engages at real scale; lower them here to prove the
+    // mechanism fires, and force a shuffle join (broadcast would bypass it)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables(spark, Sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = Tables(spark, Sf0001, "lineitem").select("l_orderkey", "l_quantity")
+      val q = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom-filter probe on the fact side:\n$plan")
+      assert(q.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with no exchange (co-located sort-merge join)") {
     // a previous JVM's managed-table directories survive on disk while the
     // in-memory catalog does not — clear both before writing
