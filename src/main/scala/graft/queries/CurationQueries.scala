@@ -29,11 +29,12 @@ import org.apache.spark.sql.functions._
   *    documents sharing any 8-token shingle with the held-out split
   *    (8 is the published overlap width, e.g. PaLM's n-gram filter; the
   *    train/test split reuses `sample_split`'s deterministic md5 rule).
-  *    At 100 TB the held-out side is a benchmark suite — megabytes — so
-  *    its distinct-shingle set is BROADCAST and the training corpus is
-  *    never shuffled on the shingle: one scan + a map-side hash probe,
-  *    then a per-doc count. The train/test branches share one
-  *    distinct-shingle aggregation via ReusedExchange.
+  *    Both probe sides are shingle-distinct, so the overlap join output
+  *    is bounded by the training side — no key can blow up — and the
+  *    join is left unhinted: when the held-out side is production-shaped
+  *    (a benchmark suite, megabytes) AQE's runtime size check converts
+  *    the shuffle join to a broadcast probe by itself. The train/test
+  *    branches share one distinct-shingle aggregation via ReusedExchange.
   *  - `corpus_mix`: training-mix construction — deterministically
   *    up/down-sample each source to its target weight (2×, 1.5×, 1×,
   *    0.5× here) by emitting floor(w) copies plus one more when the
@@ -125,10 +126,15 @@ object CurationQueries {
     // zeros with scale 0 (the x/0 = Inf path is guarded out, mirrored).
     // ---- benchmark decontamination (8-token shingle overlap) ----
     // The distinct (doc, bucket, shingle) relation is aggregated ONCE and
-    // both split branches filter above it (ReusedExchange); the held-out
-    // side's distinct-shingle set is broadcast — at 100 TB it is a
-    // benchmark suite, megabytes against the corpus — so the train side
-    // is probed map-side and only shuffles for its per-doc count.
+    // both split branches filter above it (ReusedExchange). The probe
+    // join is deliberately UNHINTED: both sides are distinct on the
+    // shingle, so a row matches at most once and the join output is
+    // bounded by the training side whatever the data holds — and when the
+    // held-out side is what it is in production (a benchmark suite,
+    // megabytes against the corpus) AQE's runtime size check turns the
+    // shuffle join into a broadcast probe on its own. A hard broadcast()
+    // hint would instead ship 20% of the corpus here, where the held-out
+    // side is an md5 slice of the same table.
     "decontaminate" -> ((s, dir) => {
       val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
       val sh = Tables(s, dir, "documents")
@@ -138,7 +144,7 @@ object CurationQueries {
         .distinct()
       val testNg = sh.filter(col("bucket") >= "cd").select("ng").distinct()
       val hits = sh.filter(col("bucket") < "cd")
-        .join(broadcast(testNg), Seq("ng"))
+        .join(testNg, Seq("ng"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       Tables(s, dir, "documents")
         .filter(col("doc_id").isNotNull && h2 < "cd")

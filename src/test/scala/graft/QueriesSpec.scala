@@ -290,17 +290,20 @@ class QueriesSpec extends AnyFunSuite {
       (2L, "one two three four five six seven eight nine", "en", "synth", 0L)) // train, clean
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(dir + "/documents.parquet")
-    val out = SparkEntry.queries("decontaminate")(spark, dir)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val df = SparkEntry.queries("decontaminate")(spark, dir)
+    val out = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(out.keySet == Set(1L, 2L), "held-out docs must not appear in the output")
     assert(out(1L) == (1L, true), "the overlapping train doc must be flagged")
     assert(out(2L) == (0L, false), "the clean train doc must pass")
-    // the held-out shingle set must be probed via broadcast — the training
-    // corpus is never shuffled on the shingle
-    val plan = SparkEntry.queries("decontaminate")(spark, dir)
-      .queryExecution.executedPlan.toString
+    // the probe join is unhinted (a broadcast() hint would ship the
+    // held-out slice even when corpus-sized); with a benchmark-sized
+    // held-out side AQE's runtime size check must turn it into a
+    // broadcast probe on its own — read the ADAPTIVE plan of the driven
+    // DataFrame (count()/fresh plans stay isFinalPlan=false)
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
-      s"held-out shingles must broadcast:\n$plan")
+      s"AQE should broadcast the benchmark-sized held-out shingles:\n$plan")
   }
 
   test("corpus_mix emits the exact deterministic copy counts per band") {
