@@ -188,9 +188,24 @@ object CurationQueries {
       val toks = Tables(s, dir, "documents")
         .filter(col("doc_id").isNotNull)
         .select(col("doc_id"), explode(tokens(cleanLine(col("text")))).as("term"))
+        // explicit isNotNull on the join key: the term join infers it on
+        // each branch at a different plan position, which breaks the
+        // canonical equality ReusedExchange needs (the dedup family's
+        // shingleTable lesson); explode never yields null, so it's free
+        .filter(col("term").isNotNull)
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val docFreq = toks.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      // document frequency FROM tf: tf has exactly one row per (doc, term),
+      // so counting its rows per term IS count(DISTINCT doc_id). Catalyst
+      // prunes the unused count from this branch and plans it as the
+      // distinct aggregation, so the (doc,term) exchange is NOT shared
+      // with the tf branch (count(1) vs no-agg partials canonicalize
+      // differently; count(tf) rewrites back via null propagation).
+      // Deliberately left as two scans: caching tf to share it would
+      // spill a corpus-sized relation at 100 TB — recompute is cheaper —
+      // and the window-over-term alternative that avoids the join would
+      // funnel every occurrence of a stop-term into one task, whereas
+      // the join keeps AQE's skew splitting available.
+      val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val total = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(docFreq, Seq("term"))
