@@ -33,8 +33,10 @@ import org.apache.spark.sql.functions._
   *    is bounded by the training side — no key can blow up — and the
   *    join is left unhinted: when the held-out side is production-shaped
   *    (a benchmark suite, megabytes) AQE's runtime size check converts
-  *    the shuffle join to a broadcast probe by itself. The train/test
-  *    branches share one distinct-shingle aggregation via ReusedExchange.
+  *    the shuffle join to a broadcast probe by itself. The split filters
+  *    push BELOW each branch's distinct aggregation to the scan, so the
+  *    train and test branches shingle disjoint row sets — the corpus is
+  *    shingled once in total, partitioned by split, not twice.
   *  - `corpus_mix`: training-mix construction — deterministically
   *    up/down-sample each source to its target weight (2×, 1.5×, 1×,
   *    0.5× here) by emitting floor(w) copies plus one more when the
@@ -125,16 +127,17 @@ object CurationQueries {
     // happens after round so it is exact. All-zero vectors quantize to
     // zeros with scale 0 (the x/0 = Inf path is guarded out, mirrored).
     // ---- benchmark decontamination (8-token shingle overlap) ----
-    // The distinct (doc, bucket, shingle) relation is aggregated ONCE and
-    // both split branches filter above it (ReusedExchange). The probe
-    // join is deliberately UNHINTED: both sides are distinct on the
-    // shingle, so a row matches at most once and the join output is
-    // bounded by the training side whatever the data holds — and when the
-    // held-out side is what it is in production (a benchmark suite,
-    // megabytes against the corpus) AQE's runtime size check turns the
-    // shuffle join into a broadcast probe on its own. A hard broadcast()
-    // hint would instead ship 20% of the corpus here, where the held-out
-    // side is an md5 slice of the same table.
+    // The split predicate pushes BELOW each branch's distinct aggregation
+    // to the scan (bucket is a grouping key), so train and test shingle
+    // DISJOINT row sets — the corpus is shingled once in total,
+    // partitioned by split. The probe join is deliberately UNHINTED: both
+    // sides are distinct on the shingle, so a row matches at most once
+    // and the join output is bounded by the training side whatever the
+    // data holds — and when the held-out side is what it is in production
+    // (a benchmark suite, megabytes against the corpus) AQE's runtime
+    // size check turns the shuffle join into a broadcast probe on its
+    // own. A hard broadcast() hint would instead ship 20% of the corpus
+    // here, where the held-out side is an md5 slice of the same table.
     "decontaminate" -> ((s, dir) => {
       val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
       val sh = Tables(s, dir, "documents")
