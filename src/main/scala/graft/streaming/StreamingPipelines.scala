@@ -102,6 +102,41 @@ object StreamingPipelines {
     rows.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Ingest-time benchmark decontamination: flag documents AS THEY ARRIVE
+    * that share an `n`-token shingle with a STATIC held-out/benchmark
+    * relation (one string column `ng` of shingles, or any text corpus
+    * pre-shingled through [[benchmarkNgrams]]) — the streaming twin of the
+    * batch `decontaminate` query.
+    *
+    * Shape: a stream-STATIC inner join, which Structured Streaming plans
+    * STATELESSLY — no watermark, no state store, nothing accumulates over
+    * an unbounded corpus stream; each micro-batch's shingles probe the
+    * static set (benchmark-sized, so the optimizer broadcasts it) and
+    * matches emit in APPEND mode. Emission is (doc, ng) match granularity
+    * — per-line `array_distinct` bounds within-line repeats — because a
+    * per-doc distinct COUNT would need unbounded per-doc state; the
+    * match stream is the unbounded-safe form, and a downstream consumer
+    * (e.g. [[graft.sources.Sinks.mergeIntoKeyedParquet]]) aggregates at
+    * whatever horizon it owns.
+    */
+  def decontaminationStream(lines: DataFrame, heldOutNgrams: DataFrame,
+      n: Int = 8): DataFrame =
+    lines
+      .select(col("doc"),
+        explode(array_distinct(shinglesN(tokens(col("line")), n))).as("ng"))
+      .join(heldOutNgrams.select(col("ng")).distinct(), Seq("ng"))
+      .select(col("doc"), col("ng"))
+
+  /** The distinct `n`-token shingle set of a static corpus of `(text)`
+    * lines — the held-out side for [[decontaminationStream]]. Applies the
+    * same reference cleanup as [[corpusStream]], so both probe sides
+    * shingle identically-normalized text.
+    */
+  def benchmarkNgrams(corpus: DataFrame, textCol: String, n: Int = 8): DataFrame =
+    corpus
+      .select(explode(shinglesN(tokens(cleanLine(col(textCol))), n)).as("ng"))
+      .distinct()
+
   /** Per-user running totals across micro-batches via explicit custom state
     * (`KeyValueGroupedDataset.mapGroupsWithState`) — the surface for
     * stateful logic the built-in windowed aggregations can't express.

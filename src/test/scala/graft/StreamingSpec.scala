@@ -44,6 +44,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static decontamination flags arriving docs against a static benchmark") {
+    import spark.implicits._
+    val benchmark = StreamingPipelines.benchmarkNgrams(
+      Seq("alpha beta gamma delta epsilon zeta eta theta iota").toDF("text"), "text")
+    val dir = Files.createTempDirectory("graft-decon-stream")
+    Files.writeString(dir.resolve("clean1.txt"),
+      "one two three four five six seven eight nine ten\n")
+
+    val q = StreamingPipelines.decontaminationStream(
+        StreamingPipelines.corpusStream(spark, dir.toString), benchmark)
+      .writeStream.outputMode("append") // stateless stream-static join
+      .format("memory").queryName("decon_stream")
+      .trigger(Trigger.ProcessingTime(200))
+      .start()
+    try {
+      q.processAllAvailable()
+      def hits = spark.sql("SELECT doc, ng FROM decon_stream")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(hits.isEmpty, "a clean doc must produce no matches")
+
+      // a contaminated doc arrives: its 8-grams overlap the benchmark
+      Files.writeString(dir.resolve("bad.txt"),
+        "prefix alpha beta gamma delta epsilon zeta eta theta suffix\n")
+      q.processAllAvailable()
+      assert(hits.nonEmpty && hits.forall(_._1 == "bad.txt"),
+        s"only the overlapping doc may be flagged, got ${hits.toSeq}")
+      // no state store involved: the join is stateless, so the query's
+      // progress reports zero state rows however long the stream runs
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "stream-static join must hold no state")
+    } finally q.stop()
+  }
+
   test("faithful streaming mode drops digit-leading tokens (quirk Q1)") {
     val dir = Files.createTempDirectory("graft-faithful-stream")
     Files.writeString(dir.resolve("f.txt"), "1st alpha 2nd beta\n")
