@@ -43,10 +43,12 @@ object EngineSession {
       // Runtime bloom-filter join pruning: when a shuffle join's small side
       // carries a selective filter, build a bloom over its join keys and
       // push a might_contain probe into the BIG side's scan — at 100 TB
-      // this prunes most of a fact scan before the exchange. Thresholds
-      // stay at the production defaults (creation side <= 10 MB, probe
-      // side >= 10 GB), so it only engages at the scale it pays for;
-      // ScaleOpsSpec lowers them to prove the injection fires.
+      // this prunes most of a fact scan before the exchange. This PINS the
+      // Spark 4 default (already true) so the engine's posture survives a
+      // cluster-level or future-default change; thresholds stay at the
+      // production defaults (creation side <= 10 MB, probe side >= 10 GB),
+      // so it only engages at the scale it pays for. ScaleOpsSpec lowers
+      // them to prove the injection fires.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     requiredConfs.foreach { case (k, v) => b.config(k, v) }
     b

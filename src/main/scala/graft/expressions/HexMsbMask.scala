@@ -46,31 +46,34 @@ case class HexMsbMask(child: Expression)
 
 object HexMsbMaskUtil {
 
-  /** One pass over the raw UTF-8 bytes, indexed by CODEPOINT so the packed
-    * bits match `substring(h, i+1, 1) >= '8'` on any input, not just the
-    * md5-hex ASCII domain (the function is SQL-registered session-wide, so
-    * the general contract must hold). Spark's `substring` counts
-    * codepoints, and comparing a one-codepoint UTF8String against "8" is
-    * an unsigned byte-lexicographic compare — decided entirely by the
-    * codepoint's LEADING UTF-8 byte (every multi-byte lead 0xC2..0xF4 is
-    * > '8', so any non-ASCII codepoint sets its bit). Continuation bytes
-    * (10xxxxxx) are skipped; on ASCII input this degenerates to the
-    * byte-per-character fast path. Property-fuzzed bit-identical in
-    * HexMsbMaskProps, including non-ASCII.
+  /** One pass over the raw UTF-8 bytes, indexed by CHARACTER exactly as
+    * Spark's `substring` counts them, so the packed bits match
+    * `substring(h, i+1, 1) >= '8'` on ANY input — not just the md5-hex
+    * ASCII domain (the function is SQL-registered session-wide, so the
+    * general contract must hold). Comparing a one-character UTF8String
+    * against "8" is an unsigned byte-lexicographic compare — decided
+    * entirely by the character's FIRST byte (every multi-byte lead
+    * 0xC2..0xF4 is > '8', so any non-ASCII character sets its bit). The
+    * walk advances by `UTF8String.numBytesForFirstByte` — the SAME table
+    * Spark's substring uses — so even invalid UTF-8 (stray continuation
+    * bytes, truncated sequences, which a binary→string cast can smuggle
+    * in) indexes identically to the predicate this replaces. On ASCII
+    * this degenerates to the byte-per-character fast path.
+    * Property-fuzzed bit-identical in HexMsbMaskProps (incl. non-ASCII);
+    * invalid-UTF-8 parity pinned in TextFunctionsSpec against Spark's own
+    * substring evaluation.
     */
   def mask(s: UTF8String): Int = {
     val nb = s.numBytes()
     var m = 0
     var i = 0 // byte index
-    var c = 0 // codepoint index
+    var c = 0 // character index (Spark substring semantics)
     while (i < nb && c < 32) {
       // unsigned compare: getByte returns signed, so flip through & 0xFF
       val b = s.getByte(i) & 0xFF
-      if ((b & 0xC0) != 0x80) { // a codepoint's leading byte
-        if (b >= '8') m |= 1 << (31 - c)
-        c += 1
-      }
-      i += 1
+      if (b >= '8') m |= 1 << (31 - c)
+      c += 1
+      i += UTF8String.numBytesForFirstByte(s.getByte(i))
     }
     m
   }

@@ -131,6 +131,8 @@ object TextFunctions {
     */
   def shinglesNSql(colName: String, n: Int): String = {
     val parts = (0 until n).map(k => s"$colName[i+$k]").mkString(" || ' ' || ")
-    s"list_transform(range(1, len($colName)-${n - 2}), i -> $parts)"
+    // the bound is parenthesized: for n = 1 an unparenthesized -${n - 2}
+    // would render "--1", which DuckDB parses as a line comment
+    s"list_transform(range(1, len($colName)-(${n - 2})), i -> $parts)"
   }
 }

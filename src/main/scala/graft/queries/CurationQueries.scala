@@ -142,8 +142,13 @@ object CurationQueries {
       val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
       val sh = Tables(s, dir, "documents")
         .filter(col("doc_id").isNotNull)
+        // cleanLine BEFORE shingling: benchmark text that differs only in
+        // case/punctuation must still match (the PaLM-style filter's
+        // point), and the streaming twin (decontaminationStream over the
+        // cleaned corpus stream) normalizes the same way — the two
+        // detectors must agree on what counts as overlap
         .select(col("doc_id"), h2.as("bucket"),
-          explode(shinglesN(tokens(col("text")), DecontamN)).as("ng"))
+          explode(shinglesN(tokens(cleanLine(col("text"))), DecontamN)).as("ng"))
         .distinct()
       val testNg = sh.filter(col("bucket") >= "cd").select("ng").distinct()
       val hits = sh.filter(col("bucket") < "cd")
@@ -270,7 +275,7 @@ object CurationQueries {
         s"""SELECT DISTINCT doc_id,
            |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
            |  unnest(${shinglesNSql("t", DecontamN)}) AS ng
-           |FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)""".stripMargin
+           |FROM (SELECT doc_id, ${tokensSql(cleanLineSql("text"))} AS t FROM documents)""".stripMargin
       s"""WITH sh0 AS ($sh0),
          |test AS (SELECT DISTINCT ng FROM sh0 WHERE bucket >= 'cd'),
          |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared

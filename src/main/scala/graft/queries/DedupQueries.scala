@@ -252,7 +252,7 @@ object DedupQueries {
     // CHECKPOINTED iterations (localCheckpoint truncates the logical
     // plan — without it the plan doubles per round and re-executes the
     // whole simhash pipeline each join) and converges in O(log diameter)
-    // rounds (measured 12 -> 7 at sf0.1), so the 32-round loud-failure
+    // rounds (measured 12 -> 9 at sf0.1), so the 32-round loud-failure
     // bound covers chain diameters up to 2^32 — adversarial chain-shaped
     // near-dup graphs (incremental crawls) cannot outgrow it. Labels are
     // integers, so the fixpoint is exactly reproducible by the oracle's
@@ -287,17 +287,21 @@ object DedupQueries {
           .groupBy(col("d1")).agg(min(col("label")).as("nmin"))
         val stepped = labels.join(neighborMin, labels("id") === neighborMin("d1"), "left")
           .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        // pointer jumping: follow the label one hop (label <- label(label))
-        // before committing the round. Every label value is the id of a
-        // vertex in `labels` from the same component with a <= id (min
-        // over reached ids), so the jump stays inside the component and
-        // min-label monotonicity — and with it the sum certificate and
-        // the fixpoint — is preserved; propagation distance doubles per
-        // round, so convergence is O(log diameter) rounds instead of
-        // O(diameter) (measured 12 -> 5 rounds on the sf0.1 chain shapes,
-        // and each round is fixed-overhead-dominated at any scale because
-        // the working set is the pair-graph vertex set)
-        val jumpTo = stepped.select(col("id").as("jid"), col("label").as("jlabel"))
+        // pointer jumping: follow the stepped label one hop through the
+        // PREVIOUS round's (checkpointed) label map before committing the
+        // round. Jumping through `labels` rather than `stepped` keeps the
+        // un-checkpointed step subplan single-execution (a stepped
+        // self-join would re-run the neighbor-min join twice per round)
+        // at the same acceleration: labels already encodes this many
+        // rounds of propagation, so composing it with the step doubles
+        // distance per round — O(log diameter) rounds instead of
+        // O(diameter), measured 12 -> 9 at sf0.1. Every label value is
+        // the id of a same-component vertex with a <= id and labels(y)
+        // <= y, so the jump stays inside the component and min-label
+        // monotonicity — the sum certificate and the fixpoint — is
+        // preserved (sum-stable ⇒ jump changed nothing ⇒ step changed
+        // nothing ⇒ true step fixpoint).
+        val jumpTo = labels.select(col("id").as("jid"), col("label").as("jlabel"))
         val next = stepped.join(jumpTo, stepped("label") === jumpTo("jid"), "left")
           .select(stepped("id"), coalesce(col("jlabel"), stepped("label")).as("label"))
           .localCheckpoint()

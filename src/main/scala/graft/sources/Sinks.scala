@@ -195,7 +195,10 @@ object Sinks {
     * turn it into silent row loss, so this reader refuses to run under it.
     */
   def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    require(!spark.conf.getOption("spark.sql.files.ignoreMissingFiles").contains("true"),
+    // case-insensitive like Spark's own boolean-conf parsing — "TRUE" would
+    // otherwise slip past the guard and re-open the silent-row-loss path
+    require(!spark.conf.getOption("spark.sql.files.ignoreMissingFiles")
+        .exists(_.equalsIgnoreCase("true")),
       "readKeyedParquet requires spark.sql.files.ignoreMissingFiles=false: a " +
         "snapshot outliving its retained generations must fail loudly, not " +
         "silently drop the rows of garbage-collected buckets")
