@@ -28,12 +28,15 @@ object Explain {
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"===== $name =====")
+        // construction is INSIDE the timing: iterative queries (e.g.
+        // dedup_clusters' label loop) execute eagerly while the DataFrame
+        // is built, so timing only the collect would under-report them
+        val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         if (run) {
           // collect() drives THIS DataFrame's QueryExecution (a noop write
           // would plan a fresh one and show the pre-AQE plan); catalog
           // results are small, so the driver-side materialization is fine.
-          val t0 = System.nanoTime()
           val n = df.collect().length
           val secs = (System.nanoTime() - t0) / 1e9
           println(f"[$n rows in $secs%.2f s]")

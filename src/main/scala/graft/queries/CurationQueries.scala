@@ -43,6 +43,13 @@ import org.apache.spark.sql.functions._
   *    doc's md5 fraction falls under frac(w); a 0-copy doc drops out.
   *    Projection + explode only — no shuffle, and reproducible across
   *    runs/partitionings because the coin is the doc id's md5, not RNG.
+  *  - `quality_filter`: distribution-relative curation — keep documents
+  *    at or above their language's median quality (absolute thresholds
+  *    over/under-prune languages whose score distributions sit
+  *    differently); the per-language median is a one-row-per-language
+  *    relation joined back, and the comparison is engine-independent
+  *    because quality scores and percentile interpolation are both
+  *    bit-identical (agg_quantiles pins the latter).
   *  - `tfidf_topk`: per-document keyword extraction — top-3 terms by
   *    tf × (N/df). The inverse-frequency factor is the LOG-FREE rational
   *    form: IEEE division/multiplication are exactly rounded, so scores
@@ -227,6 +234,30 @@ object CurationQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // ---- distribution-relative quality filtering ----
+    // Keep documents at or above their LANGUAGE's median quality — the
+    // relative-threshold curation rule (an absolute threshold over- or
+    // under-prunes languages whose score distributions sit differently).
+    // The per-language median is a tiny relation (one row per language)
+    // joined back broadcast-style; quality doubles are bit-identical per
+    // row (see qualityExpr) and percentile interpolation matches DuckDB's
+    // quantile_cont (agg_quantiles pins it), so the >= comparison is
+    // engine-independent. Exact percentile sorts per group — the
+    // oracle-comparable form; at data scale swap in approx_percentile
+    // (same mergeable-sketch trade agg_quantiles documents).
+    "quality_filter" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysisQueries.qualityExpr(col("text")).as("quality"))
+        .filter(col("quality").isNotNull)
+      val med = scored.groupBy("lang")
+        .agg(expr("percentile(quality, 0.5)").as("med"))
+      scored.join(med, Seq("lang"))
+        .filter(col("quality") >= col("med"))
+        .select(col("doc_id"), col("lang"), col("quality"), col("med"))
+        .orderBy("doc_id")
+    }),
+
     "embedding_quantize" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
       Tables(s, dir, "embeddings")
@@ -321,6 +352,18 @@ object CurationQueries {
          |SELECT doc_id, rank, term, tf, df, score FROM ranked
          |WHERE rank <= $TfIdfK ORDER BY doc_id, rank""".stripMargin
     },
+
+    "quality_filter" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, ${TextAnalysisQueries.qualitySqlExpr} AS quality
+         |  FROM documents),
+         |s AS (SELECT * FROM scored WHERE quality IS NOT NULL),
+         |med AS (SELECT lang, quantile_cont(quality, 0.5) AS med
+         |        FROM s GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.quality, m.med
+         |FROM s JOIN med m USING (lang)
+         |WHERE s.quality >= m.med
+         |ORDER BY doc_id""".stripMargin,
 
     "embedding_quantize" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
