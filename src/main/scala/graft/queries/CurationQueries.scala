@@ -126,13 +126,6 @@ object CurationQueries {
         .orderBy("lang", "rank")
     }),
 
-    // ---- symmetric int8 quantization of the embedding column ----
-    // scale is computed in its own projection step and referenced as a
-    // column: embedding it in the quantize lambda would re-run the
-    // array_max scan once per element (the HOF re-evaluation rule).
-    // round() is half-away-from-zero on both engines; the int cast
-    // happens after round so it is exact. All-zero vectors quantize to
-    // zeros with scale 0 (the x/0 = Inf path is guarded out, mirrored).
     // ---- benchmark decontamination (8-token shingle overlap) ----
     // The split predicate pushes BELOW each branch's distinct aggregation
     // to the scan (bucket is a grouping key), so train and test shingle
@@ -258,6 +251,13 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- symmetric int8 quantization of the embedding column ----
+    // scale is computed in its own projection step and referenced as a
+    // column: embedding it in the quantize lambda would re-run the
+    // array_max scan once per element (the HOF re-evaluation rule).
+    // round() is half-away-from-zero on both engines; the int cast
+    // happens after round so it is exact. All-zero vectors quantize to
+    // zeros with scale 0 (the x/0 = Inf path is guarded out, mirrored).
     "embedding_quantize" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
       Tables(s, dir, "embeddings")
