@@ -69,11 +69,12 @@ object HexMsbMaskUtil {
     var i = 0 // byte index
     var c = 0 // character index (Spark substring semantics)
     while (i < nb && c < 32) {
-      // unsigned compare: getByte returns signed, so flip through & 0xFF
-      val b = s.getByte(i) & 0xFF
-      if (b >= '8') m |= 1 << (31 - c)
+      // one unsafe read per character: the signed byte feeds the advance,
+      // its unsigned view (& 0xFF) the compare
+      val sb = s.getByte(i)
+      if ((sb & 0xFF) >= '8') m |= 1 << (31 - c)
       c += 1
-      i += UTF8String.numBytesForFirstByte(s.getByte(i))
+      i += UTF8String.numBytesForFirstByte(sb)
     }
     m
   }

@@ -195,10 +195,10 @@ object Sinks {
     * turn it into silent row loss, so this reader refuses to run under it.
     */
   def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    // case-insensitive like Spark's own boolean-conf parsing — "TRUE" would
-    // otherwise slip past the guard and re-open the silent-row-loss path
-    require(!spark.conf.getOption("spark.sql.files.ignoreMissingFiles")
-        .exists(_.equalsIgnoreCase("true")),
+    // read the boolean Spark itself parsed (trim + case handling included)
+    // instead of re-implementing string parsing on the raw conf value —
+    // any variant that enables the conf must also trip the guard
+    require(!spark.sessionState.conf.ignoreMissingFiles,
       "readKeyedParquet requires spark.sql.files.ignoreMissingFiles=false: a " +
         "snapshot outliving its retained generations must fail loudly, not " +
         "silently drop the rows of garbage-collected buckets")
