@@ -131,6 +131,25 @@ object EventQueries {
           min(col("ts")).as("first_seen"),
           max(col("ts")).as("last_seen"))
         .orderBy("user_id")
+    }),
+
+    // ---- conversion funnel: users whose FIRST view precedes their first
+    // click precedes their first purchase. One partial-aggregable pass —
+    // three fixed conditional-min cells per user, map-side combined, then
+    // a filter on the aggregated row; no window, no self-join, no
+    // per-step shuffle (the naive funnel joins events per stage). NULL
+    // steps (never clicked/purchased) fail the < comparisons and drop,
+    // which is the funnel semantics. ----
+    "event_funnel" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .filter(col("first_view") < col("first_click") &&
+          col("first_click") < col("first_purchase"))
+        .orderBy("user_id")
     })
   )
 
@@ -203,6 +222,15 @@ object EventQueries {
         |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value,
         |  MIN(ts) AS first_seen, MAX(ts) AS last_seen
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "event_funnel" ->
+      """SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |  MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |FROM events GROUP BY user_id
+        |HAVING first_view < first_click AND first_click < first_purchase
+        |ORDER BY user_id""".stripMargin
   )
 }
