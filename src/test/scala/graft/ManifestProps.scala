@@ -1,0 +1,41 @@
+package graft
+
+import graft.sources.Sinks.Manifest
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck round-trip of the generation-manifest wire format: every
+  * manifest the sink can produce must survive render → parse exactly —
+  * the commit protocol's read-back check compares RENDERED bytes, and the
+  * GC's keep-set is built from PARSED manifests, so a render/parse
+  * asymmetry would either fail every commit or orphan live directories.
+  * Generated over the real domain (bucket ids 0..127, generations ≥ 1,
+  * `b<k>-g<gen>` directory names, possibly-empty retired lists).
+  */
+object ManifestProps extends Properties("Manifest") {
+
+  private val genGen: Gen[Long] = Gen.choose(1L, 1000000L)
+
+  private val dirEntry: Gen[(Int, String)] = for {
+    k <- Gen.choose(0, 127)
+    g <- genGen
+  } yield k -> s"b$k-g$g"
+
+  private val manifest: Gen[Manifest] = for {
+    gen <- genGen
+    buckets <- Gen.choose(1, 128)
+    dirs <- Gen.mapOf(dirEntry)
+    retired <- Gen.listOf(dirEntry.map(_._2))
+  } yield Manifest(gen, buckets, dirs, retired)
+
+  property("parse(render) == identity") = Prop.forAll(manifest) { m =>
+    val back = Manifest.parse(m.render)
+    // retired is order-preserving; an empty list renders as "retired="
+    // and must come back Nil, not Seq("")
+    back == m
+  }
+
+  property("render is stable (parse . render . parse = parse)") =
+    Prop.forAll(manifest) { m =>
+      Manifest.parse(Manifest.parse(m.render).render) == Manifest.parse(m.render)
+    }
+}
