@@ -44,6 +44,15 @@ object Sinks {
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       targetMB: Int = 256): Unit = {
     val fs = fileSystem(spark, path)
+    // a manifest-published keyed table is NOT a plain parquet directory: a
+    // whole-root read would see every retained generation (duplicate keys)
+    // and the swap would destroy the b<k>-g<gen> layout the manifest
+    // references — refuse loudly; merging compacts those tables bucket-by
+    // -bucket as part of the next generation instead
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_log")),
+      s"$path is a manifest-published keyed table; compactParquet would read " +
+        "duplicate generations and break the manifest layout — its buckets " +
+        "are rewritten per-generation by mergeIntoKeyedParquet instead")
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB * 1024L * 1024L)).toInt)
     val tmp = path + ".inprogress"

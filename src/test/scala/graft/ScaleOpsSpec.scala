@@ -462,6 +462,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactParquet refuses a manifest-published keyed table") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-nocompact").toString + "/t"
+    Sinks.mergeIntoKeyedParquet(Seq(("a", 1L)).toDF("k", "n"), "k", path, buckets = 2)
+    // a whole-root compaction would read every retained generation and
+    // destroy the b<k>-g<gen> layout the manifest references
+    intercept[IllegalArgumentException] { Sinks.compactParquet(spark, path) }
+    assert(Sinks.readKeyedParquet(spark, path).count() == 1, "table untouched")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // production thresholds (creation <= 10 MB, probe >= 10 GB) mean the
     // filter only engages at real scale; lower them here to prove the
