@@ -324,6 +324,19 @@ class QueriesSpec extends AnyFunSuite {
       s"got ${out.toSeq}")
   }
 
+  test("no catalog query plans a cartesian product") {
+    // the classic scale-killer: a join that lost its equi-condition plans
+    // CartesianProduct and goes O(n*m) at any cluster size. The 1-row
+    // broadcast crossJoins (tfidf's corpus count, ANN's bounded query
+    // set) plan BroadcastNestedLoopJoin over a single-row side, which is
+    // fine — only the unbounded form is banned.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, Sf0001).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"query $name plans a cartesian product:\n$plan")
+    }
+  }
+
   test("result is invariant to input partitioning") {
     val docs = Tables(spark, Sf0001, "documents")
     val base = docs
