@@ -30,4 +30,37 @@ object CorpusReader {
     raw(spark, dir)
       .select(col("doc"), cleanLine(col("line")).as("line"))
       .filter(length(col("line")) > 0)
+
+  /** The `documents` table schema as JSONL carries it — pinned so the
+    * reader NEVER schema-infers (inference is a full extra pass over the
+    * data, which at corpus scale doubles the ingest cost; a corrupt line
+    * under a pinned schema surfaces as a null row instead of silently
+    * reshaping every column to the inferred union type).
+    */
+  val DocumentsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  /** Read a `documents` corpus from JSON-lines — the interchange format
+    * LLM training corpora actually ship in (one JSON object per line,
+    * gzip-sharded). Splittable scan over the shards; the pinned
+    * [[DocumentsSchema]] keeps planning one-pass. `columnNameOfCorruptRecord`
+    * rows (unparseable lines) come back all-null and are the caller's
+    * filter/audit decision, not a silent drop.
+    */
+  def documentsFromJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(DocumentsSchema).json(path)
+
+  /** Write a DataFrame as gzip-sharded JSON-lines — the egress twin of
+    * [[documentsFromJsonl]]: one shard per partition (NO coalesce — a
+    * single-file JSONL of a 100 TB corpus serializes through one task;
+    * repartition upstream if shard count matters).
+    */
+  def toJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "gzip").json(path)
 }

@@ -462,6 +462,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("JSONL round-trip: documents -> gzip shards -> pinned-schema read") {
+    import graft.sources.CorpusReader
+    val docs = Tables(spark, Sf0001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    CorpusReader.toJsonl(docs, dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".json.gz")),
+      "shards must be gzip-compressed JSONL")
+    val back = CorpusReader.documentsFromJsonl(spark, dir)
+    assert(back.schema == CorpusReader.DocumentsSchema, "schema pinned, not inferred")
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+
+    // a corrupt line under the pinned schema surfaces as an all-null row
+    // (auditable), never as a silently re-inferred schema
+    val corrupt = java.nio.file.Files.createTempDirectory("graft-jsonl-bad")
+    java.nio.file.Files.writeString(corrupt.resolve("part-0.json"),
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}
+        |not json at all
+        |""".stripMargin)
+    val rows = CorpusReader.documentsFromJsonl(spark, corrupt.toString)
+    assert(rows.count() == 2)
+    assert(rows.filter(col("doc_id").isNull).count() == 1,
+      "the corrupt line must surface as a null row, not vanish")
+  }
+
   test("compactParquet refuses a manifest-published keyed table") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-nocompact").toString + "/t"
