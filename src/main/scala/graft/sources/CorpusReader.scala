@@ -47,9 +47,14 @@ object CorpusReader {
 
   /** Read a `documents` corpus from JSON-lines — the interchange format
     * LLM training corpora actually ship in (one JSON object per line,
-    * gzip-sharded). Splittable scan over the shards; the pinned
-    * [[DocumentsSchema]] keeps planning one-pass. `columnNameOfCorruptRecord`
-    * rows (unparseable lines) come back all-null and are the caller's
+    * gzip-sharded). Parallelism is PER SHARD: gzip is not a splittable
+    * codec, so each `.json.gz` file is one task — shard count and size
+    * balance, set at write time, ARE the read parallelism (a corpus in a
+    * handful of giant gzip shards serializes its own ingest; that is a
+    * property of the format in the wild, and the reason [[toJsonl]]
+    * shards one file per partition instead of coalescing). The pinned
+    * [[DocumentsSchema]] keeps planning one-pass (no inference scan);
+    * unparseable lines come back as all-null rows — the caller's
     * filter/audit decision, not a silent drop.
     */
   def documentsFromJsonl(spark: SparkSession, path: String): DataFrame =
@@ -58,9 +63,18 @@ object CorpusReader {
   /** Write a DataFrame as gzip-sharded JSON-lines — the egress twin of
     * [[documentsFromJsonl]]: one shard per partition (NO coalesce — a
     * single-file JSONL of a 100 TB corpus serializes through one task;
-    * repartition upstream if shard count matters).
+    * repartition upstream to set shard count = downstream read
+    * parallelism, since gzip shards don't split). Staged and swapped in
+    * atomically like every other sink here, so a concurrent reader of an
+    * existing export never sees a half-written directory.
     */
-  def toJsonl(df: DataFrame, path: String): Unit =
+  def toJsonl(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".inprogress"
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "gzip").json(path)
+      .option("compression", "gzip").json(tmp)
+    Sinks.swapInto(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(df.sparkSession.sessionState.newHadoopConf()),
+      tmp, path)
+  }
 }

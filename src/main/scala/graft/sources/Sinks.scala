@@ -44,15 +44,24 @@ object Sinks {
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       targetMB: Int = 256): Unit = {
     val fs = fileSystem(spark, path)
-    // a manifest-published keyed table is NOT a plain parquet directory: a
-    // whole-root read would see every retained generation (duplicate keys)
-    // and the swap would destroy the b<k>-g<gen> layout the manifest
-    // references — refuse loudly; merging compacts those tables bucket-by
-    // -bucket as part of the next generation instead
-    require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_log")),
+    // a keyed table is NOT a plain parquet directory: a whole-root read of
+    // a manifest table would see every retained generation (duplicate
+    // keys), and flattening either layout destroys the structure the
+    // keyed reader/merger depends on — refuse loudly; merging compacts
+    // those tables bucket-by-bucket as part of the next generation
+    require(!fs.exists(Manifest.logDir(path)),
       s"$path is a manifest-published keyed table; compactParquet would read " +
         "duplicate generations and break the manifest layout — its buckets " +
         "are rewritten per-generation by mergeIntoKeyedParquet instead")
+    // the PRE-manifest legacy layout (_bkt= partition dirs, no log yet):
+    // flattening it would strand every accumulated key — the next merge
+    // would find neither manifest nor _bkt= dirs and publish only its delta
+    require(!(fs.exists(new org.apache.hadoop.fs.Path(path)) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .exists(_.getPath.getName.startsWith("_bkt="))),
+      s"$path is a legacy keyed table (_bkt= layout); compacting it would " +
+        "orphan its accumulated keys — run a merge first (which migrates it " +
+        "to the manifest layout) instead")
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetMB * 1024L * 1024L)).toInt)
     val tmp = path + ".inprogress"
@@ -75,7 +84,7 @@ object Sinks {
     * implement rename as copy+delete — production there should publish via
     * a manifest/pointer file instead of directory swap.
     */
-  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
       staged: String, target: String): Unit = {
     val t = new org.apache.hadoop.fs.Path(target)
     val old = new org.apache.hadoop.fs.Path(target + ".old")

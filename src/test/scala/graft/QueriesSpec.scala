@@ -324,16 +324,23 @@ class QueriesSpec extends AnyFunSuite {
       s"got ${out.toSeq}")
   }
 
-  test("no catalog query plans a cartesian product") {
-    // the classic scale-killer: a join that lost its equi-condition plans
-    // CartesianProduct and goes O(n*m) at any cluster size. The 1-row
-    // broadcast crossJoins (tfidf's corpus count, ANN's bounded query
-    // set) plan BroadcastNestedLoopJoin over a single-row side, which is
-    // fine — only the unbounded form is banned.
+  test("no catalog query joins without a condition against an unbounded side") {
+    // the classic scale-killer: a join that lost its equi-condition does
+    // O(n*m) work at any cluster size — whether it plans CartesianProduct
+    // or slips under the broadcast threshold as BroadcastNestedLoopJoin.
+    // Conditionless joins are allowed ONLY when one side is STATICALLY
+    // bounded (maxRows defined and small: a global aggregate's single row,
+    // a literal query set) — a bound that holds whatever the data grows to.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, Sf0001).queryExecution.sparkPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"query $name plans a cartesian product:\n$plan")
+      val lp = fn(spark, Sf0001).queryExecution.optimizedPlan
+      val unbounded = lp.collect {
+        case j: LJoin if j.condition.isEmpty &&
+          !Seq(j.left, j.right).exists(_.maxRows.exists(_ <= 1024L)) => j
+      }
+      assert(unbounded.isEmpty,
+        s"query $name joins without a condition and without a statically " +
+          s"bounded side:\n${unbounded.mkString("\n")}")
     }
   }
 

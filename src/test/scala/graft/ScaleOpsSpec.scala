@@ -494,6 +494,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     // destroy the b<k>-g<gen> layout the manifest references
     intercept[IllegalArgumentException] { Sinks.compactParquet(spark, path) }
     assert(Sinks.readKeyedParquet(spark, path).count() == 1, "table untouched")
+
+    // the PRE-manifest legacy layout must be refused too: flattening its
+    // _bkt= dirs would orphan every accumulated key at the next merge
+    val legacy = java.nio.file.Files.createTempDirectory("graft-nocompact2").toString + "/t"
+    Seq(("a", 1L)).toDF("k", "n")
+      .withColumn("_bkt", lit(0))
+      .write.partitionBy("_bkt").parquet(legacy)
+    intercept[IllegalArgumentException] { Sinks.compactParquet(spark, legacy) }
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
