@@ -478,6 +478,35 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Clustered parquet: range-partition on `cols`, sort within each
+    * partition, write — so every file (and row group) covers a NARROW
+    * min/max range of the cluster keys, and parquet's footer statistics
+    * let a pushed-down predicate skip whole files/row groups at the scan.
+    * The layout-side half of predicate pushdown: pushing a filter into a
+    * scan whose every file spans the full key range skips nothing; at
+    * 100 TB, clustering the write is what turns a point/range query from
+    * a full scan into a few-file read. (Hash-bucketing — [[bucketedTable]]
+    * — serves equi-JOIN locality; range-clustering serves range/point
+    * FILTER locality; they compose by bucketing on join keys and sorting
+    * by filter keys.) SinksSpec proves the skip with scan metrics: the
+    * same point filter reads orders of magnitude fewer rows from the
+    * clustered copy than from a round-robin copy.
+    */
+  def clusteredParquet(df: DataFrame, path: String,
+      cols: Seq[String], shards: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    // an explicit shard count pins the file count (AQE coalesces an
+    // unpinned range shuffle of a small input down to one file — no
+    // ranges, nothing to skip); unpinned, the shard count follows
+    // spark.sql.shuffle.partitions + AQE, the right default at scale
+    val ranged = shards match {
+      case Some(n) => df.repartitionByRange(n, cols.map(col): _*)
+      case None => df.repartitionByRange(cols.map(col): _*)
+    }
+    ranged.sortWithinPartitions(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed catalog table: pre-hash-partitioned (and per-bucket sorted)
     * on the join/group keys, so repeated joins and aggregations on those
     * keys plan with NO exchange — the shuffle is paid once at write time

@@ -531,6 +531,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clustered parquet: a point filter reads fewer rows than the unclustered copy") {
+    val li = Tables(spark, Sf0001, "lineitem").select("l_orderkey", "l_quantity")
+    val total = li.count()
+    val base = java.nio.file.Files.createTempDirectory("graft-cluster").toString
+    // same data, two layouts: range-clustered on the filter key vs
+    // round-robin (every file spans the whole key range)
+    Sinks.clusteredParquet(li, base + "/clustered", Seq("l_orderkey"), shards = Some(8))
+    li.repartition(8).write.parquet(base + "/scattered")
+
+    def rowsScanned(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("l_orderkey") === 1L)
+      df.collect() // drive THIS QueryExecution so metrics populate
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val clustered = rowsScanned(base + "/clustered")
+    val scattered = rowsScanned(base + "/scattered")
+    // the scattered layout's files all overlap the key, so min/max stats
+    // skip nothing and the scan emits every pushed-filter survivor from
+    // every file; the clustered layout confines the key to one file's
+    // range and the footer stats skip the rest
+    assert(scattered > 0 && clustered > 0, "both layouts must find the key")
+    assert(clustered * 2 <= total,
+      s"clustered scan should read a fraction of the table: $clustered of $total")
+    assert(clustered <= scattered,
+      s"clustering must not read more than the scattered layout " +
+        s"($clustered vs $scattered)")
+  }
+
   test("bucketed tables join with no exchange (co-located sort-merge join)") {
     // a previous JVM's managed-table directories survive on disk while the
     // in-memory catalog does not — clear both before writing
