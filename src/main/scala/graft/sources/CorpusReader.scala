@@ -69,12 +69,12 @@ object CorpusReader {
     * existing export never sees a half-written directory.
     */
   def toJsonl(df: DataFrame, path: String): Unit = {
-    val tmp = path + ".inprogress"
+    // normalize before appending the stage suffix: a trailing slash would
+    // otherwise put the stage INSIDE the target and the swap would eat it
+    val target = new org.apache.hadoop.fs.Path(path).toString
+    val tmp = target + ".inprogress"
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "gzip").json(tmp)
-    Sinks.swapInto(
-      new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(df.sparkSession.sessionState.newHadoopConf()),
-      tmp, path)
+    Sinks.swapInto(Sinks.fileSystem(df.sparkSession, target), tmp, target)
   }
 }

@@ -70,7 +70,7 @@ object Sinks {
     swapInto(fs, tmp, path)
   }
 
-  private def fileSystem(spark: org.apache.spark.sql.SparkSession,
+  private[sources] def fileSystem(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -488,9 +488,11 @@ object Sinks {
     * a full scan into a few-file read. (Hash-bucketing — [[bucketedTable]]
     * — serves equi-JOIN locality; range-clustering serves range/point
     * FILTER locality; they compose by bucketing on join keys and sorting
-    * by filter keys.) SinksSpec proves the skip with scan metrics: the
+    * by filter keys.) ScaleOpsSpec proves the skip with scan metrics: the
     * same point filter reads orders of magnitude fewer rows from the
-    * clustered copy than from a round-robin copy.
+    * clustered copy than from a round-robin copy. Staged and swapped in
+    * like the other sinks, so re-clustering a live table never exposes a
+    * partial file set.
     */
   def clusteredParquet(df: DataFrame, path: String,
       cols: Seq[String], shards: Option[Int] = None): Unit = {
@@ -503,15 +505,20 @@ object Sinks {
       case Some(n) => df.repartitionByRange(n, cols.map(col): _*)
       case None => df.repartitionByRange(cols.map(col): _*)
     }
+    // normalize before appending the stage suffix: a trailing slash would
+    // otherwise put the stage INSIDE the target and the swap would eat it
+    val target = new org.apache.hadoop.fs.Path(path).toString
+    val tmp = target + ".inprogress"
     ranged.sortWithinPartitions(cols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapInto(fileSystem(df.sparkSession, target), tmp, target)
   }
 
   /** Bucketed catalog table: pre-hash-partitioned (and per-bucket sorted)
     * on the join/group keys, so repeated joins and aggregations on those
     * keys plan with NO exchange — the shuffle is paid once at write time
     * instead of per query. The 100 TB play for fact⋈fact joins Catalyst
-    * can't broadcast (see SCALE.md; verified by SinksSpec asserting an
+    * can't broadcast (see SCALE.md; verified by ScaleOpsSpec asserting an
     * exchange-free sort-merge join plan).
     */
   def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],

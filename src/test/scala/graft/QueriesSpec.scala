@@ -333,14 +333,19 @@ class QueriesSpec extends AnyFunSuite {
     // a literal query set) — a bound that holds whatever the data grows to.
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     SparkEntry.queries.foreach { case (name, fn) =>
-      val lp = fn(spark, Sf0001).queryExecution.optimizedPlan
-      val unbounded = lp.collect {
+      val qe = fn(spark, Sf0001).queryExecution
+      val unbounded = qe.optimizedPlan.collect {
         case j: LJoin if j.condition.isEmpty &&
           !Seq(j.left, j.right).exists(_.maxRows.exists(_ <= 1024L)) => j
       }
       assert(unbounded.isEmpty,
         s"query $name joins without a condition and without a statically " +
           s"bounded side:\n${unbounded.mkString("\n")}")
+      // and the physical check too: a NON-equi condition (x < y) passes
+      // the logical gate above yet still plans the O(n*m) operator
+      val pp = qe.sparkPlan.toString
+      assert(!pp.contains("CartesianProduct"),
+        s"query $name physically plans a cartesian product:\n$pp")
     }
   }
 
