@@ -120,8 +120,16 @@ object DedupQueries {
     * connected components over them). See the `dedup_simhash_pairs` entry
     * for the banding/cap/reuse rationale.
     */
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands0 = simhashTable(s, dir)
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsFrom(simhashTable(s, dir))
+
+  /** [[simhashPairs]] over a pre-computed (possibly checkpointed)
+    * signature table — lets `dedup_canonical` derive both the Hamming-1..3
+    * pairs and the Hamming-0 (same-signature) star edges from ONE
+    * materialized signature aggregation instead of running it twice.
+    */
+  private def simhashPairsFrom(sigTable: DataFrame): DataFrame = {
+    val bands0 = sigTable
       .select(col("doc_id"), col("sig"),
         posexplode(array((0 until Bands).map(b =>
           shiftright(col("sig"), 16 * (Bands - 1 - b)).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -136,6 +144,115 @@ object DedupQueries {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
       .filter(col("hamming").between(1, 3))
       .dropDuplicates("d1", "d2")
+  }
+
+  /** Connected components over the simhash near-dup pair graph —
+    * (doc_id, cluster_id, cluster_size), unordered — shared by
+    * `dedup_clusters` (the labeling itself) and `dedup_canonical` (the
+    * keep/drop decision on top of it).
+    *
+    * The end-product of dedup at scale is not a pair list but a cluster
+    * id per document. Components are computed by iterative min-label
+    * propagation over the simhash pair edges: each round every doc takes
+    * the min label among itself and its neighbors, then FOLLOWS the label
+    * one hop (pointer jumping), so propagation distance doubles per
+    * round; a fixpoint is a connected component labeled by its smallest
+    * doc_id. The driver loop runs on CHECKPOINTED iterations
+    * (localCheckpoint truncates the logical plan — without it the plan
+    * doubles per round and re-executes the whole simhash pipeline each
+    * join) and converges in O(log diameter) rounds (measured 12 -> 9 at
+    * sf0.1), so the 32-round loud-failure bound covers chain diameters up
+    * to 2^32 — adversarial chain-shaped near-dup graphs (incremental
+    * crawls) cannot outgrow it. Labels are integers, so the fixpoint is
+    * exactly reproducible by the oracle's recursive reachability closure
+    * (no float order sensitivity).
+    */
+  private def clusterLabels(s: SparkSession, dir: String,
+      includeExact: Boolean = false): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    // `includeExact` additionally connects same-signature (Hamming-0)
+    // documents: dedup_clusters deliberately leaves those to
+    // dedup_simhash's exact-group canon, but a KEEP/DROP decision
+    // (dedup_canonical) must treat exact and near duplicates as one
+    // class. The star edges (min-id -> member) are O(group) rows and
+    // collapse in one propagation round; deriving both edge kinds from
+    // ONE checkpointed signature table runs the expensive signature
+    // aggregation once, not twice.
+    val pairs0 =
+      if (!includeExact) simhashPairs(s, dir).select("d1", "d2")
+      else {
+        val sigs = simhashTable(s, dir).localCheckpoint()
+        val w = Window.partitionBy("sig")
+        val sigDup = sigs
+          .select(col("doc_id"), min(col("doc_id")).over(w).as("m"))
+          .filter(col("doc_id") =!= col("m"))
+          .select(col("m").as("d1"), col("doc_id").as("d2"))
+        simhashPairsFrom(sigs).select("d1", "d2").union(sigDup)
+      }
+    val pairs = pairs0.localCheckpoint()
+    // checkpointed PRE-PARTITIONED on the per-round join key: LogicalRDD
+    // preserves outputPartitioning, so the edge side of every iteration's
+    // join reuses this one exchange instead of re-shuffling per round
+    val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .repartition(col("d2")).localCheckpoint()
+    // iterate over PAIRED docs only — singletons can never change label,
+    // and they dominate the corpus (the iteration working set is the
+    // pair-graph vertex set, orders of magnitude smaller than the docs)
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    // min-label is monotonically decreasing, so the integer label sum is
+    // a convergence certificate — one agg per round, previous round's
+    // value carried forward instead of recomputed. The sum is coalesced:
+    // sum() over an EMPTY frame is NULL (a clean corpus with zero
+    // near-dup pairs), and the loop must fall through to all-singletons
+    // instead of throwing on the null.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      val neighborMin = edges.join(labels, edges("d2") === labels("id"))
+        .groupBy(col("d1")).agg(min(col("label")).as("nmin"))
+      val stepped = labels.join(neighborMin, labels("id") === neighborMin("d1"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jumping: follow the stepped label one hop through the
+      // PREVIOUS round's (checkpointed) label map before committing the
+      // round. Jumping through `labels` rather than `stepped` keeps the
+      // un-checkpointed step subplan single-execution (a stepped
+      // self-join would re-run the neighbor-min join twice per round)
+      // at the same acceleration: labels already encodes this many
+      // rounds of propagation, so composing it with the step doubles
+      // distance per round — O(log diameter) rounds instead of
+      // O(diameter), measured 12 -> 9 at sf0.1. Every label value is
+      // the id of a same-component vertex with a <= id and labels(y)
+      // <= y, so the jump stays inside the component and min-label
+      // monotonicity — the sum certificate and the fixpoint — is
+      // preserved (sum-stable ⇒ jump changed nothing ⇒ step changed
+      // nothing ⇒ true step fixpoint).
+      val jumpTo = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      val next = stepped.join(jumpTo, stepped("label") === jumpTo("jid"), "left")
+        .select(stepped("id"), coalesce(col("jlabel"), stepped("label")).as("label"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      rounds += 1
+    }
+    require(converged, s"dedup_clusters failed to converge in $rounds rounds")
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"[dedup_clusters] converged in $rounds rounds")
+    // sizes come from the SMALL checkpointed labels frame, not from the
+    // full docs join (which would execute the corpus-wide join twice):
+    // every doc absent from `labels` has no edge, hence cluster size 1
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+    val labeled = labels.join(sizes, "label")
+    docs.join(labeled, docs("doc_id") === labeled("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -242,87 +359,41 @@ object DedupQueries {
       simhashPairs(s, dir).orderBy("d1", "d2")),
 
     // ---- near-dup CLUSTERS: connected components over the pair graph ----
-    // The end-product of dedup at scale is not a pair list but a cluster
-    // id per document (keep min, drop the rest). Components are computed
-    // by iterative min-label propagation over the simhash pair edges:
-    // each round every doc takes the min label among itself and its
-    // neighbors, then FOLLOWS the label one hop (pointer jumping), so
-    // propagation distance doubles per round; a fixpoint is a connected
-    // component labeled by its smallest doc_id. The driver loop runs on
-    // CHECKPOINTED iterations (localCheckpoint truncates the logical
-    // plan — without it the plan doubles per round and re-executes the
-    // whole simhash pipeline each join) and converges in O(log diameter)
-    // rounds (measured 12 -> 9 at sf0.1), so the 32-round loud-failure
-    // bound covers chain diameters up to 2^32 — adversarial chain-shaped
-    // near-dup graphs (incremental crawls) cannot outgrow it. Labels are
-    // integers, so the fixpoint is exactly reproducible by the oracle's
-    // recursive reachability closure (no float order sensitivity).
-    "dedup_clusters" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").select(col("doc_id"))
-      val pairs = simhashPairs(s, dir).select("d1", "d2").localCheckpoint()
-      // checkpointed PRE-PARTITIONED on the per-round join key: LogicalRDD
-      // preserves outputPartitioning, so the edge side of every iteration's
-      // join reuses this one exchange instead of re-shuffling per round
-      val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .repartition(col("d2")).localCheckpoint()
-      // iterate over PAIRED docs only — singletons can never change label,
-      // and they dominate the corpus (the iteration working set is the
-      // pair-graph vertex set, orders of magnitude smaller than the docs)
-      var labels = edges.select(col("d1").as("id")).distinct()
-        .select(col("id"), col("id").as("label"))
-        .localCheckpoint()
-      // min-label is monotonically decreasing, so the integer label sum is
-      // a convergence certificate — one agg per round, previous round's
-      // value carried forward instead of recomputed. The sum is coalesced:
-      // sum() over an EMPTY frame is NULL (a clean corpus with zero
-      // near-dup pairs), and the loop must fall through to all-singletons
-      // instead of throwing on the null.
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
-      var prevSum = labelSum(labels)
-      var converged = labels.isEmpty
-      var rounds = 0
-      while (!converged && rounds < 32) {
-        val neighborMin = edges.join(labels, edges("d2") === labels("id"))
-          .groupBy(col("d1")).agg(min(col("label")).as("nmin"))
-        val stepped = labels.join(neighborMin, labels("id") === neighborMin("d1"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        // pointer jumping: follow the stepped label one hop through the
-        // PREVIOUS round's (checkpointed) label map before committing the
-        // round. Jumping through `labels` rather than `stepped` keeps the
-        // un-checkpointed step subplan single-execution (a stepped
-        // self-join would re-run the neighbor-min join twice per round)
-        // at the same acceleration: labels already encodes this many
-        // rounds of propagation, so composing it with the step doubles
-        // distance per round — O(log diameter) rounds instead of
-        // O(diameter), measured 12 -> 9 at sf0.1. Every label value is
-        // the id of a same-component vertex with a <= id and labels(y)
-        // <= y, so the jump stays inside the component and min-label
-        // monotonicity — the sum certificate and the fixpoint — is
-        // preserved (sum-stable ⇒ jump changed nothing ⇒ step changed
-        // nothing ⇒ true step fixpoint).
-        val jumpTo = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-        val next = stepped.join(jumpTo, stepped("label") === jumpTo("jid"), "left")
-          .select(stepped("id"), coalesce(col("jlabel"), stepped("label")).as("label"))
-          .localCheckpoint()
-        val nextSum = labelSum(next)
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        labels = next
-        rounds += 1
-      }
-      require(converged, s"dedup_clusters failed to converge in $rounds rounds")
-      if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
-        System.err.println(s"[dedup_clusters] converged in $rounds rounds")
-      // sizes come from the SMALL checkpointed labels frame, not from the
-      // full docs join (which would execute the corpus-wide join twice):
-      // every doc absent from `labels` has no edge, hence cluster size 1
-      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
-      val labeled = labels.join(sizes, "label")
-      docs.join(labeled, docs("doc_id") === labeled("id"), "left")
+    // See [[clusterLabels]] for the iterative min-label-propagation /
+    // pointer-jumping algorithm and its convergence argument.
+    "dedup_clusters" -> ((s, dir) =>
+      clusterLabels(s, dir).orderBy("doc_id")),
+
+    // ---- canonical-doc selection: the KEEP/DROP decision per cluster ----
+    // The step that actually shrinks the corpus: within every duplicate
+    // class keep exactly one document — the highest-quality member
+    // (ties to the smallest doc_id), not merely the smallest id, so a
+    // cleaned mirror of a boilerplate-ridden page wins over the original.
+    // Classes are connected components over Hamming ≤ 3 INCLUDING 0
+    // (clusterLabels(includeExact = true)): unlike dedup_clusters, a
+    // keep/drop decision must fold exact duplicates into the same class,
+    // or two identical docs would each elect themselves. The pick is the
+    // partial-aggregable max(struct(qscore, -doc_id))
+    // (dedup_embedding's rank-1 shape): each task prunes to one candidate
+    // per cluster map-side — no Window funnel, and the groupBy key space
+    // is the cluster id set (≈ the corpus), so no concentration either.
+    // NULL qualities (tokenless docs) coalesce to -1.0 on BOTH engines so
+    // a cluster of unscorable docs still elects a deterministic canon.
+    "dedup_canonical" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
         .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster_id"),
-          coalesce(col("sz"), lit(1L)).as("cluster_size"))
+          coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0))
+            .as("qscore"))
+      val d = clusterLabels(s, dir, includeExact = true)
+        .select("doc_id", "cluster_id")
+        .join(scored, Seq("doc_id"))
+      val canon = d.groupBy("cluster_id")
+        .agg(max(struct(col("qscore").as("q"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+        .select(col("cluster_id"), (-col("best.neg_id")).as("canon_id"))
+      d.join(canon, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("canon_id"),
+          (col("doc_id") === col("canon_id")).as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -508,6 +579,38 @@ object DedupQueries {
          |       FROM lab GROUP BY 1)
          |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
          |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    "dedup_canonical" ->
+      // the dedup_clusters reachability closure over pairs ∪ same-sig
+      // star edges (Hamming 0 joins the class here), then the canon pick:
+      // ROW_NUMBER ordered by (qscore DESC, doc_id) is order-equal to the
+      // Spark side's max(struct(qscore, -doc_id)) partial aggregate
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |sigdup AS (SELECT d1, d2 FROM (
+         |  SELECT MIN(doc_id) OVER (PARTITION BY simhash) AS d1, doc_id AS d2
+         |  FROM sigs) WHERE d1 <> d2),
+         |alledges AS (SELECT d1, d2 FROM pairs
+         |             UNION SELECT d1, d2 FROM sigdup),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM alledges
+         |          UNION ALL SELECT d2, d1 FROM alledges),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS qscore
+         |      FROM documents),
+         |d AS (SELECT lab.doc_id, lab.cluster_id, q.qscore
+         |      FROM lab JOIN q USING (doc_id)),
+         |canon AS (SELECT cluster_id, doc_id AS canon_id FROM (
+         |  SELECT cluster_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                       ORDER BY qscore DESC, doc_id) AS rn
+         |  FROM d) WHERE rn = 1)
+         |SELECT d.doc_id, d.cluster_id, c.canon_id,
+         |       d.doc_id = c.canon_id AS keep
+         |FROM d JOIN canon c USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh0 AS ($shSqlRel),

@@ -181,6 +181,28 @@ object RelationalQueries {
         .orderBy("op", "nationkey")
     }),
 
+    // ---- correlated scalar subquery through the SQL front door ----
+    // The engine's other entry surface: the same Catalyst planner serves
+    // spark.sql(...) strings, and the correlated scalar subquery — the
+    // shape analysts actually write — must not execute per-row. The
+    // optimizer DECORRELATES it (RewriteCorrelatedScalarSubquery) into
+    // one aggregate over orders plus an equi-join on the correlation key
+    // (o_custkey) — the identical plan the DataFrame spelling would
+    // produce, shuffle-partitioned and AQE-eligible; ScaleOpsSpec pins
+    // the absence of any per-row subplan. The predicate compares against
+    // max(), which is order-independent and exact on doubles, so the
+    // boundary filter cannot flip between engines.
+    "subquery_decorr" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM graft_orders o
+          |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+          |                      FROM graft_orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // ---- aggregate stats: min/max/avg/count-distinct ----
     "agg_stats" -> ((s, dir) => {
       val l = Tables(s, dir, "lineitem")
@@ -400,6 +422,14 @@ object RelationalQueries {
         |UNION ALL SELECT 'intersect', nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
         |UNION ALL SELECT 'except', nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
         |ORDER BY op, nationkey""".stripMargin,
+
+    "subquery_decorr" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag,

@@ -187,6 +187,44 @@ class QueriesSpec extends AnyFunSuite {
       s"chain must collapse into one cluster via B; got $clusters")
   }
 
+  test("dedup_canonical folds exact dups into one class and keeps the quality argmax") {
+    import spark.implicits._
+    // docs 1 and 2 are IDENTICAL (Hamming 0 — invisible to dedup_clusters'
+    // 1..3 pair graph, so it would leave them as two singleton clusters);
+    // doc 3 is within Hamming 1..3 of them (premise-checked in the
+    // dedup_clusters chain test with the same strings); doc 9 is unrelated.
+    // The keep/drop decision must elect exactly ONE canon for the 3-member
+    // class {1,2,3}, and it must be the class's quality argmax.
+    val t1 = (0 until 60).map(i => f"w$i%02d").mkString(" ")
+    val t2 = t1 + " aac"
+    val dir = java.nio.file.Files.createTempDirectory("graft-canon").toString
+    Seq((1L, t1, "en", "synth", 0L), (2L, t1, "en", "synth", 0L),
+        (3L, t2, "en", "synth", 0L),
+        (9L, "the quick brown fox jumps over a lazy dog", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("dedup_canonical")(spark, dir)
+      .select("doc_id", "cluster_id", "canon_id", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 9L))
+    // one class {1,2,3} labeled by its min member, one singleton {9}
+    assert(out.filter(_._1 != 9L).map(_._2).toSet == Set(1L))
+    assert(out.find(_._1 == 9L).get._2 == 9L)
+    // keep <=> doc_id == canon_id, and exactly one keeper per cluster
+    out.foreach { case (id, _, canon, keep) => assert(keep == (id == canon)) }
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.count(_._4) == 1, s"cluster $c must keep exactly one doc")
+      assert(rows.map(_._3).toSet.size == 1, s"cluster $c members must agree on the canon")
+    }
+    // the elected canon is the quality argmax (ties to smallest doc_id)
+    val quality = SparkEntry.queries("text_quality")(spark, dir)
+      .select("doc_id", "quality").as[(Long, Option[Double])].collect()
+      .map { case (id, q) => id -> q.getOrElse(-1.0) }.toMap
+    val expected = Seq(1L, 2L, 3L).minBy(id => (-quality(id), id))
+    assert(out.filter(_._1 != 9L).head._3 == expected,
+      s"canon must be the quality argmax $expected")
+  }
+
   test("embedding/ann_lsh hot-bucket caps fire; cold buckets still match") {
     // 120 vectors share one sign bucket (all dims positive, label 0) →
     // bucket size 120 > MaxBucket → dropped in both dedup_embedding
@@ -304,6 +342,44 @@ class QueriesSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"AQE should broadcast the benchmark-sized held-out shingles:\n$plan")
+  }
+
+  test("decontaminate_fuzzy flags a paraphrase the exact 8-gram filter misses") {
+    import spark.implicits._
+    // doc 0 ("cf") is held-out; doc 1 ("c4") is doc 0 with every 8th token
+    // replaced — every common token run is exactly 7, so the exact 8-gram
+    // filter CANNOT see the overlap; doc 2 ("c8") shares nothing. True
+    // shingle Jaccard of the paraphrase is ~0.45, so whether the k=8
+    // minhash estimate clears the 0.5 gate depends on which shingles the
+    // min-hashes sample — deterministic per substitution alphabet, so scan
+    // seeds until one collides (the dedup_clusters chain test's pattern).
+    val base = (1 to 40).map(i => s"tok$i")
+    def write(seed: Int): String = {
+      val para = base.zipWithIndex.map { case (w, i) =>
+        if ((i + 1) % 8 == 0) s"sub${seed}x$i" else w }
+      val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
+      Seq((0L, base.mkString(" "), "en", "synth", 0L),
+          (1L, para.mkString(" "), "en", "synth", 0L),
+          (2L, (1 to 40).map(i => s"other$i").mkString(" "), "en", "synth", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(dir + "/documents.parquet")
+      dir
+    }
+    val found = (0 until 16).view.map { seed =>
+      val dir = write(seed)
+      val fuzzy = SparkEntry.queries("decontaminate_fuzzy")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      (dir, fuzzy)
+    }.find { case (_, fuzzy) => fuzzy.getOrElse(1L, false) }
+    assert(found.nonEmpty,
+      "no substitution seed cleared the est_jaccard gate; widen the seed list")
+    val (dir, fuzzy) = found.get
+    assert(fuzzy == Map(1L -> true, 2L -> false),
+      s"held-out docs must be excluded and the clean doc must pass; got $fuzzy")
+    val exact = SparkEntry.queries("decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(exact == Map(1L -> false, 2L -> false),
+      s"the exact filter must MISS the 7-token-run paraphrase; got $exact")
   }
 
   test("corpus_mix emits the exact deterministic copy counts per band") {

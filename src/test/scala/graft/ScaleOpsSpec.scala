@@ -591,4 +591,22 @@ class ScaleOpsSpec extends AnyFunSuite {
       .count()
     assert(joined.count() == expected)
   }
+
+  test("correlated scalar subquery is decorrelated into one aggregate + equi-join") {
+    // the SQL front door must plan like the DataFrame spelling: no
+    // per-row subplan survives optimization (a correlated subquery left
+    // in place re-executes the aggregate once per outer row — O(n·m) at
+    // any cluster size), and the rewritten form is an equi-join on the
+    // correlation key feeding one grouped aggregate
+    val qe = SparkEntry.queries("subquery_decorr")(spark, Sf0001).queryExecution
+    val opt = qe.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      s"subquery must be decorrelated away:\n$opt")
+    assert(qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.exists(_.condition.exists(_.toString.contains("o_custkey"))),
+      s"expected an equi-join on the correlation key:\n$opt")
+    assert(opt.contains("max(o_totalprice"),
+      s"expected the grouped max aggregate:\n$opt")
+  }
 }
