@@ -81,6 +81,50 @@ object CurationQueries {
     ((10 to 14).map("src" + _), 1, None), // 1.0x: keep
     ((15 to 19).map("src" + _), 0, Some("8000"))) // 0.5x: coin keeps
 
+  /** The `decontaminate` flag frame (doc_id, n_shared, contaminated) over
+    * the TRAIN split, unordered — also a gate of [[queries pipeline_curate]].
+    *
+    * cleanLine BEFORE shingling: benchmark text that differs only in
+    * case/punctuation must still match (the PaLM-style filter's point),
+    * and the streaming twin (decontaminationStream over the cleaned
+    * corpus stream) normalizes the same way — the two detectors must
+    * agree on what counts as overlap.
+    */
+  private def decontaminationFlags(s: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val sh = Tables(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), h2.as("bucket"),
+        explode(shinglesN(tokens(cleanLine(col("text"))), DecontamN)).as("ng"))
+      .distinct()
+    val testNg = sh.filter(col("bucket") >= "cd").select("ng").distinct()
+    val hits = sh.filter(col("bucket") < "cd")
+      .join(testNg, Seq("ng"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && h2 < "cd")
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The `quality_filter` survivors (doc_id, lang, quality, med),
+    * unordered — also a gate of [[queries pipeline_curate]].
+    */
+  private def qualityKept(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysisQueries.qualityExpr(col("text")).as("quality"))
+      .filter(col("quality").isNotNull)
+    val med = scored.groupBy("lang")
+      .agg(expr("percentile(quality, 0.5)").as("med"))
+    scored.join(med, Seq("lang"))
+      .filter(col("quality") >= col("med"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("med"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sliding-window chunking ----
     // Chunk count is the standard 1 + ceil((n - window)/stride) for
@@ -140,31 +184,8 @@ object CurationQueries {
     // size check turns the shuffle join into a broadcast probe on its
     // own. A hard broadcast() hint would instead ship 20% of the corpus
     // here, where the held-out side is an md5 slice of the same table.
-    "decontaminate" -> ((s, dir) => {
-      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
-      val sh = Tables(s, dir, "documents")
-        .filter(col("doc_id").isNotNull)
-        // cleanLine BEFORE shingling: benchmark text that differs only in
-        // case/punctuation must still match (the PaLM-style filter's
-        // point), and the streaming twin (decontaminationStream over the
-        // cleaned corpus stream) normalizes the same way — the two
-        // detectors must agree on what counts as overlap
-        .select(col("doc_id"), h2.as("bucket"),
-          explode(shinglesN(tokens(cleanLine(col("text"))), DecontamN)).as("ng"))
-        .distinct()
-      val testNg = sh.filter(col("bucket") >= "cd").select("ng").distinct()
-      val hits = sh.filter(col("bucket") < "cd")
-        .join(testNg, Seq("ng"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      Tables(s, dir, "documents")
-        .filter(col("doc_id").isNotNull && h2 < "cd")
-        .select(col("doc_id"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
-        .orderBy("doc_id")
-    }),
+    "decontaminate" -> ((s, dir) =>
+      decontaminationFlags(s, dir).orderBy("doc_id")),
 
     // ---- FUZZY benchmark decontamination: near-dup overlap, not exact ----
     // The exact 8-gram filter (`decontaminate`) misses a benchmark doc
@@ -288,6 +309,30 @@ object CurationQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // ---- the whole curation pass as ONE composed query ----
+    // What a user of the engine actually runs before training: the
+    // training split, minus near/exact-duplicate shadows (dedup_canonical
+    // keeps the quality argmax of every duplicate class), minus
+    // benchmark-contaminated docs (the exact 8-gram filter), kept only at
+    // or above the language's median quality (quality_filter's relative
+    // threshold). Each gate is the already-proven operator reused in its
+    // UNSORTED composable form, glued by two semi-joins on doc_id — the
+    // natural key, so every join is a plain shuffle-hash/SMJ with AQE
+    // freedom, and nothing re-sorts mid-plan. One query, one plan,
+    // end-to-end — Catalyst sees through the composition (shared scans
+    // stay shared; the gates are independent subplans, so at cluster
+    // scale they parallelize as sibling stages, not a serial pipeline).
+    "pipeline_curate" -> ((s, dir) => {
+      val keeps = DedupQueries.canonicalDecision(s, dir)
+        .filter(col("keep")).select("doc_id")
+      val clean = decontaminationFlags(s, dir)
+        .filter(!col("contaminated")).select("doc_id")
+      qualityKept(s, dir).select("doc_id", "lang", "quality")
+        .join(keeps, Seq("doc_id"), "left_semi")
+        .join(clean, Seq("doc_id"), "left_semi")
+        .orderBy("doc_id")
+    }),
+
     // ---- distribution-relative quality filtering ----
     // Keep documents at or above their LANGUAGE's median quality — the
     // relative-threshold curation rule (an absolute threshold over- or
@@ -299,18 +344,8 @@ object CurationQueries {
     // engine-independent. Exact percentile sorts per group — the
     // oracle-comparable form; at data scale swap in approx_percentile
     // (same mergeable-sketch trade agg_quantiles documents).
-    "quality_filter" -> ((s, dir) => {
-      val scored = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TextAnalysisQueries.qualityExpr(col("text")).as("quality"))
-        .filter(col("quality").isNotNull)
-      val med = scored.groupBy("lang")
-        .agg(expr("percentile(quality, 0.5)").as("med"))
-      scored.join(med, Seq("lang"))
-        .filter(col("quality") >= col("med"))
-        .select(col("doc_id"), col("lang"), col("quality"), col("med"))
-        .orderBy("doc_id")
-    }),
+    "quality_filter" -> ((s, dir) =>
+      qualityKept(s, dir).orderBy("doc_id")),
 
     // ---- symmetric int8 quantization of the embedding column ----
     // scale is computed in its own projection step and referenced as a
@@ -446,6 +481,37 @@ object CurationQueries {
          |SELECT doc_id, rank, term, tf, df, score FROM ranked
          |WHERE rank <= $TfIdfK ORDER BY doc_id, rank""".stripMargin
     },
+
+    "pipeline_curate" ->
+      // the three gates' own oracle CTEs, composed: canonical survivors
+      // (DedupQueries.canonicalCtes), exact-8-gram-clean train docs, and
+      // at-or-above-median quality — inner joins on doc_id are semi-joins
+      // because keeps/clean are one-row-per-doc by construction
+      s"""WITH RECURSIVE ${DedupQueries.canonicalCtes},
+         |keeps AS (SELECT d.doc_id FROM d JOIN canon c USING (cluster_id)
+         |          WHERE d.doc_id = c.canon_id),
+         |dsh0 AS (SELECT DISTINCT doc_id,
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         |    unnest(${shinglesNSql("t", DecontamN)}) AS ng
+         |  FROM (SELECT doc_id, ${tokensSql(cleanLineSql("text"))} AS t FROM documents)),
+         |dtest AS (SELECT DISTINCT ng FROM dsh0 WHERE bucket >= 'cd'),
+         |dhits AS (SELECT doc_id FROM dsh0 JOIN dtest USING (ng)
+         |          WHERE bucket < 'cd' GROUP BY doc_id),
+         |clean AS (SELECT doc_id FROM documents dd
+         |          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+         |            AND NOT EXISTS (SELECT 1 FROM dhits h
+         |                            WHERE h.doc_id = dd.doc_id)),
+         |scored AS (SELECT doc_id, lang,
+         |             ${TextAnalysisQueries.qualitySqlExpr} AS quality
+         |           FROM documents),
+         |sq AS (SELECT * FROM scored WHERE quality IS NOT NULL),
+         |med AS (SELECT lang, quantile_cont(quality, 0.5) AS med
+         |        FROM sq GROUP BY lang),
+         |kept AS (SELECT sq.doc_id, sq.lang, sq.quality
+         |         FROM sq JOIN med m USING (lang) WHERE sq.quality >= m.med)
+         |SELECT k.doc_id, k.lang, k.quality FROM kept k
+         |JOIN keeps USING (doc_id) JOIN clean USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "quality_filter" ->
       s"""WITH scored AS (

@@ -255,6 +255,28 @@ object DedupQueries {
         coalesce(col("sz"), lit(1L)).as("cluster_size"))
   }
 
+  /** The `dedup_canonical` decision frame (doc_id, cluster_id, canon_id,
+    * keep), unordered — also the first gate of CurationQueries'
+    * `pipeline_curate`, which is why it is exposed package-side without
+    * the presentation sort.
+    */
+  private[queries] def canonicalDecision(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0))
+          .as("qscore"))
+    val d = clusterLabels(s, dir, includeExact = true)
+      .select("doc_id", "cluster_id")
+      .join(scored, Seq("doc_id"))
+    val canon = d.groupBy("cluster_id")
+      .agg(max(struct(col("qscore").as("q"), (-col("doc_id")).as("neg_id")))
+        .as("best"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("canon_id"))
+    d.join(canon, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("canon_id"),
+        (col("doc_id") === col("canon_id")).as("keep"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: canonical doc per identical text ----
     "dedup_exact" -> ((s, dir) => {
@@ -379,23 +401,8 @@ object DedupQueries {
     // is the cluster id set (≈ the corpus), so no concentration either.
     // NULL qualities (tokenless docs) coalesce to -1.0 on BOTH engines so
     // a cluster of unscorable docs still elects a deterministic canon.
-    "dedup_canonical" -> ((s, dir) => {
-      val scored = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0))
-            .as("qscore"))
-      val d = clusterLabels(s, dir, includeExact = true)
-        .select("doc_id", "cluster_id")
-        .join(scored, Seq("doc_id"))
-      val canon = d.groupBy("cluster_id")
-        .agg(max(struct(col("qscore").as("q"), (-col("doc_id")).as("neg_id")))
-          .as("best"))
-        .select(col("cluster_id"), (-col("best.neg_id")).as("canon_id"))
-      d.join(canon, Seq("cluster_id"))
-        .select(col("doc_id"), col("cluster_id"), col("canon_id"),
-          (col("doc_id") === col("canon_id")).as("keep"))
-        .orderBy("doc_id")
-    }),
+    "dedup_canonical" -> ((s, dir) =>
+      canonicalDecision(s, dir).orderBy("doc_id")),
 
     // ---- n-gram Jaccard near-dup pairs (shingle-bucket candidates) ----
     // Hot shingles (document frequency > MaxShingleDf) are dropped BEFORE
@@ -506,6 +513,39 @@ object DedupQueries {
        |  WHERE hamming BETWEEN 1 AND 3)""".stripMargin
   }
 
+  /** CTE list (requires WITH RECURSIVE) producing `d(doc_id, cluster_id,
+    * qscore)` and `canon(cluster_id, canon_id)` — the oracle mirror of
+    * [[canonicalDecision]]: the dedup_clusters reachability closure over
+    * pairs ∪ same-sig star edges (Hamming 0 joins the class here), then
+    * the canon pick. ROW_NUMBER ordered by (qscore DESC, doc_id) is
+    * order-equal to the Spark side's max(struct(qscore, -doc_id)) partial
+    * aggregate. Shared with CurationQueries' pipeline_curate oracle.
+    */
+  private[queries] def canonicalCtes: String =
+    s"""$simhashPairCtes,
+       |sigdup AS (SELECT d1, d2 FROM (
+       |  SELECT MIN(doc_id) OVER (PARTITION BY simhash) AS d1, doc_id AS d2
+       |  FROM sigs) WHERE d1 <> d2),
+       |alledges AS (SELECT d1, d2 FROM pairs
+       |             UNION SELECT d1, d2 FROM sigdup),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM alledges
+       |          UNION ALL SELECT d2, d1 FROM alledges),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |q AS (SELECT doc_id,
+       |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS qscore
+       |      FROM documents),
+       |d AS (SELECT lab.doc_id, lab.cluster_id, q.qscore
+       |      FROM lab JOIN q USING (doc_id)),
+       |canon AS (SELECT cluster_id, doc_id AS canon_id FROM (
+       |  SELECT cluster_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |                       ORDER BY qscore DESC, doc_id) AS rn
+       |  FROM d) WHERE rn = 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_hash,
@@ -581,33 +621,7 @@ object DedupQueries {
          |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_canonical" ->
-      // the dedup_clusters reachability closure over pairs ∪ same-sig
-      // star edges (Hamming 0 joins the class here), then the canon pick:
-      // ROW_NUMBER ordered by (qscore DESC, doc_id) is order-equal to the
-      // Spark side's max(struct(qscore, -doc_id)) partial aggregate
-      s"""WITH RECURSIVE $simhashPairCtes,
-         |sigdup AS (SELECT d1, d2 FROM (
-         |  SELECT MIN(doc_id) OVER (PARTITION BY simhash) AS d1, doc_id AS d2
-         |  FROM sigs) WHERE d1 <> d2),
-         |alledges AS (SELECT d1, d2 FROM pairs
-         |             UNION SELECT d1, d2 FROM sigdup),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM alledges
-         |          UNION ALL SELECT d2, d1 FROM alledges),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
-         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-         |q AS (SELECT doc_id,
-         |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS qscore
-         |      FROM documents),
-         |d AS (SELECT lab.doc_id, lab.cluster_id, q.qscore
-         |      FROM lab JOIN q USING (doc_id)),
-         |canon AS (SELECT cluster_id, doc_id AS canon_id FROM (
-         |  SELECT cluster_id, doc_id,
-         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
-         |                       ORDER BY qscore DESC, doc_id) AS rn
-         |  FROM d) WHERE rn = 1)
+      s"""WITH RECURSIVE $canonicalCtes
          |SELECT d.doc_id, d.cluster_id, c.canon_id,
          |       d.doc_id = c.canon_id AS keep
          |FROM d JOIN canon c USING (cluster_id) ORDER BY doc_id""".stripMargin,

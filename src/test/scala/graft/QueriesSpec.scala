@@ -382,6 +382,21 @@ class QueriesSpec extends AnyFunSuite {
       s"the exact filter must MISS the 7-token-run paraphrase; got $exact")
   }
 
+  test("pipeline_curate equals the intersection of its three gates") {
+    import spark.implicits._
+    val pipe = SparkEntry.queries("pipeline_curate")(spark, Sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val keeps = SparkEntry.queries("dedup_canonical")(spark, Sf0001)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val clean = SparkEntry.queries("decontaminate")(spark, Sf0001)
+      .filter(!col("contaminated")).select("doc_id").as[Long].collect().toSet
+    val kept = SparkEntry.queries("quality_filter")(spark, Sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pipe.nonEmpty, "the composed pass must keep at least one doc at sf0.001")
+    assert(pipe == (keeps & clean & kept),
+      "the one-plan composition must equal the gates applied independently")
+  }
+
   test("corpus_mix emits the exact deterministic copy counts per band") {
     import spark.implicits._
     // md5 4-prefixes: doc 1 "c4ca" >= 8000 (coin fails), doc 6 "1679" < 8000
