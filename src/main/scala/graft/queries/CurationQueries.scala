@@ -193,18 +193,25 @@ object CurationQueries {
     // run shorter than 8 slips through. The fuzzy form flags a train doc
     // whose 3-token-shingle MinHash signature LSH-collides with any
     // held-out doc at estimated Jaccard >= 0.5 (dedup_minhash_lsh's
-    // machinery pointed ACROSS the split instead of at itself). Same
-    // scale posture as the dedup family: the band join is train x test
-    // on (band, bval) with buckets above [[MaxBucket]] dropped via
-    // broadcast anti-join first (a duplicate class collapses into one
-    // bucket per band — uncapped, a benchmark mirrored into the crawl
-    // n times makes the probe O(n x test)); both sides are
-    // signature-distinct per doc so each surviving (train, test) pair
-    // appears at most [[FuzzyK]]/2 times before the pair-dedup. The
-    // split is sample_split's deterministic md5 rule — in production the
-    // held-out side is the benchmark suite, megabytes against the
-    // corpus, and AQE turns the band join into a broadcast probe on its
-    // own (decontaminate's unhinted-join argument).
+    // candidate machinery — DedupQueries.minhashBands — pointed ACROSS
+    // the split instead of at itself). The hot-bucket cap counts the
+    // HELD-OUT side only, unlike the dedup self-joins' total-membership
+    // cap: a benchmark mirrored into the crawl n times makes the TRAIN
+    // side of its bucket hot, and a total cap would drop exactly those
+    // docs unflagged — the query's own motivating case (the dedup
+    // family's "hot = already caught by dedup_exact" recall argument
+    // does not transfer: dedup_exact flags nothing as contaminated).
+    // Capping test-side membership at [[MaxBucket]] still bounds every
+    // bucket's join output to MaxBucket × its train rows — linear in
+    // the corpus, matching the flag-every-train-copy semantics — and a
+    // held-out bucket that hot means the BENCHMARK contains 100+
+    // near-identical docs, which its own dedup should have removed.
+    // Both sides are signature-distinct per doc so each surviving
+    // (train, test) pair appears at most [[FuzzyK]]/2 times before the
+    // pair-dedup. The split is sample_split's deterministic md5 rule —
+    // in production the held-out side is the benchmark suite, megabytes
+    // against the corpus, and AQE turns the band join into a broadcast
+    // probe on its own (decontaminate's unhinted-join argument).
     "decontaminate_fuzzy" -> ((s, dir) => {
       val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
       val sh = Tables(s, dir, "documents")
@@ -214,16 +221,9 @@ object CurationQueries {
         .select(col("doc_id"), h2.as("bucket"),
           explode(shingles3(tokens(cleanLine(col("text"))))).as("sh"))
         .distinct()
-      val mins = (0 until FuzzyK).map(i =>
-        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
-      val sigs = sh.groupBy("doc_id", "bucket").agg(mins.head, mins.tail: _*)
-      val bands0 = sigs.select(
-        (col("doc_id") +: col("bucket") +: (0 until FuzzyK).map(i => col(s"h$i"))) :+
-          posexplode(array((0 until FuzzyK / 2).map(b =>
-            md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*)): _*)
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-        .filter(col("bval").isNotNull)
-      val hot = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
+      val bands0 = DedupQueries.minhashBands(sh, Seq("bucket"), FuzzyK)
+      val hot = bands0.filter(col("bucket") >= "cd")
+        .groupBy("band", "bval").agg(count(lit(1)).as("n"))
         .filter(col("n") > MaxBucket).select("band", "bval")
       val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
       val matches = (0 until FuzzyK).map(i =>
@@ -416,22 +416,22 @@ object CurationQueries {
     },
 
     "decontaminate_fuzzy" -> {
-      val mins = (0 until FuzzyK).map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(", ")
-      val bvalCase = "CASE band " + (0 until FuzzyK / 2 - 1).map(b =>
-        s"WHEN $b THEN md5(h${2 * b} || h${2 * b + 1})").mkString(" ") +
-        s" ELSE md5(h${2 * (FuzzyK / 2 - 1)} || h${2 * (FuzzyK / 2 - 1) + 1}) END"
-      val matches = (0 until FuzzyK).map(i =>
-        s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      // fragments shared with dedup_minhash_lsh's oracle (DedupQueries'
+      // minhash*Sql builders) so the two mirrors cannot drift; the hot
+      // cap counts HELD-OUT rows only — see the query comment
+      val matches = DedupQueries.minhashMatchesSql(FuzzyK)
       val sh0 =
         s"""SELECT DISTINCT doc_id,
            |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
            |  unnest(${shinglesNSql("t", 3)}) AS sh
            |FROM (SELECT doc_id, ${tokensSql(cleanLineSql("text"))} AS t FROM documents)""".stripMargin
       s"""WITH sh0 AS ($sh0),
-         |sigs AS (SELECT doc_id, bucket, $mins FROM sh0 GROUP BY doc_id, bucket),
-         |bands AS (SELECT *, $bvalCase AS bval
+         |sigs AS (SELECT doc_id, bucket, ${DedupQueries.minhashMinsSql(FuzzyK)}
+         |         FROM sh0 GROUP BY doc_id, bucket),
+         |bands AS (SELECT *, ${DedupQueries.minhashBvalCaseSql(FuzzyK)} AS bval
          |          FROM sigs, (SELECT unnest(range(${FuzzyK / 2})) AS band)),
-         |hot AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
+         |hot AS (SELECT band, bval FROM bands WHERE bucket >= 'cd'
+         |        GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
          |cold AS (SELECT * FROM bands bd
          |         WHERE NOT EXISTS (SELECT 1 FROM hot h
          |                           WHERE h.band = bd.band AND h.bval = bd.bval)),

@@ -123,6 +123,45 @@ object DedupQueries {
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairsFrom(simhashTable(s, dir))
 
+  /** UNCAPPED MinHash-LSH band rows over a distinct (doc_id, <carry...>,
+    * sh) shingle frame: per-doc k-min signatures h0..h{k-1}, then one row
+    * per (doc, band) with `bval` = md5 of the band's two signature
+    * halves. Carry columns ride along (e.g. decontaminate_fuzzy's split
+    * bucket). Callers apply their own hot-bucket cap — the candidate
+    * machinery is common to `dedup_minhash_lsh` and
+    * [[CurationQueries]]'s `decontaminate_fuzzy`, but the cap POLICY is
+    * not (a self-join caps total membership; a cross-split probe caps
+    * only the held-out side).
+    */
+  private[queries] def minhashBands(sh: DataFrame, carry: Seq[String], k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+    val sigs = sh.groupBy("doc_id", carry: _*).agg(mins.head, mins.tail: _*)
+    sigs.select(
+      (col("doc_id") +: carry.map(col) ++: (0 until k).map(i => col(s"h$i"))) :+
+        posexplode(array((0 until k / 2).map(b =>
+          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*)): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      // explicit isNotNull mirrors the filter downstream equi-joins infer
+      // (h_i are nullable min() aggregates) so cap branches canonicalize
+      // identically and the signature exchange is reused, not recomputed
+      .filter(col("bval").isNotNull)
+  }
+
+  /** Oracle fragments mirroring [[minhashBands]] (shared with
+    * CurationQueries so the Spark side and its DuckDB mirror cannot
+    * drift independently).
+    */
+  private[queries] def minhashMinsSql(k: Int): String =
+    (0 until k).map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(", ")
+  private[queries] def minhashBvalCaseSql(k: Int): String =
+    "CASE band " + (0 until k / 2 - 1).map(b =>
+      s"WHEN $b THEN md5(h${2 * b} || h${2 * b + 1})").mkString(" ") +
+      s" ELSE md5(h${2 * (k / 2 - 1)} || h${2 * (k / 2 - 1) + 1}) END"
+  private[queries] def minhashMatchesSql(k: Int): String =
+    (0 until k).map(i =>
+      s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+
   /** [[simhashPairs]] over a pre-computed (possibly checkpointed)
     * signature table — lets `dedup_canonical` derive both the Hamming-1..3
     * pairs and the Hamming-0 (same-signature) star edges from ONE
@@ -182,9 +221,13 @@ object DedupQueries {
       if (!includeExact) simhashPairs(s, dir).select("d1", "d2")
       else {
         val sigs = simhashTable(s, dir).localCheckpoint()
-        val w = Window.partitionBy("sig")
-        val sigDup = sigs
-          .select(col("doc_id"), min(col("doc_id")).over(w).as("m"))
+        // groupBy + join back, NOT a Window over sig: a doc mirrored
+        // millions of times is one signature group, and a window would
+        // funnel the whole group into a single task's sort — the
+        // partial-aggregable min + equi-join spelling has no such
+        // concentration (the repo-wide "no Window funnel" rule)
+        val sigMin = sigs.groupBy("sig").agg(min(col("doc_id")).as("m"))
+        val sigDup = sigs.join(sigMin, Seq("sig"))
           .filter(col("doc_id") =!= col("m"))
           .select(col("m").as("d1"), col("doc_id").as("d2"))
         simhashPairsFrom(sigs).select("d1", "d2").union(sigDup)
@@ -326,15 +369,7 @@ object DedupQueries {
     // canonicalizes identically and the expensive signature aggregation is
     // computed once (ReusedExchange), not once per branch.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val mins = (0 until K).map(i =>
-        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
-      val sigs = shingleTable(s, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bands0 = sigs.select(
-        (col("doc_id") +: (0 until K).map(i => col(s"h$i"))) :+
-          posexplode(array((0 until K / 2).map(b =>
-            md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*)): _*)
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-        .filter(col("bval").isNotNull)
+      val bands0 = minhashBands(shingleTable(s, dir), Nil, K)
       val hot = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
         .filter(col("n") > MaxBucket).select("band", "bval")
       val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
@@ -566,17 +601,15 @@ object DedupQueries {
     },
 
     "dedup_minhash_lsh" -> {
-      val mins = (0 until K).map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(", ")
       // Exploded (band, bval) form — the same buckets as Spark's
       // posexplode'd md5(h_{2b} || h_{2b+1}) — so the hot-bucket cap is
-      // one GROUP BY + NOT EXISTS, mirroring the dedup_simhash_pairs oracle.
-      val bvalCase = "CASE band " + (0 until K / 2 - 1).map(b =>
-        s"WHEN $b THEN md5(h${2 * b} || h${2 * b + 1})").mkString(" ") +
-        s" ELSE md5(h${2 * (K / 2 - 1)} || h${2 * (K / 2 - 1) + 1}) END"
-      val matches = (0 until K).map(i =>
-        s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH sigs AS (SELECT doc_id, $mins FROM ($shSqlRel) GROUP BY doc_id),
-         |bands AS (SELECT *, $bvalCase AS bval
+      // one GROUP BY + NOT EXISTS, mirroring the dedup_simhash_pairs
+      // oracle. Fragments shared with decontaminate_fuzzy's oracle via
+      // the minhash*Sql builders.
+      val matches = minhashMatchesSql(K)
+      s"""WITH sigs AS (SELECT doc_id, ${minhashMinsSql(K)}
+         |              FROM ($shSqlRel) GROUP BY doc_id),
+         |bands AS (SELECT *, ${minhashBvalCaseSql(K)} AS bval
          |          FROM sigs, (SELECT unnest(range(${K / 2})) AS band)),
          |hot AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
          |cold AS (SELECT * FROM bands bd

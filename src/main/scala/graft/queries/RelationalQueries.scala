@@ -193,14 +193,21 @@ object RelationalQueries {
     // max(), which is order-independent and exact on doubles, so the
     // boundary filter cannot flip between engines.
     "subquery_decorr" -> ((s, dir) => {
-      Tables(s, dir, "orders").createOrReplaceTempView("graft_orders")
-      s.sql(
-        """SELECT o_orderkey, o_custkey, o_totalprice
-          |FROM graft_orders o
-          |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
-          |                      FROM graft_orders o2
-          |                      WHERE o2.o_custkey = o.o_custkey)
-          |ORDER BY o_orderkey""".stripMargin)
+      // every other catalog query is a pure function of (session, dir);
+      // the SQL text needs a named relation, so the view is unique per
+      // call and dropped as soon as the (eagerly analyzed) plan holds
+      // the resolved relation — no shared session state survives, and
+      // two interleaved callers with different dirs cannot race
+      val view = s"graft_orders_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables(s, dir, "orders").createOrReplaceTempView(view)
+      try s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM $view o
+           |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+           |                      FROM $view o2
+           |                      WHERE o2.o_custkey = o.o_custkey)
+           |ORDER BY o_orderkey""".stripMargin)
+      finally s.catalog.dropTempView(view)
     }),
 
     // ---- aggregate stats: min/max/avg/count-distinct ----

@@ -382,6 +382,42 @@ class QueriesSpec extends AnyFunSuite {
       s"the exact filter must MISS the 7-token-run paraphrase; got $exact")
   }
 
+  test("decontaminate_fuzzy's cap counts the held-out side only") {
+    import spark.implicits._
+    // the cap must NOT drop a benchmark mirrored many times into train
+    // (that's the query's motivating case: the train side of the bucket
+    // is hot, the held-out side has 1 member), but MUST drop a bucket
+    // whose HELD-OUT membership exceeds MaxBucket (join-cost bound).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def prefix2(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    val ids = (0L until 4000L).toVector
+    val heldOut = ids.filter(prefix2(_) >= "cd")
+    val train = ids.filter(prefix2(_) < "cd")
+    val text = (1 to 20).map(i => s"bench$i").mkString(" ")
+
+    // corpus A: 1 held-out benchmark doc, 120 train mirrors of it
+    val dirA = java.nio.file.Files.createTempDirectory("graft-fz-a").toString
+    ((heldOut.take(1) ++ train.take(120)).map(id => (id, text, "en", "synth", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dirA + "/documents.parquet")
+    val flaggedA = SparkEntry.queries("decontaminate_fuzzy")(spark, dirA)
+      .filter(col("contaminated")).count()
+    assert(flaggedA == 120,
+      s"all 120 train mirrors of the benchmark must stay flagged, got $flaggedA")
+
+    // corpus B: 120 held-out near-identical docs, 1 train copy — the
+    // held-out side of the bucket is hot, so the cap drops it
+    val dirB = java.nio.file.Files.createTempDirectory("graft-fz-b").toString
+    ((heldOut.take(120) ++ train.take(1)).map(id => (id, text, "en", "synth", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dirB + "/documents.parquet")
+    val outB = SparkEntry.queries("decontaminate_fuzzy")(spark, dirB)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect()
+    assert(outB.length == 1 && !outB.head._2,
+      s"a >MaxBucket held-out bucket must be dropped by the cap; got ${outB.toSeq}")
+  }
+
   test("pipeline_curate equals the intersection of its three gates") {
     import spark.implicits._
     val pipe = SparkEntry.queries("pipeline_curate")(spark, Sf0001)
