@@ -51,6 +51,11 @@ object DedupQueries {
   // is dominated by exact/near-exact duplicates already caught by
   // dedup_exact / dedup_simhash's Hamming-0 grouping.
   private val MaxBucket = 100
+  // dedup_semantic cosine gate. The driver's synthetic embeddings are
+  // near-orthogonal (within-label cosine tops out ~0.47), so the gate is
+  // tuned to that space; a production embedding model concentrates
+  // duplicates at ~0.95+ — the constant is the operator's single knob.
+  private val SemTau = 0.3
 
   /** Distinct (doc_id, shingle) pairs ([[TextFunctions.shingles3]] binds
     * the token array once — see its scaladoc for why that matters).
@@ -465,6 +470,49 @@ object DedupQueries {
         .orderBy("d1", "d2")
     }),
 
+    // ---- SEMANTIC dedup: embedding pairs, TEXT-quality drop election ----
+    // The SemDeDup shape (Abbas et al. 2023, arXiv:2303.03540): semantic
+    // duplicates — same meaning, different words — are invisible to every
+    // lexical sketch above (minhash/simhash/n-gram all hash surface
+    // forms), but land close in embedding space. Candidates come from the
+    // same capped (label cell × sign sub-bucket) space as dedup_embedding;
+    // pairs at cosine ≥ [[SemTau]] are semantic duplicates, and the KEEP
+    // decision is CROSS-MODAL: join each side back to `documents` and
+    // drop the LOWER text-quality member (ties drop the larger id), so a
+    // well-formed original survives its boilerplate-ridden paraphrase.
+    // Cosine values are bit-identical across engines (pinned fold order —
+    // see VectorFunctions.dotSql), so emitting `sim` stays oracle-exact.
+    // vec_id and doc_id share the corpus id domain (TESTDATA), making the
+    // quality join a plain equi-join on the natural key.
+    "dedup_semantic" -> ((s, dir) => {
+      val e0 = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("label").isNotNull)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bkt", signBucket(col("v"), CellBits))
+        .filter(col("bkt").isNotNull)
+      val hot = e0.groupBy("label", "bkt").agg(count(lit(1)).as("n"))
+        .filter(col("n") > MaxBucket).select("label", "bkt")
+      val e = e0.join(broadcast(hot), Seq("label", "bkt"), "left_anti")
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.bkt") === col("b.bkt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          cosine(col("a.v"), col("b.v")).as("sim"))
+        .filter(col("sim") >= SemTau)
+      val q = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0)).as("q"))
+      pairs
+        .join(q.select(col("doc_id").as("d1"), col("q").as("q1")), Seq("d1"))
+        .join(q.select(col("doc_id").as("d2"), col("q").as("q2")), Seq("d2"))
+        .select(col("d1"), col("d2"), col("sim"),
+          when(col("q1") < col("q2"), col("d1"))
+            .when(col("q2") < col("q1"), col("d2"))
+            .otherwise(greatest(col("d1"), col("d2"))).as("drop_id"))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- embedding near-dup: cosine NN within (cell × sign sub-bucket) ----
     // The (label × 2^CellBits) bucket space is FIXED, so per-bucket
     // membership grows linearly with the corpus and the within-bucket
@@ -671,6 +719,28 @@ object DedupQueries {
          |SELECT d1, d2, inter / (x.n + y.n - inter) AS jaccard
          |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
          |WHERE inter / (x.n + y.n - inter) >= 0.2
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH e0 AS (SELECT vec_id, label, v, ${signBucketSql("v", CellBits)} AS bkt
+         |            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+         |hot AS (SELECT label, bkt FROM e0 GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
+         |e AS (SELECT * FROM e0
+         |      WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |                        WHERE h.label = e0.label AND h.bkt = e0.bkt)),
+         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |        ${cosineSql("a.v", "b.v")} AS sim
+         |      FROM e a JOIN e b
+         |        ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |q AS (SELECT doc_id,
+         |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
+         |      FROM documents)
+         |SELECT p.d1, p.d2, p.sim,
+         |  CASE WHEN x.q < y.q THEN p.d1
+         |       WHEN y.q < x.q THEN p.d2
+         |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
+         |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
+         |WHERE p.sim >= $SemTau
          |ORDER BY d1, d2""".stripMargin,
 
     "dedup_embedding" ->

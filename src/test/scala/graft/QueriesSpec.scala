@@ -248,6 +248,30 @@ class QueriesSpec extends AnyFunSuite {
       s"hot sign bucket must be dropped; got $lsh")
   }
 
+  test("dedup_semantic drops the lower TEXT-quality side of an embedding-duplicate pair") {
+    import spark.implicits._
+    // vectors 1 and 2 are near-parallel (cosine ~1) in label 0; vectors
+    // 3 and 4 likewise in label 1. Doc 1 is real prose (high quality),
+    // doc 2 is digit soup (low quality) -> the pair must drop 2. Docs 3
+    // and 4 have IDENTICAL text -> quality ties, drop the larger id.
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(d => 1.0f + 0.001f * (seed * 16 + d))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem").toString
+    Seq((1L, vec(1), 0), (2L, vec(2), 0), (3L, vec(3), 1), (4L, vec(4), 1))
+      .toDF("vec_id", "embedding", "label").write.parquet(dir + "/embeddings.parquet")
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "synth", 0L),
+      (2L, "7 3 9 1 4 4 2 8", "en", "synth", 0L),
+      (3L, "same words exactly", "en", "synth", 0L),
+      (4L, "same words exactly", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("dedup_semantic")(spark, dir)
+      .select("d1", "d2", "drop_id").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 2L), (3L, 4L, 4L)),
+      s"cross-modal election must drop the low-quality / larger-id side; got $out")
+  }
+
   test("multi-probe LSH recovers neighbors that straddle one table's hyperplane") {
     // A and B differ ONLY in dimension 1's sign: the single-table ann_lsh
     // (dims 1-16) puts them in different singleton buckets and finds no
