@@ -482,8 +482,11 @@ object DedupQueries {
     // well-formed original survives its boilerplate-ridden paraphrase.
     // Cosine values are bit-identical across engines (pinned fold order —
     // see VectorFunctions.dotSql), so emitting `sim` stays oracle-exact.
-    // vec_id and doc_id share the corpus id domain (TESTDATA), making the
-    // quality join a plain equi-join on the natural key.
+    // vec_id and doc_id share the corpus id domain in the driver data
+    // (both 0..N-1 per scale factor — embeddings are the documents'
+    // vectors), making the quality join a plain equi-join on the natural
+    // key; ids with no text side drop out of the inner join identically
+    // on both engines.
     "dedup_semantic" -> ((s, dir) => {
       val e0 = Tables(s, dir, "embeddings")
         .filter(col("vec_id").isNotNull && col("label").isNotNull)
