@@ -110,6 +110,53 @@ object CurationQueries {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** The `doc_chunks` frame (doc_id, chunk_id, chunk, n_tokens),
+    * unordered — the sliding-window chunk relation, shared by the
+    * `doc_chunks` catalog entry and [[DedupQueries]]' chunk-granularity
+    * dedup operators (chunks are THE unit of sub-document dedup: repeated
+    * boilerplate — headers, navbars, license blocks — recurs at paragraph
+    * scale and is invisible to document-level signatures). See the
+    * `doc_chunks` entry for the chunk-count/window arithmetic. The
+    * explicit doc_id isNotNull mirrors the filter downstream equi-joins
+    * infer (the shingleTable canonicalization rule); doc_id is never
+    * null, so it is semantically free.
+    */
+  private[queries] def chunkTable(s: SparkSession, dir: String): DataFrame = {
+    val chunks = element_at(transform(array(tokens(col("text"))), tv =>
+      when(size(tv) > 0,
+        transform(
+          sequence(lit(0),
+            when(size(tv) <= ChunkSize, lit(0))
+              .otherwise(ceil((size(tv) - ChunkSize) / lit(Stride.toDouble)).cast("int"))),
+          i => struct(
+            concat_ws(" ", slice(tv, i * Stride + 1, lit(ChunkSize))).as("chunk"),
+            least(lit(ChunkSize), size(tv) - i * Stride).as("n_tokens"))))
+        .otherwise(array().cast("array<struct<chunk:string,n_tokens:int>>"))), 1)
+    Tables(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col.chunk").as("chunk"), col("col.n_tokens").as("n_tokens"))
+  }
+
+  /** DuckDB relation mirroring [[chunkTable]] — produces (doc_id,
+    * chunk_id, chunk, n_tokens); shared by the `doc_chunks` oracle and
+    * the chunk-dedup oracles in [[DedupQueries]] so the mirrors cannot
+    * drift.
+    */
+  private[queries] def chunksSqlRel: String = {
+    val tv = tokensSql("text")
+    val nChunks = s"""CASE WHEN len(tv) = 0 THEN 0
+       |  WHEN len(tv) <= $ChunkSize THEN 1
+       |  ELSE 1 + CAST(ceil((len(tv) - $ChunkSize) / ${Stride.toDouble}) AS BIGINT) END"""
+      .stripMargin
+    s"""SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  array_to_string(tv[chunk_id * $Stride + 1 : least(chunk_id * $Stride + $ChunkSize, len(tv))], ' ') AS chunk,
+       |  CAST(least($ChunkSize, len(tv) - chunk_id * $Stride) AS INT) AS n_tokens
+       |FROM (SELECT doc_id, tv, unnest(range($nChunks)) AS chunk_id
+       |      FROM (SELECT doc_id, $tv AS tv FROM documents))""".stripMargin
+  }
+
   /** The `quality_filter` survivors (doc_id, lang, quality, med),
     * unordered — also a gate of [[queries pipeline_curate]].
     */
@@ -136,23 +183,8 @@ object CurationQueries {
     // single-element transform (shingles3's pattern): HOF lambdas
     // re-evaluate embedded non-lambda subexpressions per element, so
     // inlining tokens(...) would re-tokenize the document once per chunk.
-    "doc_chunks" -> ((s, dir) => {
-      val chunks = element_at(transform(array(tokens(col("text"))), tv =>
-        when(size(tv) > 0,
-          transform(
-            sequence(lit(0),
-              when(size(tv) <= ChunkSize, lit(0))
-                .otherwise(ceil((size(tv) - ChunkSize) / lit(Stride.toDouble)).cast("int"))),
-            i => struct(
-              concat_ws(" ", slice(tv, i * Stride + 1, lit(ChunkSize))).as("chunk"),
-              least(lit(ChunkSize), size(tv) - i * Stride).as("n_tokens"))))
-          .otherwise(array().cast("array<struct<chunk:string,n_tokens:int>>"))), 1)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), posexplode(chunks))
-        .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
-          col("col.chunk").as("chunk"), col("col.n_tokens").as("n_tokens"))
-        .orderBy("doc_id", "chunk_id")
-    }),
+    "doc_chunks" -> ((s, dir) =>
+      chunkTable(s, dir).orderBy("doc_id", "chunk_id")),
 
     // ---- per-stratum top-N curation via the map-side TopK aggregator ----
     // Tokenless documents have NULL quality (0/0) and are excluded before
@@ -371,20 +403,8 @@ object CurationQueries {
   )
 
   def oracles: Map[String, String] = Map(
-    "doc_chunks" -> {
-      val tv = tokensSql("text")
-      val nChunks = s"""CASE WHEN len(tv) = 0 THEN 0
-         |  WHEN len(tv) <= $ChunkSize THEN 1
-         |  ELSE 1 + CAST(ceil((len(tv) - $ChunkSize) / ${Stride.toDouble}) AS BIGINT) END"""
-        .stripMargin
-      s"""WITH t AS (SELECT doc_id, $tv AS tv FROM documents),
-         |e AS (SELECT doc_id, tv, unnest(range($nChunks)) AS chunk_id
-         |      FROM t)
-         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-         |  array_to_string(tv[chunk_id * $Stride + 1 : least(chunk_id * $Stride + $ChunkSize, len(tv))], ' ') AS chunk,
-         |  CAST(least($ChunkSize, len(tv) - chunk_id * $Stride) AS INT) AS n_tokens
-         |FROM e ORDER BY doc_id, chunk_id""".stripMargin
-    },
+    "doc_chunks" ->
+      s"$chunksSqlRel ORDER BY doc_id, chunk_id",
 
     "curation_topk" ->
       s"""WITH scored AS (

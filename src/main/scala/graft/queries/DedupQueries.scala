@@ -470,6 +470,70 @@ object DedupQueries {
         .orderBy("d1", "d2")
     }),
 
+    // ---- SUB-DOCUMENT dedup: exact chunk-granularity duplicate groups ----
+    // Boilerplate repeats at PARAGRAPH granularity (headers, navbars,
+    // license blocks) and is invisible to every document-level signature
+    // above: two distinct pages sharing a navbar agree on no doc-level
+    // hash. The unit is doc_chunks' sliding window (CurationQueries.
+    // chunkTable), keyed by (doc_id, chunk_id); identical chunks form one
+    // md5 group. Deliberately NOT dedup_exact's Window shape: a boilerplate
+    // chunk is hot BY CONSTRUCTION (a navbar in millions of documents is
+    // one hash group), and Window.partitionBy(chunk_hash) would funnel the
+    // whole group into a single task's sort — the groupBy min(struct)/count
+    // spelling is partial-aggregable (each task prunes to one candidate
+    // per hash map-side) and the join back is a plain shuffle join with
+    // AQE skew splitting available. The canon is the lexicographic min
+    // (doc_id, chunk_id) — deterministic, integer-only.
+    "dedup_chunk_exact" -> ((s, dir) => {
+      val c = CurationQueries.chunkTable(s, dir)
+        .select(col("doc_id"), col("chunk_id"), md5(col("chunk")).as("chunk_hash"))
+      val groups = c.groupBy("chunk_hash")
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("canon"),
+          count(lit(1)).as("n_copies"))
+      c.join(groups, Seq("chunk_hash"))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_hash"),
+          col("canon.doc_id").as("canon_doc"),
+          col("canon.chunk_id").as("canon_chunk"), col("n_copies"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // ---- SUB-DOCUMENT near-dup pairs: chunk-granularity MinHash-LSH ----
+    // dedup_minhash_lsh's shingle→minhash→band→bucket-join machinery
+    // (minhashBands, chunk_id riding the carry slot) pointed at CHUNKS:
+    // catches a lightly-edited boilerplate paragraph (tracking params in a
+    // navbar URL, a year bump in a license block) that dedup_chunk_exact's
+    // md5 group misses. Keys are composite (doc_id, chunk_id); the pair
+    // ordering predicate is the lexicographic <, so same-document chunk
+    // pairs (an in-doc repeated paragraph) are emitted too. Same
+    // [[MaxBucket]] total-membership cap as the doc-level form — a band
+    // bucket hotter than that is exact-duplicate territory, already
+    // grouped by dedup_chunk_exact (the crafted cap test pins both
+    // halves). A ~32-token chunk has ≤ 30 shingles, so per-row signature
+    // cost is bounded by the chunk size constant, not document length.
+    "dedup_chunk_minhash" -> ((s, dir) => {
+      val sh = CurationQueries.chunkTable(s, dir)
+        .select(col("doc_id"), col("chunk_id"),
+          explode(shingles3(tokens(col("chunk")))).as("sh"))
+        .distinct()
+      val bands0 = minhashBands(sh, Seq("chunk_id"), K)
+      val hot = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
+        .filter(col("n") > MaxBucket).select("band", "bval")
+      val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+      val matches = (0 until K).map(i =>
+        when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)).reduce(_ + _)
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            (col("a.doc_id") < col("b.doc_id") ||
+              (col("a.doc_id") === col("b.doc_id") &&
+                col("a.chunk_id") < col("b.chunk_id"))))
+        .select(col("a.doc_id").as("d1"), col("a.chunk_id").as("c1"),
+          col("b.doc_id").as("d2"), col("b.chunk_id").as("c2"),
+          (matches / lit(K.toDouble)).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .dropDuplicates("d1", "c1", "d2", "c2")
+        .orderBy("d1", "c1", "d2", "c2")
+    }),
+
     // ---- SEMANTIC dedup: embedding pairs, TEXT-quality drop election ----
     // The SemDeDup shape (Abbas et al. 2023, arXiv:2303.03540): semantic
     // duplicates — same meaning, different words — are invisible to every
@@ -724,9 +788,52 @@ object DedupQueries {
          |WHERE inter / (x.n + y.n - inter) >= 0.2
          |ORDER BY d1, d2""".stripMargin,
 
+    "dedup_chunk_exact" ->
+      // lexicographic min (doc_id, chunk_id) spelled as min doc, then min
+      // chunk within that doc — equal to Spark's min(struct(...))
+      s"""WITH c AS (SELECT doc_id, chunk_id, md5(chunk) AS chunk_hash
+         |           FROM (${CurationQueries.chunksSqlRel})),
+         |g AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+         |        min(doc_id) AS canon_doc FROM c GROUP BY 1),
+         |g2 AS (SELECT g.chunk_hash, g.n_copies, g.canon_doc,
+         |         min(c.chunk_id) AS canon_chunk
+         |       FROM g JOIN c ON c.chunk_hash = g.chunk_hash
+         |                    AND c.doc_id = g.canon_doc
+         |       GROUP BY 1, 2, 3)
+         |SELECT c.doc_id, c.chunk_id, c.chunk_hash,
+         |       g2.canon_doc, g2.canon_chunk, g2.n_copies
+         |FROM c JOIN g2 USING (chunk_hash)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "dedup_chunk_minhash" ->
+      // same fragments as dedup_minhash_lsh's oracle (minhash*Sql
+      // builders) over the shared chunk relation, composite-keyed
+      s"""WITH sh0 AS (SELECT DISTINCT doc_id, chunk_id, unnest(${shinglesNSql("tv", 3)}) AS sh
+         |  FROM (SELECT doc_id, chunk_id, ${tokensSql("chunk")} AS tv
+         |        FROM (${CurationQueries.chunksSqlRel}))),
+         |sigs AS (SELECT doc_id, chunk_id, ${minhashMinsSql(K)}
+         |         FROM sh0 GROUP BY doc_id, chunk_id),
+         |bands AS (SELECT *, ${minhashBvalCaseSql(K)} AS bval
+         |          FROM sigs, (SELECT unnest(range(${K / 2})) AS band)),
+         |hot AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
+         |cold AS (SELECT * FROM bands bd
+         |         WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |                           WHERE h.band = bd.band AND h.bval = bd.bval))
+         |SELECT d1, c1, d2, c2, est_jaccard FROM (
+         |  SELECT DISTINCT a.doc_id d1, a.chunk_id c1, b.doc_id d2, b.chunk_id c2,
+         |    (${minhashMatchesSql(K)}) / ${K.toDouble} AS est_jaccard
+         |  FROM cold a JOIN cold b
+         |    ON a.band = b.band AND a.bval = b.bval
+         |   AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.chunk_id < b.chunk_id)))
+         |WHERE est_jaccard >= 0.5 ORDER BY d1, c1, d2, c2""".stripMargin,
+
     "dedup_semantic" ->
+      // the WHERE mirrors the Spark side's vec_id/label isNotNull filter:
+      // without it a NULL-id row would count toward a bucket's hot-cap
+      // membership on one engine and not the other
       s"""WITH e0 AS (SELECT vec_id, label, v, ${signBucketSql("v", CellBits)} AS bkt
-         |            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+         |            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |                  WHERE vec_id IS NOT NULL AND label IS NOT NULL)),
          |hot AS (SELECT label, bkt FROM e0 GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
          |e AS (SELECT * FROM e0
          |      WHERE NOT EXISTS (SELECT 1 FROM hot h
@@ -747,8 +854,10 @@ object DedupQueries {
          |ORDER BY d1, d2""".stripMargin,
 
     "dedup_embedding" ->
+      // WHERE mirrors the Spark isNotNull filters (see dedup_semantic)
       s"""WITH e0 AS (SELECT vec_id, label, v, ${signBucketSql("v", CellBits)} AS bkt
-         |            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+         |            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |                  WHERE vec_id IS NOT NULL AND label IS NOT NULL)),
          |hot AS (SELECT label, bkt FROM e0 GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
          |e AS (SELECT * FROM e0
          |      WHERE NOT EXISTS (SELECT 1 FROM hot h

@@ -371,35 +371,43 @@ class QueriesSpec extends AnyFunSuite {
   test("decontaminate_fuzzy flags a paraphrase the exact 8-gram filter misses") {
     import spark.implicits._
     // doc 0 ("cf") is held-out; doc 1 ("c4") is doc 0 with every 8th token
-    // replaced — every common token run is exactly 7, so the exact 8-gram
-    // filter CANNOT see the overlap; doc 2 ("c8") shares nothing. True
-    // shingle Jaccard of the paraphrase is ~0.45, so whether the k=8
-    // minhash estimate clears the 0.5 gate depends on which shingles the
-    // min-hashes sample — deterministic per substitution alphabet, so scan
-    // seeds until one collides (the dedup_clusters chain test's pattern).
+    // DELETED — every common token run is exactly 7, so the exact 8-gram
+    // filter cannot see the overlap, while the true 3-shingle Jaccard is
+    // 25/46 ≈ 0.543 (each deletion removes a run-interior shingle triple;
+    // the seams contribute only new shingles), comfortably over the 0.5
+    // gate. The k=8 minhash estimate and the band collisions are
+    // deterministic md5 arithmetic, so they are recomputed in plain Scala
+    // FIRST: a drift in tokenization/cleanup/FuzzyK fails here with the
+    // measured estimate (for this fixture: est 0.875, 3 of 4 bands
+    // collide), not as an unexplained flag flip downstream.
     val base = (1 to 40).map(i => s"tok$i")
-    def write(seed: Int): String = {
-      val para = base.zipWithIndex.map { case (w, i) =>
-        if ((i + 1) % 8 == 0) s"sub${seed}x$i" else w }
-      val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
-      Seq((0L, base.mkString(" "), "en", "synth", 0L),
-          (1L, para.mkString(" "), "en", "synth", 0L),
-          (2L, (1 to 40).map(i => s"other$i").mkString(" "), "en", "synth", 0L))
-        .toDF("doc_id", "text", "lang", "source", "n_chars")
-        .write.parquet(dir + "/documents.parquet")
-      dir
-    }
-    val found = (0 until 16).view.map { seed =>
-      val dir = write(seed)
-      val fuzzy = SparkEntry.queries("decontaminate_fuzzy")(spark, dir)
-        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-      (dir, fuzzy)
-    }.find { case (_, fuzzy) => fuzzy.getOrElse(1L, false) }
-    assert(found.nonEmpty,
-      "no substitution seed cleared the est_jaccard gate; widen the seed list")
-    val (dir, fuzzy) = found.get
+    val para = base.zipWithIndex.collect { case (w, i) if (i + 1) % 8 != 0 => w }
+    def sh3(toks: Seq[String]): Set[String] =
+      toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(toks: Seq[String]): Seq[String] =
+      (0 until 8).map(i => sh3(toks).map(sh => md5hex(s"$i:$sh")).min)
+    val (sb, sp) = (sig(base), sig(para))
+    val est = sb.zip(sp).count { case (a, b) => a == b } / 8.0
+    val trueJ = sh3(base).intersect(sh3(para)).size.toDouble /
+      sh3(base).union(sh3(para)).size
+    assert(est >= 0.5,
+      s"fixture drifted: deterministic minhash estimate $est (true Jaccard $trueJ)")
+    assert((0 until 4).exists(b => sb(2 * b) == sp(2 * b) && sb(2 * b + 1) == sp(2 * b + 1)),
+      s"fixture drifted: no 2-component LSH band collides (est $est)")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
+    Seq((0L, base.mkString(" "), "en", "synth", 0L),
+        (1L, para.mkString(" "), "en", "synth", 0L),
+        (2L, (1 to 40).map(i => s"other$i").mkString(" "), "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val fuzzy = SparkEntry.queries("decontaminate_fuzzy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(fuzzy == Map(1L -> true, 2L -> false),
-      s"held-out docs must be excluded and the clean doc must pass; got $fuzzy")
+      s"held-out doc excluded, paraphrase flagged (deterministic est " +
+        s"$est), clean doc passed — got $fuzzy")
     val exact = SparkEntry.queries("decontaminate")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(exact == Map(1L -> false, 2L -> false),
@@ -440,6 +448,74 @@ class QueriesSpec extends AnyFunSuite {
       .select("doc_id", "contaminated").as[(Long, Boolean)].collect()
     assert(outB.length == 1 && !outB.head._2,
       s"a >MaxBucket held-out bucket must be dropped by the cap; got ${outB.toSeq}")
+  }
+
+  test("chunk dedup catches a shared boilerplate paragraph doc-level dedup misses") {
+    import spark.implicits._
+    // docs A and B: the same 32-token boilerplate "navbar" followed by
+    // DISTINCT 24-token bodies — no document-level signature agrees, but
+    // chunk 0 (the first ChunkSize=32 tokens) is byte-identical. Doc C is
+    // the boilerplate with ONE token edited (nav10 -> xnav) + its own
+    // body: invisible to the exact chunk hash, caught by the chunk
+    // minhash (deterministic md5 arithmetic: est_jaccard 1.0 for this
+    // fixture — the 3 edited shingles carry none of the 8 min-hashes —
+    // true chunk Jaccard 27/33 ≈ 0.82).
+    val boiler = (1 to 32).map(i => s"nav$i")
+    val boilerC = boiler.updated(9, "xnav")
+    def doc(pre: Seq[String], tag: String) =
+      (pre ++ (1 to 24).map(i => s"$tag$i")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    Seq((0L, doc(boiler, "bodya"), "en", "synth", 0L),
+        (1L, doc(boiler, "bodyb"), "en", "synth", 0L),
+        (2L, doc(boilerC, "bodyc"), "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    // doc-level exact dedup sees three distinct documents
+    val docLevel = SparkEntry.queries("dedup_exact")(spark, dir)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(docLevel.values.forall(_ == 1L),
+      s"distinct bodies must defeat document-level dedup; got $docLevel")
+    // chunk-level exact: (0,0) and (1,0) share the boilerplate hash
+    val ce = SparkEntry.queries("dedup_chunk_exact")(spark, dir)
+      .select("doc_id", "chunk_id", "canon_doc", "canon_chunk", "n_copies")
+      .as[(Long, Int, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(ce((0L, 0)) == (0L, 0, 2L) && ce((1L, 0)) == (0L, 0, 2L),
+      s"the shared boilerplate chunk must form one exact group; got $ce")
+    assert(ce((2L, 0))._3 == 1L,
+      "the one-token-edited boilerplate must MISS the exact chunk group")
+    assert(ce.collect { case ((d, c), (_, _, n)) if c > 0 => n }.forall(_ == 1L),
+      s"the distinct body chunks must each be singletons; got $ce")
+    // chunk-level minhash: the edited boilerplate still pairs with both
+    val cm = SparkEntry.queries("dedup_chunk_minhash")(spark, dir)
+      .select("d1", "c1", "d2", "c2").as[(Long, Int, Long, Int)]
+      .collect().toSet
+    assert(cm.contains((0L, 0, 2L, 0)) && cm.contains((1L, 0, 2L, 0)),
+      s"the near-identical boilerplate chunk must pair via minhash; got $cm")
+    assert(cm.contains((0L, 0, 1L, 0)), "identical chunks must pair too")
+    assert(cm.forall { case (_, c1, _, c2) => c1 == 0 && c2 == 0 },
+      s"body chunks must not pair; got $cm")
+  }
+
+  test("dedup_chunk_minhash's bucket cap fires while dedup_chunk_exact still groups") {
+    import spark.implicits._
+    // 110 single-chunk documents of the same boilerplate: every band
+    // bucket holds 110 > MaxBucket members, so the capped minhash emits
+    // ZERO pairs (the quadratic door stays closed), while the exact chunk
+    // group — the operator that actually covers a bucket this hot — still
+    // reports all 110 copies (the doc-level cap test's posture at chunk
+    // granularity).
+    val text = (1 to 32).map(i => s"nav$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkcap").toString
+    (0L until 110L).map(id => (id, text, "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    assert(SparkEntry.queries("dedup_chunk_minhash")(spark, dir).count() == 0,
+      "a >MaxBucket chunk band bucket must be dropped before the self-join")
+    val ce = SparkEntry.queries("dedup_chunk_exact")(spark, dir)
+      .select("n_copies").as[Long].collect()
+    assert(ce.length == 110 && ce.forall(_ == 110L),
+      "the exact chunk group must still cover the hot bucket's members")
   }
 
   test("pipeline_curate equals the intersection of its three gates") {

@@ -609,4 +609,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(opt.contains("max(o_totalprice"),
       s"expected the grouped max aggregate:\n$opt")
   }
+
+  test("subquery_decorr's frame outlives its temp view") {
+    // the query function registers a UUID-named temp view, eagerly
+    // analyzes, and drops the view in a finally — so the returned frame
+    // must stay executable AND re-analyzable (derived plans) after the
+    // drop, and no session state may leak. A future engine change to
+    // lazier view resolution would fail here, not in a caller.
+    val df = SparkEntry.queries("subquery_decorr")(spark, Sf0001)
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_orders_")),
+      "the per-call temp view must be dropped before the function returns")
+    assert(df.count() > 0, "the frame must still execute after dropTempView")
+    // a DERIVED plan forces re-analysis of the child — the lazy-resolution
+    // failure mode the eager analyze guards against
+    assert(df.filter(org.apache.spark.sql.functions.col("o_totalprice") > 0.0)
+      .count() > 0, "derived plans must re-analyze after dropTempView")
+  }
 }
