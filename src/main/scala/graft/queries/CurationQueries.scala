@@ -379,6 +379,33 @@ object CurationQueries {
     "quality_filter" -> ((s, dir) =>
       qualityKept(s, dir).orderBy("doc_id")),
 
+    // ---- the same gate with the SKETCH median: the data-scale drop-in ----
+    // quality_filter's exact per-group percentile sorts every group;
+    // approx_percentile is a mergeable sketch — partial-aggregable, one
+    // pass, bounded memory per group however large the language gets —
+    // which is the form a 100 TB corpus actually runs. Below the sketch's
+    // capacity (accuracy = 1e4 samples) the summary holds every value
+    // exactly and the answer is the DISCRETE order statistic at rank
+    // ceil(0.5 n) — the element DuckDB's quantile_disc picks, so the
+    // oracle compare stays exact at driver scale; above capacity the
+    // answer is a data value whose rank deviates from the true median by
+    // at most n/accuracy (the spec asserts that bound against the exact
+    // form). Discrete-vs-interpolated is the one semantic difference from
+    // quality_filter: the threshold is an actual document's score, never
+    // a midpoint between two.
+    "quality_filter_approx" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysisQueries.qualityExpr(col("text")).as("quality"))
+        .filter(col("quality").isNotNull)
+      val med = scored.groupBy("lang")
+        .agg(expr("approx_percentile(quality, 0.5, 10000)").as("amed"))
+      scored.join(med, Seq("lang"))
+        .filter(col("quality") >= col("amed"))
+        .select(col("doc_id"), col("lang"), col("quality"), col("amed"))
+        .orderBy("doc_id")
+    }),
+
     // ---- symmetric int8 quantization of the embedding column ----
     // scale is computed in its own projection step and referenced as a
     // column: embedding it in the quantize lambda would re-run the
@@ -531,6 +558,20 @@ object CurationQueries {
          |         FROM sq JOIN med m USING (lang) WHERE sq.quality >= m.med)
          |SELECT k.doc_id, k.lang, k.quality FROM kept k
          |JOIN keeps USING (doc_id) JOIN clean USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "quality_filter_approx" ->
+      // quantile_disc = the discrete order statistic at rank ceil(0.5 n),
+      // the element Spark's under-capacity sketch returns (see the query)
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, ${TextAnalysisQueries.qualitySqlExpr} AS quality
+         |  FROM documents),
+         |s AS (SELECT * FROM scored WHERE quality IS NOT NULL),
+         |med AS (SELECT lang, quantile_disc(quality, 0.5) AS amed
+         |        FROM s GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.quality, m.amed
+         |FROM s JOIN med m USING (lang)
+         |WHERE s.quality >= m.amed
          |ORDER BY doc_id""".stripMargin,
 
     "quality_filter" ->

@@ -157,6 +157,32 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- within-document repeated-line scrub (Gopher/RefinedWeb rule) ----
+    // doc_repetition DETECTS boilerplate; this REMOVES it: every line
+    // after the first occurrence of an identical line in the same
+    // document is dropped (empty lines are kept — they are paragraph
+    // structure, not boilerplate, and deduping them would fuse
+    // paragraphs). Pure per-row array arithmetic: the line array is bound
+    // once via the single-element transform (the shingles3 binding rule —
+    // the filter lambda reads the lambda-bound `lv`, never re-splitting
+    // the text per element), and the first-occurrence test is
+    // array_position — an O(lines²) scan per DOCUMENT, bounded by the
+    // document's own line count, never cross-row. Like text_scrub, the
+    // rule is oracle-checkable even when the synthetic corpus has no
+    // multi-line docs (the counts and pass-through text still compare);
+    // the crafted spec supplies documents where it fires.
+    "text_dedup_lines" -> ((s, dir) => {
+      val kept = element_at(transform(array(split(col("text"), "\n")), lv =>
+        filter(lv, (l, i) =>
+          length(l) === 0 || array_position(lv, l) === i + 1)), 1)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(kept, "\n").as("text_dedup"),
+          size(split(col("text"), "\n")).as("n_lines"),
+          size(kept).as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // ---- document fingerprint: min md5 over 3-token shingles ----
     // explode → partial-agg, NOT per-row array HOFs: higher-order functions
     // are excluded from codegen subexpression elimination (their lambdas
@@ -254,6 +280,18 @@ object TextAnalysisQueries {
            |    FROM (SELECT doc_id, $toksRaw AS t FROM documents))
            |  GROUP BY doc_id, s)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "text_dedup_lines" ->
+        // DuckDB's list_filter index lambda is 1-based (Spark's is
+        // 0-based, hence the i+1 there); list_position = array_position,
+        // both 1-based first occurrence
+        """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS lv FROM documents),
+          |k AS (SELECT doc_id, lv,
+          |        list_filter(lv, (x, i) -> len(x) = 0 OR list_position(lv, x) = i) AS kept
+          |      FROM l)
+          |SELECT doc_id, array_to_string(kept, chr(10)) AS text_dedup,
+          |  CAST(len(lv) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept
+          |FROM k ORDER BY doc_id""".stripMargin,
 
       "doc_fingerprint" ->
         s"""SELECT doc_id, min(md5(s)) AS fingerprint,

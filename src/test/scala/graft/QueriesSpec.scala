@@ -518,6 +518,74 @@ class QueriesSpec extends AnyFunSuite {
       "the exact chunk group must still cover the hot bucket's members")
   }
 
+  test("text_dedup_lines drops repeated lines, keeps first occurrences and blanks") {
+    import spark.implicits._
+    // doc 0: a header line repeated three times around distinct bodies —
+    // the Gopher/RefinedWeb boilerplate shape; doc 1: repeated non-blank
+    // line AND repeated blank lines (blanks are structure and must ALL
+    // survive); doc 2: single line, untouched
+    val dir = java.nio.file.Files.createTempDirectory("graft-lines").toString
+    Seq(
+      (0L, "header\nbody one\nheader\nbody two\nheader", "en", "synth", 0L),
+      (1L, "a\n\nb\n\na", "en", "synth", 0L),
+      (2L, "just one line", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("text_dedup_lines")(spark, dir)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == (0L, "header\nbody one\nbody two", 5, 3),
+      s"repeated header must be dropped after its first occurrence; got ${out(0L)}")
+    assert(out(1L) == (1L, "a\n\nb\n", 5, 4),
+      s"blank lines must all survive, the repeated 'a' must not; got ${out(1L)}")
+    assert(out(2L) == (2L, "just one line", 1, 1), s"got ${out(2L)}")
+  }
+
+  test("quality_filter_approx: sketch median is a data value within the rank bound") {
+    import spark.implicits._
+    // the sketch's rank-error contract: the returned median is an ACTUAL
+    // group element whose rank among the group's sorted qualities is
+    // within n/accuracy (+1 for the discrete step) of ceil(0.5 n) — at
+    // driver scale (n << 1e4) that pins the exact order statistic
+    val amedByLang = SparkEntry.queries("quality_filter_approx")(spark, Sf0001)
+      .select("lang", "amed").distinct().as[(String, Double)].collect().toMap
+    val qualities = SparkEntry.queries("text_quality")(spark, Sf0001)
+      .select("doc_id", "quality").where(col("quality").isNotNull)
+      .as[(Long, Double)].collect().toMap
+    val langOf = Tables(spark, Sf0001, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(amedByLang.nonEmpty)
+    amedByLang.foreach { case (lang, amed) =>
+      val group = qualities.collect {
+        case (id, q) if langOf(id) == lang => q }.toSeq.sorted
+      val n = group.size
+      assert(group.contains(amed),
+        s"$lang: the discrete median must be an actual group element")
+      val rank = group.count(_ <= amed)
+      val target = math.ceil(0.5 * n)
+      val bound = n / 10000.0 + 1
+      assert(math.abs(rank - target) <= bound,
+        s"$lang: rank $rank of amed=$amed vs target $target exceeds bound $bound (n=$n)")
+    }
+    // and the approximate gate must agree with the exact gate up to the
+    // rows BETWEEN the two thresholds: the ceil-rank discrete median sits
+    // at or below the interpolated one (equal for odd n), so the exact
+    // gate's survivors are a subset and every extra survivor's quality
+    // lies in [amed, med)
+    val approxOut = SparkEntry.queries("quality_filter_approx")(spark, Sf0001)
+      .as[(Long, String, Double, Double)].collect()
+    val exactOut = SparkEntry.queries("quality_filter")(spark, Sf0001)
+      .as[(Long, String, Double, Double)].collect()
+    val exactIds = exactOut.map(_._1).toSet
+    val medByLang = exactOut.map(r => r._2 -> r._4).toMap
+    assert(exactIds.subsetOf(approxOut.map(_._1).toSet),
+      "the discrete threshold must sit at or below the interpolated one")
+    approxOut.filterNot(r => exactIds(r._1)).foreach { case (id, lang, q, amed) =>
+      assert(q >= amed && q < medByLang(lang),
+        s"extra survivor $id ($lang, q=$q) must lie between the discrete " +
+          s"(${amed}) and interpolated (${medByLang(lang)}) medians")
+    }
+  }
+
   test("pipeline_curate equals the intersection of its three gates") {
     import spark.implicits._
     val pipe = SparkEntry.queries("pipeline_curate")(spark, Sf0001)
