@@ -42,6 +42,15 @@ object SimilarityQueries {
   // Independent tables for ann_lsh_multiprobe: 4 disjoint 16-dim slices
   // of the 64-dim embedding, one sign table each.
   private val Probes = 4
+  // ann_ivf_nprobe: coarse cells searched per query (production IVF's
+  // nprobe knob).
+  private val NProbe = 2
+  // IVF's cell count (nlist) is a DESIGN constant, not data — the
+  // centroid/representative table is bounded by it however large the
+  // corpus grows. limit(MaxCells) makes that bound STATIC (maxRows), so
+  // the structural "no unconditioned join against an unbounded side"
+  // audit can see it; with ≤ MaxCells distinct labels it drops nothing.
+  private val MaxCells = 1024
 
   // isNotNull matches the filters the self-joins infer on their sides, so
   // every branch of a query canonicalizes identically — a precondition
@@ -156,6 +165,51 @@ object SimilarityQueries {
     // instead of a Window over ≤ NQueries partitions concentrating every
     // scored row into a handful of tasks (see ann_bruteforce, kept as the
     // documented contrast).
+    // ---- IVF with multi-cell probing (nprobe > 1) ----
+    // Single-cell IVF (ann_ivf) misses neighbors sitting just across a
+    // cell boundary — the same failure ann_lsh_multiprobe fixes for sign
+    // buckets. Production IVF ranks cells by query-to-centroid distance
+    // and searches the nearest nprobe cells; a float centroid (cross-row
+    // mean) is summation-order-dependent, so the cell REPRESENTATIVE here
+    // is the cell's min-vec_id vector — a deterministic medoid surrogate
+    // that keeps cell ranking, and hence the whole query, bit-exact on
+    // both engines (a production deployment would precompute trained
+    // centroids and broadcast them the same way). Cell ranking and the
+    // final rank both run through the TopK aggregator (partial-aggregable
+    // map-side pruning, no window funnel); the rep-scoring join is a
+    // broadcast nested-loop over |queries| × nlist rows, both factors
+    // design constants (see [[MaxCells]]).
+    "ann_ivf_nprobe" -> ((s, dir) => {
+      val cellK = udaf(new graft.functions.TopK(NProbe))
+      val topk = udaf(new graft.functions.TopK(TopK))
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      // the rep-id frame carries only rid (its label comes back from e)
+      val repIds = e.groupBy("label").agg(min(col("vec_id")).as("rid"))
+        .select("rid")
+      val reps = e.join(repIds, e("vec_id") === col("rid"))
+        .select(col("label").as("cell"), col("v").as("rv"))
+        .limit(MaxCells)
+      val probes = q.crossJoin(broadcast(reps))
+        .select(col("qid"), cosine(col("qv"), col("rv")).as("csim"), col("cell"))
+        .groupBy("qid")
+        .agg(cellK(col("csim"), col("cell").cast("long")).as("cells"))
+        .select(col("qid"), explode(col("cells")).as("c"))
+        .select(col("qid"), col("c.nn_id").cast("int").as("pcell"))
+        .join(q, Seq("qid"))
+      e.join(broadcast(probes),
+          col("label") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), cosine(col("qv"), col("v")).as("sim"),
+          col("vec_id").as("nn_id"))
+        .groupBy("qid")
+        .agg(topk(col("sim"), col("nn_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.nn_id").as("nn_id"))
+        .orderBy("qid", "rank")
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       val topk = udaf(new graft.functions.TopK(TopK))
       val e = vecs(s, dir)
@@ -228,6 +282,24 @@ object SimilarityQueries {
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
          |  FROM pairs) WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
+
+    "ann_ivf_nprobe" ->
+      // rep = the cell's min-vec_id vector; cell rank window mirrors the
+      // TopK aggregator's (csim DESC, cell) ordering exactly
+      s"""WITH e AS ($eSql),
+         |rid AS (SELECT label, min(vec_id) AS rid FROM e GROUP BY 1),
+         |reps AS (SELECT e.label AS cell, e.v AS rv FROM e JOIN rid ON e.vec_id = rid.rid),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NQueries),
+         |ranked AS (SELECT qid, qv, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |                       ORDER BY ${cosineSql("qv", "rv")} DESC, cell) AS crk
+         |  FROM q CROSS JOIN reps),
+         |probes AS (SELECT qid, qv, cell FROM ranked WHERE crk <= $NProbe),
+         |scored AS (SELECT p.qid, e.vec_id AS nn_id, ${cosineSql("p.qv", "e.v")} AS sim
+         |  FROM probes p JOIN e ON e.label = p.cell AND e.vec_id <> p.qid)
+         |SELECT qid, rank, nn_id FROM (
+         |  SELECT qid, nn_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS INT) AS rank
+         |  FROM scored) WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH e AS ($eSql),

@@ -290,6 +290,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(mp == Set((1L, 2L), (2L, 1L)), s"multi-probe must recover it; got $mp")
   }
 
+  test("ann_ivf_nprobe recovers a neighbor in the adjacent cell single-cell IVF misses") {
+    import spark.implicits._
+    // query 0 lives in cell 0 but its TRUE nearest neighbor (vec 1) sits
+    // in cell 1; cell 0's only other member (vec 2) is nearly orthogonal.
+    // Cell representatives are the min-vec_id vectors: cell 0's rep is the
+    // query itself (csim 1.0), cell 1's rep is vec 1 (csim ≈ 0.999) — so
+    // nprobe=2 searches both cells and finds vec 1, while single-cell
+    // ann_ivf stays inside cell 0 and has to return vec 2.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nprobe").toString
+    Seq(
+      (0L, Array(1.0f, 0.10f), 0), // the query, cell 0
+      (1L, Array(1.0f, 0.05f), 1), // true NN, across the boundary in cell 1
+      (2L, Array(0.1f, 1.0f), 0), // cell 0's only other member, far
+      (3L, Array(-1.0f, 0.5f), 1)) // cell 1 filler
+      .toDF("vec_id", "embedding", "label").write.parquet(dir + "/embeddings.parquet")
+    def rank1(q: String) = SparkEntry.queries(q)(spark, dir)
+      .filter(col("qid") === 0 && col("rank") === 1)
+      .select("nn_id").as[Long].collect().toSeq
+    assert(rank1("ann_ivf") == Seq(2L),
+      "single-cell IVF must stay inside cell 0 (that's the trade)")
+    assert(rank1("ann_ivf_nprobe") == Seq(1L),
+      "nprobe=2 must recover the cross-boundary neighbor from cell 1")
+  }
+
   test("doc_chunks: stride/window geometry, tail kept, chunks reassemble the doc") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chunks").toString

@@ -106,6 +106,17 @@ class ScaleOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(ivfPlan.contains("partial_topk"),
       s"ann_ivf must rank via the map-side TopK aggregator:\n$ivfPlan")
+
+    // ann_ivf_nprobe ranks twice (cells, then neighbors) — BOTH ranks
+    // must be the map-side aggregator, and the only conditionless join is
+    // the |queries| × nlist rep scoring, statically bounded by the
+    // limit(MaxCells) on the rep side (never a corpus-sized loop)
+    val np = SparkEntry.queries("ann_ivf_nprobe")(spark, Sf0001)
+    val npPlan = np.queryExecution.executedPlan.toString
+    assert(npPlan.contains("partial_topk"),
+      s"ann_ivf_nprobe must rank via the map-side TopK aggregator:\n$npPlan")
+    assert(!npPlan.contains("CartesianProduct"),
+      s"the rep scoring must broadcast, not cartesian:\n$npPlan")
   }
 
   test("mergeIntoKeyedParquet rewrites ONLY the buckets the delta touches") {
