@@ -157,6 +157,32 @@ object CurationQueries {
        |      FROM (SELECT doc_id, $tv AS tv FROM documents))""".stripMargin
   }
 
+  /** `pipeline_curate` with the dedup gate derived from a PUBLISHED
+    * cluster map ([[DedupQueries.publishClusterMap]]) instead of the
+    * inline CC loop — the materialize-once shape for a pipeline running
+    * many consuming queries per corpus build (the label loop is the
+    * composition's dominant cost, and inline it re-runs per consumer).
+    * The spec asserts frame equality between the two paths.
+    */
+  def pipelineCurateFrom(s: SparkSession, dir: String,
+      clusterMap: DataFrame): DataFrame =
+    curateWith(s, dir, DedupQueries.canonicalDecisionFrom(s, dir, clusterMap))
+
+  /** The three curation gates composed over a caller-supplied canonical
+    * decision frame — see the `pipeline_curate` entry for the
+    * composition rationale (semi-joins on the natural key, sibling
+    * subplans, no mid-plan sorts).
+    */
+  private def curateWith(s: SparkSession, dir: String,
+      decision: DataFrame): DataFrame = {
+    val keeps = decision.filter(col("keep")).select("doc_id")
+    val clean = decontaminationFlags(s, dir)
+      .filter(!col("contaminated")).select("doc_id")
+    qualityKept(s, dir).select("doc_id", "lang", "quality")
+      .join(keeps, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+  }
+
   /** The `quality_filter` survivors (doc_id, lang, quality, med),
     * unordered — also a gate of [[queries pipeline_curate]].
     */
@@ -354,16 +380,9 @@ object CurationQueries {
     // end-to-end — Catalyst sees through the composition (shared scans
     // stay shared; the gates are independent subplans, so at cluster
     // scale they parallelize as sibling stages, not a serial pipeline).
-    "pipeline_curate" -> ((s, dir) => {
-      val keeps = DedupQueries.canonicalDecision(s, dir)
-        .filter(col("keep")).select("doc_id")
-      val clean = decontaminationFlags(s, dir)
-        .filter(!col("contaminated")).select("doc_id")
-      qualityKept(s, dir).select("doc_id", "lang", "quality")
-        .join(keeps, Seq("doc_id"), "left_semi")
-        .join(clean, Seq("doc_id"), "left_semi")
-        .orderBy("doc_id")
-    }),
+    "pipeline_curate" -> ((s, dir) =>
+      curateWith(s, dir, DedupQueries.canonicalDecision(s, dir))
+        .orderBy("doc_id")),
 
     // ---- distribution-relative quality filtering ----
     // Keep documents at or above their LANGUAGE's median quality — the

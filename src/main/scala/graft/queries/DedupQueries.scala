@@ -303,17 +303,50 @@ object DedupQueries {
         coalesce(col("sz"), lit(1L)).as("cluster_size"))
   }
 
+  /** Publish the KEEP/DROP-grade cluster map (doc_id, cluster_id,
+    * cluster_size; exact duplicates folded in) through the
+    * manifest-keyed parquet sink. The CC label loop is the most
+    * expensive step of `dedup_canonical` / `pipeline_curate`, and it is
+    * recomputed per consuming query when run inline ("one query, one
+    * plan"); at data scale the production shape is materialize-ONCE —
+    * publish the map after each corpus build, then let every consumer
+    * read the snapshot ([[canonicalDecisionFromMap]],
+    * [[CurationQueries.pipelineCurateFrom]]) instead of re-deriving it.
+    * The manifest sink gives the map the same atomic-snapshot /
+    * staleness-bound contract as every other published table.
+    */
+  def publishClusterMap(s: SparkSession, dir: String, path: String): Unit =
+    graft.sources.Sinks.mergeIntoKeyedParquet(
+      clusterLabels(s, dir, includeExact = true), "doc_id", path)
+
+  /** [[canonicalDecision]] with the cluster map read from a published
+    * snapshot ([[publishClusterMap]]) instead of re-running the CC loop.
+    */
+  def canonicalDecisionFromMap(s: SparkSession, dir: String, path: String): DataFrame =
+    canonicalDecisionFrom(s, dir,
+      graft.sources.Sinks.readKeyedParquet(s, path).select("doc_id", "cluster_id"))
+
   /** The `dedup_canonical` decision frame (doc_id, cluster_id, canon_id,
     * keep), unordered — also the first gate of CurationQueries'
     * `pipeline_curate`, which is why it is exposed package-side without
     * the presentation sort.
     */
-  private[queries] def canonicalDecision(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def canonicalDecision(s: SparkSession, dir: String): DataFrame =
+    canonicalDecisionFrom(s, dir,
+      clusterLabels(s, dir, includeExact = true))
+
+  /** The election step of [[canonicalDecision]] over a caller-supplied
+    * (doc_id, cluster_id) frame — inline loop or published snapshot; the
+    * quality-argmax pick is identical either way, which the materialized-
+    * map spec asserts as frame equality.
+    */
+  def canonicalDecisionFrom(s: SparkSession, dir: String,
+      clusters: DataFrame): DataFrame = {
     val scored = Tables(s, dir, "documents")
       .select(col("doc_id"),
         coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0))
           .as("qscore"))
-    val d = clusterLabels(s, dir, includeExact = true)
+    val d = clusters
       .select("doc_id", "cluster_id")
       .join(scored, Seq("doc_id"))
     val canon = d.groupBy("cluster_id")

@@ -621,6 +621,32 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected the grouped max aggregate:\n$opt")
   }
 
+  test("materialized cluster map reproduces the inline dedup decision and pipeline") {
+    import graft.queries.{CurationQueries, DedupQueries}
+    // publish once through the manifest sink, then the election and the
+    // whole curation pass read the SNAPSHOT instead of re-running the CC
+    // label loop — the materialize-once shape for many consumers per
+    // corpus build. Equality is frame-level: same rows, both directions.
+    val path = java.nio.file.Files.createTempDirectory("graft-clmap")
+      .toString + "/cluster_map"
+    DedupQueries.publishClusterMap(spark, Sf0001, path)
+    val published = Sinks.readKeyedParquet(spark, path)
+    assert(published.count() ==
+      Tables(spark, Sf0001, "documents").count(),
+      "the map must label every document (singletons included)")
+    val viaMap = DedupQueries.canonicalDecisionFromMap(spark, Sf0001, path)
+    val inline = SparkEntry.queries("dedup_canonical")(spark, Sf0001)
+    assert(viaMap.exceptAll(inline).count() == 0 &&
+      inline.exceptAll(viaMap).count() == 0,
+      "published-map election must equal the inline decision")
+    val pipeMap = CurationQueries.pipelineCurateFrom(spark, Sf0001,
+      published.select("doc_id", "cluster_id"))
+    val pipeInline = SparkEntry.queries("pipeline_curate")(spark, Sf0001)
+    assert(pipeMap.exceptAll(pipeInline).count() == 0 &&
+      pipeInline.exceptAll(pipeMap).count() == 0,
+      "published-map curation must equal the inline pipeline")
+  }
+
   test("subquery_decorr's frame outlives its temp view") {
     // the query function registers a UUID-named temp view, eagerly
     // analyzes, and drops the view in a finally — so the returned frame
