@@ -75,7 +75,15 @@ object DedupQueries {
 
   /** Distinct (doc_id, token) pairs (isNotNull: see [[shingleTable]]). */
   private def tokenTable(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    tokensOf(Tables(s, dir, "documents"))
+
+  /** [[tokenTable]] over a caller-supplied (doc_id, text) frame — the
+    * incremental-dedup stream signs each arriving batch with the SAME
+    * computation as the batch operators, so its anti-join against the
+    * published history is exact.
+    */
+  private[graft] def tokensOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .distinct()
@@ -100,7 +108,14 @@ object DedupQueries {
     * substring form (HexMsbMaskProps fuzz) so the DuckDB oracle, which
     * keeps the substring spelling, still hash-matches.
     */
-  private def simhashTable(s: SparkSession, dir: String): DataFrame = {
+  private def simhashTable(s: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables(s, dir, "documents"))
+
+  /** Per-doc simhash of a caller-supplied (doc_id, text) frame — see
+    * [[simhashTable]] for the signature derivation; factored so the
+    * incremental-dedup stream signs arriving batches identically.
+    */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.hexMsbMask
     // digit i of md5(w) ↔ packed bit 63-i; digit i of md5('x:'||w) ↔
     // packed bit 31-i — so sig bit 63-j reads packed bit 63-j for ALL j
@@ -113,7 +128,7 @@ object DedupQueries {
     val sigInt = (0 until BITS).map(j =>
       when(col(s"s$j") * 2 >= col("n"), lit(1L << (63 - j))).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    tokenTable(s, dir)
+    tokensOf(docs)
       .withColumn("bits", packed)
       .groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)

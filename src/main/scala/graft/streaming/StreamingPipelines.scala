@@ -137,6 +137,62 @@ object StreamingPipelines {
       .select(explode(shinglesN(tokens(cleanLine(col(textCol))), n)).as("ng"))
       .distinct()
 
+  /** Documents-shaped file-stream schema (the batch table's columns). */
+  private val documentsRawSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Incremental dedup of arriving crawl batches against the HISTORICAL
+    * corpus — the production crawl loop: batch N+1's duplicates of
+    * batches 1..N are dropped by an anti-join against the PUBLISHED
+    * per-doc signature table (simhash LONG — exact and near-exact copies
+    * share it), WITHOUT recomputing any earlier batch's signatures. Each
+    * micro-batch runs the batch-semantics pipeline inside foreachBatch:
+    *
+    *   sign the batch (the SAME `simhashOf` derivation as the batch
+    *   dedup operators) → within-batch canon (min doc_id per signature,
+    *   partial-aggregable) → anti-join the signature history → upsert
+    *   survivors into `outPath` and their signatures into `historyPath`,
+    *   both through the manifest-keyed sink.
+    *
+    * Both writes are UPSERTS keyed on their natural key, so micro-batch
+    * REPLAY after a crash/restart is idempotent; survivors are committed
+    * BEFORE the history — replayed in that order, an interrupted trigger
+    * re-derives the same survivor set, whereas history-first would let a
+    * replay anti-join the batch against its own signatures and lose it.
+    * Readers of either table get the manifest sink's atomic-snapshot
+    * contract. Near-dup extension (Hamming ≤ 3): band the history table
+    * exactly like `dedup_simhash_pairs` and probe arriving signatures
+    * with the same capped band join — the history side is already keyed
+    * for it.
+    */
+  def incrementalDedupStream(spark: SparkSession, inDir: String,
+      historyPath: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (DataFrame, Long) => Unit = (batch, _) => {
+      val s = batch.sparkSession
+      val sigs = graft.queries.DedupQueries.simhashOf(batch)
+      val history =
+        try Some(graft.sources.Sinks.readKeyedParquet(s, historyPath))
+        catch { case _: java.io.FileNotFoundException => None }
+      val canon = sigs.groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
+      val fresh = history.fold(canon)(h =>
+        canon.join(h.select(col("sig")), Seq("sig"), "left_anti"))
+      val kept = batch.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+      graft.sources.Sinks.mergeIntoKeyedParquet(kept, "doc_id", outPath)
+      graft.sources.Sinks.mergeIntoKeyedParquet(fresh, "sig", historyPath)
+    }
+    spark.readStream
+      .schema(documentsRawSchema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Per-user running totals across micro-batches via explicit custom state
     * (`KeyValueGroupedDataset.mapGroupsWithState`) — the surface for
     * stateful logic the built-in windowed aggregations can't express.

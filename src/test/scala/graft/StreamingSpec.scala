@@ -158,6 +158,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(hit.length == 1 && hit.head.getAs[Long]("count") == 3L)
   }
 
+  test("incremental dedup drops a new batch's duplicates of the historical corpus") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val root = Files.createTempDirectory("graft-incdedup").toString
+    val in = root + "/in"
+    new java.io.File(in).mkdirs()
+    val (hist, out, ckpt) = (root + "/history", root + "/kept", root + "/ckpt")
+    def addBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-incd-stage").toString
+      rows.map { case (id, t) => (id, t, "en", "synth", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+    }
+    def keptIds: Set[Long] = Sinks.readKeyedParquet(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+
+    // batch 1: doc 11 is an in-batch copy of 10 (within-batch canon keeps
+    // the min id); 20 is distinct
+    addBatch("b1.parquet", Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma delta epsilon"),
+      (20L, "one two three four five")))
+    val q = StreamingPipelines.incrementalDedupStream(spark, in, hist, out, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(keptIds == Set(10L, 20L),
+        s"in-batch duplicate must collapse to the min id; got $keptIds")
+    } finally q.stop()
+
+    // DELETE batch 1's input before the restart: batch 2's dedup can only
+    // come from the PUBLISHED signature history, not from recomputing
+    // batch 1 (the checkpoint remembers the file as processed)
+    assert(new java.io.File(in, "b1.parquet").delete())
+    addBatch("b2.parquet", Seq(
+      (30L, "alpha beta gamma delta epsilon"), // historical duplicate of 10
+      (40L, "wholly new never seen words")))
+    val q2 = StreamingPipelines.incrementalDedupStream(spark, in, hist, out, ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(keptIds == Set(10L, 20L, 40L),
+        s"the historical duplicate must be dropped via the published " +
+          s"signatures (batch 1's input is gone); got $keptIds")
+      assert(Sinks.readKeyedParquet(spark, hist).count() == 3,
+        "the history must hold one signature per surviving doc")
+    } finally q2.stop()
+  }
+
   test("complete-mode runStream recovers across restart via its checkpoint") {
     val dir = Files.createTempDirectory("graft-restart")
     val out = Files.createTempDirectory("graft-restart-out").toString + "/wc"
