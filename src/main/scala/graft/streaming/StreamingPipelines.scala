@@ -137,6 +137,12 @@ object StreamingPipelines {
       .select(explode(shinglesN(tokens(cleanLine(col(textCol))), n)).as("ng"))
       .distinct()
 
+  // incrementalDedupStream's near-dup probe: dedup_simhash_pairs' band
+  // geometry (4 x 16-bit slices of the 64-bit simhash) and hot-bucket cap
+  // constant, applied to the HISTORY side only (see the scaladoc).
+  private val SimBands = 4
+  private val MaxHistBucket = 100
+
   /** Documents-shaped file-stream schema (the batch table's columns). */
   private val documentsRawSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -162,14 +168,26 @@ object StreamingPipelines {
     * re-derives the same survivor set, whereas history-first would let a
     * replay anti-join the batch against its own signatures and lose it.
     * Readers of either table get the manifest sink's atomic-snapshot
-    * contract. Near-dup extension (Hamming ≤ 3): band the history table
-    * exactly like `dedup_simhash_pairs` and probe arriving signatures
-    * with the same capped band join — the history side is already keyed
-    * for it.
+    * contract.
+    *
+    * `hamming` > 0 upgrades the history probe from exact-signature to
+    * NEAR-duplicate: both sides are banded 4 × 16 bits exactly like
+    * `dedup_simhash_pairs` (pigeonhole guarantees recall for Hamming ≤
+    * 3), band collisions are confirmed by `bit_count`, and confirmed ids
+    * are anti-joined out. The band-bucket cap is DIRECTIONAL on the
+    * HISTORY side only (decontaminate_fuzzy's argument transposed): an
+    * arriving batch re-crawling a page must still dedup however many
+    * copies the crawl carries, so the batch side is never capped, while
+    * a >MaxBucket bucket in a SELF-DEDUPED history is genuinely diverse
+    * content sharing one 16-bit slice — capping it bounds the probe's
+    * output to MaxBucket × the batch's band rows, linear per trigger.
     */
   def incrementalDedupStream(spark: SparkSession, inDir: String,
-      historyPath: String, outPath: String, checkpoint: String)
+      historyPath: String, outPath: String, checkpoint: String,
+      hamming: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(hamming >= 0 && hamming <= 3,
+      s"4 x 16-bit bands guarantee recall only for Hamming <= 3 (got $hamming)")
     val step: (DataFrame, Long) => Unit = (batch, _) => {
       val s = batch.sparkSession
       val sigs = graft.queries.DedupQueries.simhashOf(batch)
@@ -177,8 +195,26 @@ object StreamingPipelines {
         try Some(graft.sources.Sinks.readKeyedParquet(s, historyPath))
         catch { case _: java.io.FileNotFoundException => None }
       val canon = sigs.groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
-      val fresh = history.fold(canon)(h =>
-        canon.join(h.select(col("sig")), Seq("sig"), "left_anti"))
+      def bandsOf(df: DataFrame) = df.select(col("sig"), col("doc_id"),
+        posexplode(array((0 until SimBands).map(b =>
+          shiftright(col("sig"), 16 * (SimBands - 1 - b))
+            .bitwiseAND(lit(0xFFFFL))): _*)))
+        .toDF("sig", "doc_id", "band", "bval")
+      val fresh = history.fold(canon) { h =>
+        if (hamming == 0)
+          canon.join(h.select(col("sig")), Seq("sig"), "left_anti")
+        else {
+          val hb0 = bandsOf(h)
+          val hot = hb0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
+            .filter(col("n") > MaxHistBucket).select("band", "bval")
+          val hb = hb0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+          val dupIds = bandsOf(canon).as("a").join(hb.as("b"),
+              col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+                bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= hamming)
+            .select(col("a.doc_id").as("doc_id")).distinct()
+          canon.join(dupIds, Seq("doc_id"), "left_anti")
+        }
+      }
       val kept = batch.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
       graft.sources.Sinks.mergeIntoKeyedParquet(kept, "doc_id", outPath)
       graft.sources.Sinks.mergeIntoKeyedParquet(fresh, "sig", historyPath)

@@ -564,6 +564,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(2L) == (2L, "just one line", 1, 1), s"got ${out(2L)}")
   }
 
+  test("text_dedup_lines is idempotent: a second pass drops nothing") {
+    import spark.implicits._
+    // the scrub's fixpoint property: its output contains no repeated
+    // non-blank lines, so re-running it must be the identity — the
+    // guarantee a pipeline needs to re-apply hygiene passes safely
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-lines-i1").toString
+    Seq((0L, "h\nx\nh\ny\nh\n\nx", "en", "synth", 0L),
+        (1L, "a\na\na", "en", "synth", 0L),
+        (2L, "clean\ndoc", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir1 + "/documents.parquet")
+    val pass1 = SparkEntry.queries("text_dedup_lines")(spark, dir1)
+      .select("doc_id", "text_dedup").as[(Long, String)].collect().toMap
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-lines-i2").toString
+    pass1.toSeq.map { case (id, t) => (id, t, "en", "synth", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir2 + "/documents.parquet")
+    val pass2 = SparkEntry.queries("text_dedup_lines")(spark, dir2)
+      .select("doc_id", "text_dedup", "n_lines", "n_kept")
+      .as[(Long, String, Int, Int)].collect()
+    pass2.foreach { case (id, t, nl, nk) =>
+      assert(nl == nk && t == pass1(id),
+        s"second pass must be identity for doc $id: kept $nk of $nl lines")
+    }
+  }
+
   test("quality_filter_approx: sketch median is a data value within the rank bound") {
     import spark.implicits._
     // the sketch's rank-error contract: the returned median is an ACTUAL

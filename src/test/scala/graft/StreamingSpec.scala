@@ -208,6 +208,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("incremental dedup with hamming > 0 drops near-duplicates of the history") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    // base = word1..word30; the near-copy replaces word1 with "nova" — a
+    // one-token edit whose simhash lands at Hamming 1 from the base
+    // (deterministic md5 arithmetic, precomputed; re-derived here through
+    // the SAME simhashOf the stream uses so a tokenization/signature
+    // drift fails with the measured distance, not a silent flag flip)
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val near = ("nova" +: (2 to 30).map(i => s"word$i")).mkString(" ")
+    val sigOf = graft.queries.DedupQueries.simhashOf(
+      Seq((1L, base), (2L, near)).toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    val dist = java.lang.Long.bitCount(sigOf(1L) ^ sigOf(2L))
+    assert(dist >= 1 && dist <= 3,
+      s"fixture drifted: simhash Hamming distance is $dist, need 1..3")
+
+    def run(hamming: Int): Set[Long] = {
+      val root = Files.createTempDirectory(s"graft-incnear$hamming").toString
+      val in = root + "/in"
+      new java.io.File(in).mkdirs()
+      def addBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+        val stage = Files.createTempDirectory("graft-incn-stage").toString
+        rows.map { case (id, t) => (id, t, "en", "synth", 0L) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      addBatch("b1.parquet", Seq((10L, base)))
+      val q = StreamingPipelines.incrementalDedupStream(
+        spark, in, root + "/hist", root + "/kept", root + "/ckpt", hamming)
+      try {
+        q.processAllAvailable()
+        addBatch("b2.parquet", Seq(
+          (30L, near), // near-duplicate of historical 10
+          (40L, (1 to 30).map(i => s"fresh$i").mkString(" "))))
+        q.processAllAvailable()
+      } finally q.stop()
+      Sinks.readKeyedParquet(spark, root + "/kept")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(run(3) == Set(10L, 40L),
+      "hamming=3 must drop the near-copy via the banded history probe")
+    assert(run(0) == Set(10L, 30L, 40L),
+      "hamming=0 (exact signatures) must NOT see the one-token edit")
+  }
+
   test("complete-mode runStream recovers across restart via its checkpoint") {
     val dir = Files.createTempDirectory("graft-restart")
     val out = Files.createTempDirectory("graft-restart-out").toString + "/wc"
