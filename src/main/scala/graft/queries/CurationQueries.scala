@@ -64,6 +64,8 @@ object CurationQueries {
 
   private val ChunkSize = 32   // tokens per chunk
   private val Stride = 24      // chunk start interval (overlap = 8)
+  private val SeqLen = 128     // pack_sequences: training-sequence capacity
+  private val PackBucketChars = 4 // pack_sequences: md5 shard-key width
   private val TopN = 3         // docs kept per language stratum
   private val DecontamN = 8    // decontamination shingle width (PaLM-style)
   private val TfIdfK = 3       // keywords kept per document
@@ -425,6 +427,50 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- GPT-style sequence packing: concatenate-and-split into
+    // fixed-capacity training sequences ----
+    // The last shaping step before tokenized training batches: documents
+    // are concatenated in a deterministic order and SPLIT at every
+    // SeqLen-token boundary (a doc may straddle sequences — the standard
+    // packing rule; zero padding waste by construction). Output: one row
+    // per (doc, sequence) span. Order/identity must be a pure function of
+    // the data, not the partitioning, so the packing group is (source,
+    // md5(doc_id) 4-hex shard) with docs ordered by doc_id inside it —
+    // the same md5 sharding rule as sample_split. The running token
+    // offset is a window SUM per group: group COUNT is the fixed
+    // sources × 16^4 shard space, so the per-group sort grows with
+    // corpus/|groups| — the shard WIDTH is the knob that keeps groups
+    // sequence-sized at any scale (wider hex prefix = more, smaller
+    // groups; sequences never span groups, so changing it only re-shards
+    // the packing, deterministically). Spans are integer arithmetic on
+    // exact BIGINT offsets — engine-exact.
+    "pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("doc_id").cast("string")), 1, PackBucketChars)
+            .as("bucket"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("bucket"), col("n_tokens"),
+          col("off"),
+          explode(sequence(expr(s"off div $SeqLen"),
+            expr(s"(off + n_tokens - 1) div $SeqLen"))).as("seq_id"))
+        .select(col("doc_id"), col("source"), col("bucket"),
+          col("seq_id").cast("int").as("seq_id"),
+          greatest(col("off") - col("seq_id") * lit(SeqLen.toLong), lit(0L))
+            .cast("int").as("seq_pos"),
+          (least((col("seq_id") + 1) * lit(SeqLen.toLong),
+              col("off") + col("n_tokens"))
+            - greatest(col("seq_id") * lit(SeqLen.toLong), col("off")))
+            .cast("int").as("n_in_seq"))
+        .orderBy("doc_id", "seq_id")
+    }),
+
     // ---- symmetric int8 quantization of the embedding column ----
     // scale is computed in its own projection step and referenced as a
     // column: embedding it in the quantize lambda would re-run the
@@ -604,6 +650,26 @@ object CurationQueries {
          |FROM s JOIN med m USING (lang)
          |WHERE s.quality >= m.med
          |ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      // `off` not `offset` (reserved); DuckDB `//` = Spark `div`
+      s"""WITH d AS (SELECT doc_id, source,
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, $PackBucketChars) AS bucket,
+         |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE len(${tokensSql("text")}) > 0),
+         |o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+         |        PARTITION BY source, bucket ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |      FROM d),
+         |e AS (SELECT *, unnest(range(CAST(off // $SeqLen AS BIGINT),
+         |        CAST((off + n_tokens - 1) // $SeqLen + 1 AS BIGINT))) AS seq_id
+         |      FROM o)
+         |SELECT doc_id, source, bucket, CAST(seq_id AS INT) AS seq_id,
+         |  CAST(GREATEST(off - seq_id * $SeqLen, 0) AS INT) AS seq_pos,
+         |  CAST(LEAST((seq_id + 1) * $SeqLen, off + n_tokens)
+         |       - GREATEST(seq_id * $SeqLen, off) AS INT) AS n_in_seq
+         |FROM e ORDER BY doc_id, seq_id""".stripMargin,
 
     "embedding_quantize" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -64,6 +64,20 @@ object SimilarityQueries {
       .filter(col("vec_id").isNotNull)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** One deterministic representative vector per cell — the cell's
+    * min-vec_id member (a medoid surrogate; a float centroid MEAN is
+    * summation-order-dependent and would break engine-exactness). Shared
+    * by `ann_ivf_nprobe` (cell ranking) and `embedding_outliers`
+    * (distance-to-representative scoring); the rep-id frame carries only
+    * rid, its label comes back from the vector table.
+    */
+  private def cellReps(e: DataFrame): DataFrame = {
+    val repIds = e.groupBy("label").agg(min(col("vec_id")).as("rid"))
+      .select("rid")
+    e.join(repIds, e("vec_id") === col("rid"))
+      .select(col("label").as("cell"), col("v").as("rv"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force top-k for a bounded query set (broadcast queries) ----
     // KEPT in the window-ranked form deliberately, as the physical contrast
@@ -185,12 +199,7 @@ object SimilarityQueries {
       val e = vecs(s, dir)
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      // the rep-id frame carries only rid (its label comes back from e)
-      val repIds = e.groupBy("label").agg(min(col("vec_id")).as("rid"))
-        .select("rid")
-      val reps = e.join(repIds, e("vec_id") === col("rid"))
-        .select(col("label").as("cell"), col("v").as("rv"))
-        .limit(MaxCells)
+      val reps = cellReps(e).limit(MaxCells)
       val probes = q.crossJoin(broadcast(reps))
         .select(col("qid"), cosine(col("qv"), col("rv")).as("csim"), col("cell"))
         .groupBy("qid")
@@ -208,6 +217,31 @@ object SimilarityQueries {
         .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
           col("col.nn_id").as("nn_id"))
         .orderBy("qid", "rank")
+    }),
+
+    // ---- embedding outlier flagging: distance to the cell representative ----
+    // The embedding-side curation filter (the CLIP-score-percentile shape):
+    // a vector far from its own cell's representative is mislabeled /
+    // out-of-distribution, and curation drops the bottom decile. The
+    // threshold is RELATIVE per cell (quality_filter's argument: absolute
+    // cosine thresholds over/under-prune cells whose similarity
+    // distributions sit differently). Deterministic end-to-end: the rep is
+    // the min-vec_id medoid surrogate ([[cellReps]]), cosines are pinned-
+    // fold-order doubles, and the per-cell P10 is the exact percentile —
+    // one row per cell joined back (broadcast-sized); at data scale the
+    // drop-in is approx_percentile (quality_filter_approx's trade, same
+    // mergeable-sketch argument).
+    "embedding_outliers" -> ((s, dir) => {
+      val e = vecs(s, dir).filter(col("label").isNotNull)
+      val scored = e.join(broadcast(cellReps(e)), col("label") === col("cell"))
+        .select(col("vec_id"), col("label"),
+          cosine(col("v"), col("rv")).as("sim_to_rep"))
+      val thr = scored.groupBy("label")
+        .agg(expr("percentile(sim_to_rep, 0.1)").as("p10"))
+      scored.join(thr, Seq("label"))
+        .select(col("vec_id"), col("label"), col("sim_to_rep"), col("p10"),
+          (col("sim_to_rep") < col("p10")).as("is_outlier"))
+        .orderBy("vec_id")
     }),
 
     "ann_ivf" -> ((s, dir) => {
@@ -300,6 +334,21 @@ object SimilarityQueries {
          |SELECT qid, rank, nn_id FROM (
          |  SELECT qid, nn_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS INT) AS rank
          |  FROM scored) WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+
+    "embedding_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings
+         |           WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+         |rid AS (SELECT label, min(vec_id) AS rid FROM e GROUP BY 1),
+         |reps AS (SELECT e.label AS cell, e.v AS rv FROM e JOIN rid ON e.vec_id = rid.rid),
+         |scored AS (SELECT e.vec_id, e.label, ${cosineSql("e.v", "reps.rv")} AS sim_to_rep
+         |           FROM e JOIN reps ON e.label = reps.cell),
+         |thr AS (SELECT label, quantile_cont(sim_to_rep, 0.1) AS p10
+         |        FROM scored GROUP BY 1)
+         |SELECT s.vec_id, s.label, s.sim_to_rep, t.p10,
+         |       s.sim_to_rep < t.p10 AS is_outlier
+         |FROM scored s JOIN thr t USING (label)
+         |ORDER BY vec_id""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH e AS ($eSql),

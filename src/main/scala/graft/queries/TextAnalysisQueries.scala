@@ -157,6 +157,30 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- token diversity: Simpson index as a LOG-FREE entropy surrogate ----
+    // The spam/templated-text signal entropy would give, without entropy's
+    // ln(): Simpson's index = Σ (c_i/n)² is the probability two random
+    // tokens collide — 1/n_distinct for uniform text, → 1 for one-token
+    // spam. Spelled as exact BIGINT sums (Σ c_i², n) with ONE double
+    // division at the end: integer aggregation is order-independent and
+    // IEEE division exactly rounded, so the score is bit-identical on
+    // both engines — the determinism rule that rules out ln()-based
+    // entropy (libm-dependent) and float summation (order-dependent).
+    // Same two-stage partial-agg shape as doc_fingerprint; tokenless
+    // docs drop at the explode (mirrored).
+    "token_diversity" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("sum_sq"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("sum_sq") / (col("n_tokens") * col("n_tokens"))).as("simpson"))
+        .orderBy("doc_id")
+    }),
+
     // ---- within-document repeated-line scrub (Gopher/RefinedWeb rule) ----
     // doc_repetition DETECTS boilerplate; this REMOVES it: every line
     // after the first occurrence of an identical line in the same
@@ -279,6 +303,16 @@ object TextAnalysisQueries {
            |      unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            |    FROM (SELECT doc_id, $toksRaw AS t FROM documents))
            |  GROUP BY doc_id, s)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "token_diversity" ->
+        s"""SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |  CAST(count(*) AS BIGINT) AS n_distinct,
+           |  CAST(sum(c*c) AS BIGINT)
+           |    / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS simpson
+           |FROM (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+           |      FROM (SELECT doc_id, unnest($toksRaw) AS w FROM documents)
+           |      GROUP BY doc_id, w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "text_dedup_lines" ->

@@ -636,6 +636,66 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sequences tiles every group: full sequences, no padding, docs fully packed") {
+    import spark.implicits._
+    // (doc_id, source, bucket, seq_id, seq_pos, n_in_seq)
+    val out = SparkEntry.queries("pack_sequences")(spark, Sf0001)
+      .as[(Long, String, String, Int, Int, Int)].collect()
+    val nTok = SparkEntry.queries("token_stats")(spark, Sf0001)
+      .select("doc_id", "n_ws_tokens").as[(Long, Int)].collect().toMap
+    assert(out.nonEmpty)
+    // every doc's spans sum to its token count — nothing lost at splits
+    out.groupBy(_._1).foreach { case (id, spans) =>
+      assert(spans.map(_._6).sum == nTok(id), s"doc $id not fully packed") }
+    // within a (source, bucket) group every sequence except the LAST is
+    // exactly full — the zero-padding-waste property packing exists for
+    out.groupBy(r => (r._2, r._3)).foreach { case (g, rows) =>
+      val bySeq = rows.groupBy(_._4).view.mapValues(_.map(_._6).sum).toMap
+      val last = bySeq.keys.max
+      bySeq.foreach { case (seq, tot) =>
+        if (seq != last) assert(tot == 128, s"group $g seq $seq holds $tot")
+        else assert(tot <= 128, s"group $g last seq overflows: $tot") } }
+    // spans tile each sequence contiguously from position 0
+    out.groupBy(r => (r._2, r._3, r._4)).foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_._5).toSeq
+      assert(sorted.head._5 == 0, s"$k starts at ${sorted.head._5}")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 + a._6 == b._5, s"$k has a gap/overlap")
+        case _ => () } }
+  }
+
+  test("embedding_outliers flags at most the bottom decile, never the representative") {
+    import spark.implicits._
+    val out = SparkEntry.queries("embedding_outliers")(spark, Sf0001)
+      .as[(Long, Int, Double, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (label, rows) =>
+      val flagged = rows.count(_._5)
+      assert(flagged <= rows.length * 0.1 + 1,
+        s"cell $label flags $flagged of ${rows.length}")
+      // the min-vec_id member IS the representative: self-similarity ~1,
+      // so it can never fall below its own cell's P10
+      val rep = rows.minBy(_._1)
+      assert(!rep._5 && math.abs(rep._3 - 1.0) < 1e-9,
+        s"cell $label rep: sim ${rep._3}, outlier ${rep._5}")
+    }
+  }
+
+  test("token_diversity: the simpson index separates spam from diverse text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-div").toString
+    Seq((0L, "spam spam spam spam", "en", "synth", 0L),
+        (1L, "alpha beta gamma delta", "en", "synth", 0L),
+        (2L, "", "en", "synth", 0L)) // tokenless: no row
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("token_diversity")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L) == (0L, 4L, 1L, 1.0), s"one-token spam collides always: ${out(0L)}")
+    assert(out(1L) == (1L, 4L, 4L, 0.25), s"uniform text collides 1/k: ${out(1L)}")
+  }
+
   test("pipeline_curate equals the intersection of its three gates") {
     import spark.implicits._
     val pipe = SparkEntry.queries("pipeline_curate")(spark, Sf0001)
