@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   * can be split into "candidate growth" (these counts grow super-linearly
   * too) vs "per-row cost or host noise" (they don't).
   *
+  * The stages are built FROM the queries' own machinery and constants
+  * (`DedupQueries.shingleTable`/`minhashBands`/`K`/`MaxBucket`,
+  * `SimilarityQueries.LshBits`/`Probes`/`MaxBucket`) — a probe with its
+  * own copies would silently desynchronize from the operator it measures
+  * the first time a constant or the band geometry changes.
+  *
   * Usage: runMain graft.LshStats <sfDir>
   */
 object LshStats {
@@ -17,42 +23,28 @@ object LshStats {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = EngineSession.local(cpus, "graft-lsh-stats")
-    import graft.functions.TextFunctions._
     import graft.functions.VectorFunctions._
+    import graft.queries.{DedupQueries => DQ, SimilarityQueries => SQ}
 
-    // ---- dedup_minhash_lsh stages (mirrors DedupQueries) ----
+    // ---- dedup_minhash_lsh stages (the query's own machinery) ----
     {
-      val K = 8
-      val MaxBucket = 100
-      val sh = Tables(spark, sfDir, "documents")
-        .filter(col("doc_id").isNotNull)
-        .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
-        .distinct()
-      val mins = (0 until K).map(i =>
-        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
-      val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bands0 = sigs.select(
-        (col("doc_id") +: (0 until K).map(i => col(s"h$i"))) :+
-          posexplode(array((0 until K / 2).map(b =>
-            md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*)): _*)
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-        .filter(col("bval").isNotNull)
+      val bands0 = DQ.minhashBands(DQ.shingleTable(spark, sfDir), Nil, DQ.K)
         .localCheckpoint() // count the stages off ONE materialization
       val hotFull = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
         .localCheckpoint()
-      val hot = hotFull.filter(col("n") > MaxBucket).select("band", "bval")
+      val hot = hotFull.filter(col("n") > DQ.MaxBucket).select("band", "bval")
       val cold = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
         .localCheckpoint()
       val cand = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
-      val matches = (0 until K).map(i =>
+      val matches = (0 until DQ.K).map(i =>
         when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)).reduce(_ + _)
       val pairs = cand
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          (matches / lit(K.toDouble)).as("est_jaccard"))
+          (matches / lit(DQ.K.toDouble)).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5).dropDuplicates("d1", "d2")
-      val maxCold = hotFull.filter(col("n") <= MaxBucket)
+      val maxCold = hotFull.filter(col("n") <= DQ.MaxBucket)
         .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
       println(s"""{"query":"dedup_minhash_lsh","sf":"$sfDir"""" +
         s""","band_rows":${bands0.count()},"buckets":${hotFull.count()}""" +
@@ -61,30 +53,27 @@ object LshStats {
         s""","candidate_pairs":${cand.count()},"emitted_pairs":${pairs.count()}}""")
     }
 
-    // ---- ann_lsh_multiprobe stages (mirrors SimilarityQueries) ----
+    // ---- ann_lsh_multiprobe stages (the query's own constants) ----
     {
-      val LshBits = 16
-      val Probes = 4
-      val MaxBucket = 100
       val tabs = Tables(spark, sfDir, "embeddings")
         .filter(col("vec_id").isNotNull)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
         .select(col("vec_id"), col("v"),
-          posexplode(array((0 until Probes).map(t =>
-            signBucketAt(col("v"), t * LshBits, LshBits)): _*)))
+          posexplode(array((0 until SQ.Probes).map(t =>
+            signBucketAt(col("v"), t * SQ.LshBits, SQ.LshBits)): _*)))
         .toDF("vec_id", "v", "tbl", "bucket")
         .filter(col("bucket").isNotNull)
         .localCheckpoint()
       val hotFull = tabs.groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
         .localCheckpoint()
-      val hot = hotFull.filter(col("n") > MaxBucket).select("tbl", "bucket")
+      val hot = hotFull.filter(col("n") > SQ.MaxBucket).select("tbl", "bucket")
       val cold = tabs.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
         .localCheckpoint()
       val cand = cold.as("a").join(cold.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      val maxCold = hotFull.filter(col("n") <= MaxBucket)
+      val maxCold = hotFull.filter(col("n") <= SQ.MaxBucket)
         .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
       println(s"""{"query":"ann_lsh_multiprobe","sf":"$sfDir"""" +
         s""","band_rows":${tabs.count()},"buckets":${hotFull.count()}""" +

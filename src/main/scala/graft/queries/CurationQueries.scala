@@ -185,14 +185,22 @@ object CurationQueries {
       .join(clean, Seq("doc_id"), "left_semi")
   }
 
+  /** The scored (doc_id, lang, quality) frame both quality gates filter
+    * on — ONE definition so the exact and sketch forms can never diverge
+    * in what population they threshold (the spec's subset relation
+    * between the two gates depends on it).
+    */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysisQueries.qualityExpr(col("text")).as("quality"))
+      .filter(col("quality").isNotNull)
+
   /** The `quality_filter` survivors (doc_id, lang, quality, med),
     * unordered — also a gate of [[queries pipeline_curate]].
     */
   private def qualityKept(s: SparkSession, dir: String): DataFrame = {
-    val scored = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        TextAnalysisQueries.qualityExpr(col("text")).as("quality"))
-      .filter(col("quality").isNotNull)
+    val scored = scoredDocs(s, dir)
     val med = scored.groupBy("lang")
       .agg(expr("percentile(quality, 0.5)").as("med"))
     scored.join(med, Seq("lang"))
@@ -415,10 +423,7 @@ object CurationQueries {
     // quality_filter: the threshold is an actual document's score, never
     // a midpoint between two.
     "quality_filter_approx" -> ((s, dir) => {
-      val scored = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TextAnalysisQueries.qualityExpr(col("text")).as("quality"))
-        .filter(col("quality").isNotNull)
+      val scored = scoredDocs(s, dir)
       val med = scored.groupBy("lang")
         .agg(expr("approx_percentile(quality, 0.5, 10000)").as("amed"))
       scored.join(med, Seq("lang"))

@@ -39,7 +39,11 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private val K = 8            // minhash signature length
+  // K and MaxBucket are private[graft]: graft.LshStats (the scaling
+  // attribution probe) must count the stages of the REAL query —
+  // duplicating the constants would let the probe silently desynchronize
+  // from the operator it measures.
+  private[graft] val K = 8     // minhash signature length
   private val BITS = 64        // simhash width (two md5s, one bit per hex digit)
   private val Bands = 4        // simhash LSH bands (16 bits each → 65,536 buckets/band)
   private val MaxShingleDf = 100 // n-gram Jaccard: drop shingles in more docs than this
@@ -50,7 +54,7 @@ object DedupQueries {
   // self-join. Recall cost is negligible by construction: a bucket this hot
   // is dominated by exact/near-exact duplicates already caught by
   // dedup_exact / dedup_simhash's Hamming-0 grouping.
-  private val MaxBucket = 100
+  private[graft] val MaxBucket = 100
   // dedup_semantic cosine gate. The driver's synthetic embeddings are
   // near-orthogonal (within-label cosine tops out ~0.47), so the gate is
   // tuned to that space; a production embedding model concentrates
@@ -67,7 +71,7 @@ object DedupQueries {
     * exchange between the join sides and the cap branch. doc_id is never
     * null, so the filter is semantically free.
     */
-  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleTable(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
@@ -153,7 +157,7 @@ object DedupQueries {
     * not (a self-join caps total membership; a cross-split probe caps
     * only the held-out side).
     */
-  private[queries] def minhashBands(sh: DataFrame, carry: Seq[String], k: Int): DataFrame = {
+  private[graft] def minhashBands(sh: DataFrame, carry: Seq[String], k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
     val sigs = sh.groupBy("doc_id", carry: _*).agg(mins.head, mins.tail: _*)
@@ -187,12 +191,21 @@ object DedupQueries {
     * pairs and the Hamming-0 (same-signature) star edges from ONE
     * materialized signature aggregation instead of running it twice.
     */
-  private def simhashPairsFrom(sigTable: DataFrame): DataFrame = {
-    val bands0 = sigTable
+  /** One row per (doc, 16-bit simhash band) of a (doc_id, sig LONG)
+    * frame — THE band geometry of the simhash family, shared by
+    * [[simhashPairsFrom]] and the incremental-dedup stream's history
+    * probe (StreamingPipelines), which must band exactly like the batch
+    * operator or its Hamming-≤3 pigeonhole recall claim silently breaks.
+    */
+  private[graft] def simhashBandRows(sigs: DataFrame): DataFrame =
+    sigs
       .select(col("doc_id"), col("sig"),
         posexplode(array((0 until Bands).map(b =>
           shiftright(col("sig"), 16 * (Bands - 1 - b)).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("doc_id", "sig", "band", "bval")
+
+  private def simhashPairsFrom(sigTable: DataFrame): DataFrame = {
+    val bands0 = simhashBandRows(sigTable)
     val hot = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
       .filter(col("n") > MaxBucket).select("band", "bval")
     val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")

@@ -33,15 +33,17 @@ object SimilarityQueries {
   // near-neighbors that straddle a hyperplane; production would run several
   // independent 16-bit tables (multi-probe) and union candidates — same
   // plan shape, one more posexplode.
-  private val LshBits = 16
+  // private[graft]: graft.LshStats counts this query's stages and must
+  // read the REAL constants, not copies that can drift.
+  private[graft] val LshBits = 16
   // A sign bucket holding more vectors than this is dropped before the
   // self-join: such buckets are dense clusters of near-identical vectors
   // (the dedup_exact/dedup_embedding regime, not the search regime), and
   // uncapped they are the one quadratic door in this plan at 100×.
-  private val MaxBucket = 100
+  private[graft] val MaxBucket = 100
   // Independent tables for ann_lsh_multiprobe: 4 disjoint 16-dim slices
   // of the 64-dim embedding, one sign table each.
-  private val Probes = 4
+  private[graft] val Probes = 4
   // ann_ivf_nprobe: coarse cells searched per query (production IVF's
   // nprobe knob).
   private val NProbe = 2
@@ -196,7 +198,12 @@ object SimilarityQueries {
     "ann_ivf_nprobe" -> ((s, dir) => {
       val cellK = udaf(new graft.functions.TopK(NProbe))
       val topk = udaf(new graft.functions.TopK(TopK))
-      val e = vecs(s, dir)
+      // label.isNotNull like embedding_outliers: the cell id feeds the
+      // typed aggregator's primitive Long field — a null-label rep row
+      // would CRASH at encoding, where the equi-join queries merely
+      // drop it (results are identical either way; inner joins on label
+      // can never emit a null-label row)
+      val e = vecs(s, dir).filter(col("label").isNotNull)
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val reps = cellReps(e).limit(MaxCells)

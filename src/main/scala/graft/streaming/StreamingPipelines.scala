@@ -137,12 +137,6 @@ object StreamingPipelines {
       .select(explode(shinglesN(tokens(cleanLine(col(textCol))), n)).as("ng"))
       .distinct()
 
-  // incrementalDedupStream's near-dup probe: dedup_simhash_pairs' band
-  // geometry (4 x 16-bit slices of the 64-bit simhash) and hot-bucket cap
-  // constant, applied to the HISTORY side only (see the scaladoc).
-  private val SimBands = 4
-  private val MaxHistBucket = 100
-
   /** Documents-shaped file-stream schema (the batch table's columns). */
   private val documentsRawSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -170,17 +164,24 @@ object StreamingPipelines {
     * Readers of either table get the manifest sink's atomic-snapshot
     * contract.
     *
-    * `hamming` > 0 upgrades the history probe from exact-signature to
-    * NEAR-duplicate: both sides are banded 4 × 16 bits exactly like
-    * `dedup_simhash_pairs` (pigeonhole guarantees recall for Hamming ≤
-    * 3), band collisions are confirmed by `bit_count`, and confirmed ids
-    * are anti-joined out. The band-bucket cap is DIRECTIONAL on the
-    * HISTORY side only (decontaminate_fuzzy's argument transposed): an
-    * arriving batch re-crawling a page must still dedup however many
-    * copies the crawl carries, so the batch side is never capped, while
-    * a >MaxBucket bucket in a SELF-DEDUPED history is genuinely diverse
-    * content sharing one 16-bit slice — capping it bounds the probe's
-    * output to MaxBucket × the batch's band rows, linear per trigger.
+    * `hamming` > 0 ADDS a near-duplicate probe on top of the
+    * exact-signature anti-join (which always runs — the banded probe's
+    * fixed 4 × 65,536 bucket space saturates at crawl scale and its cap
+    * then drops buckets, so exact duplicates must never depend on it):
+    * both the batch and the history are banded through the SAME
+    * `DedupQueries.simhashBandRows` geometry as `dedup_simhash_pairs`
+    * (pigeonhole guarantees recall for Hamming ≤ 3), band collisions are
+    * confirmed by `bit_count`, confirmed ids anti-joined out. The same
+    * pass first runs WITHIN the batch (greedy keep-min over the band
+    * self-join, bounded by the trigger size) so a one-trigger burst of
+    * template variants cannot seed the history with near-identical
+    * signatures. The history-probe cap is DIRECTIONAL on the HISTORY
+    * side only (decontaminate_fuzzy's argument transposed): an arriving
+    * batch re-crawling a page must still dedup however many copies the
+    * crawl carries, so the batch side of the CROSS join is never capped,
+    * while a >MaxBucket bucket in the self-deduped history is genuinely
+    * diverse content sharing one 16-bit slice — capping it bounds the
+    * probe's output to MaxBucket × the batch's band rows per trigger.
     */
   def incrementalDedupStream(spark: SparkSession, inDir: String,
       historyPath: String, outPath: String, checkpoint: String,
@@ -189,33 +190,70 @@ object StreamingPipelines {
     require(hamming >= 0 && hamming <= 3,
       s"4 x 16-bit bands guarantee recall only for Hamming <= 3 (got $hamming)")
     val step: (DataFrame, Long) => Unit = (batch, _) => {
+      import graft.queries.DedupQueries
       val s = batch.sparkSession
-      val sigs = graft.queries.DedupQueries.simhashOf(batch)
+      // a trigger's files may carry the same doc_id twice (a re-crawl
+      // with an edited page) — the keyed sink's contract is ≤ one row
+      // per key, so pick ONE deterministically (content-max, not
+      // dropDuplicates' arbitrary row)
+      val b1 = batch
+        .groupBy("doc_id")
+        .agg(max(struct(col("text"), col("lang"), col("source"),
+          col("n_chars"))).as("r"))
+        .select(col("doc_id"), col("r.text"), col("r.lang"),
+          col("r.source"), col("r.n_chars"))
+      val sigs = DedupQueries.simhashOf(b1)
       val history =
         try Some(graft.sources.Sinks.readKeyedParquet(s, historyPath))
         catch { case _: java.io.FileNotFoundException => None }
-      val canon = sigs.groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
-      def bandsOf(df: DataFrame) = df.select(col("sig"), col("doc_id"),
-        posexplode(array((0 until SimBands).map(b =>
-          shiftright(col("sig"), 16 * (SimBands - 1 - b))
-            .bitwiseAND(lit(0xFFFFL))): _*)))
-        .toDF("sig", "doc_id", "band", "bval")
-      val fresh = history.fold(canon) { h =>
-        if (hamming == 0)
-          canon.join(h.select(col("sig")), Seq("sig"), "left_anti")
-        else {
-          val hb0 = bandsOf(h)
+      // within-batch, exact: one survivor per signature
+      val canon0 = sigs.groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
+      // within-batch, near (hamming > 0): greedy keep-min over the band
+      // self-join — without this, a burst of template variants landing
+      // in ONE trigger would all publish, seeding exactly the hot
+      // history buckets the directional cap assumes a self-deduped
+      // history cannot contain. UNCAPPED deliberately: the join is
+      // bounded by the trigger size (maxFilesPerTrigger), the stream's
+      // own knob, not by the corpus. Greedy, not transitive — in an
+      // a~b~c chain where only b pairs with both, c survives this
+      // trigger; survivors publish, so later batches still dedup
+      // against c (the steady state is what matters for the crawl loop).
+      val canon = if (hamming == 0) canon0 else {
+        val cb = DedupQueries.simhashBandRows(canon0)
+        val drop = cb.as("a").join(cb.as("b"),
+            col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= hamming)
+          .select(col("b.doc_id").as("doc_id")).distinct()
+        canon0.join(drop, Seq("doc_id"), "left_anti")
+      }
+      // cross-batch, exact: ALWAYS the plain signature anti-join — the
+      // banded probe below caps hot history buckets, and at crawl scale
+      // the FIXED 4×65,536 band space saturates, so routing exact
+      // duplicates through it would let byte-identical re-crawls slip
+      // through once every bucket is hot. The exact join has no cap and
+      // no fixed key space; it never decays.
+      val freshExact = history.fold(canon)(h =>
+        canon.join(h.select(col("sig")), Seq("sig"), "left_anti"))
+      // cross-batch, near: the banded probe on top, HISTORY side capped
+      val fresh0 = history match {
+        case Some(h) if hamming > 0 =>
+          val hb0 = DedupQueries.simhashBandRows(h)
           val hot = hb0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
-            .filter(col("n") > MaxHistBucket).select("band", "bval")
+            .filter(col("n") > DedupQueries.MaxBucket).select("band", "bval")
           val hb = hb0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
-          val dupIds = bandsOf(canon).as("a").join(hb.as("b"),
+          val dupIds = DedupQueries.simhashBandRows(freshExact).as("a")
+            .join(hb.as("b"),
               col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
                 bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= hamming)
             .select(col("a.doc_id").as("doc_id")).distinct()
-          canon.join(dupIds, Seq("doc_id"), "left_anti")
-        }
+          freshExact.join(dupIds, Seq("doc_id"), "left_anti")
+        case _ => freshExact
       }
-      val kept = batch.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+      // materialize ONCE: both merges below consume `fresh`, and without
+      // the checkpoint each would re-execute the history-sized probe
+      val fresh = fresh0.localCheckpoint()
+      val kept = b1.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
       graft.sources.Sinks.mergeIntoKeyedParquet(kept, "doc_id", outPath)
       graft.sources.Sinks.mergeIntoKeyedParquet(fresh, "sig", historyPath)
     }

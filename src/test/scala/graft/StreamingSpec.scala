@@ -218,12 +218,18 @@ class StreamingSpec extends AnyFunSuite {
     // drift fails with the measured distance, not a silent flag flip)
     val base = (1 to 30).map(i => s"word$i").mkString(" ")
     val near = ("nova" +: (2 to 30).map(i => s"word$i")).mkString(" ")
+    // second pair, for the WITHIN-batch case: item1 -> "flux" is Hamming 3
+    val base2 = (1 to 30).map(i => s"item$i").mkString(" ")
+    val near2 = ("flux" +: (2 to 30).map(i => s"item$i")).mkString(" ")
     val sigOf = graft.queries.DedupQueries.simhashOf(
-      Seq((1L, base), (2L, near)).toDF("doc_id", "text"))
+      Seq((1L, base), (2L, near), (3L, base2), (4L, near2))
+        .toDF("doc_id", "text"))
       .as[(Long, Long)].collect().toMap
-    val dist = java.lang.Long.bitCount(sigOf(1L) ^ sigOf(2L))
-    assert(dist >= 1 && dist <= 3,
-      s"fixture drifted: simhash Hamming distance is $dist, need 1..3")
+    for ((a, b) <- Seq((1L, 2L), (3L, 4L))) {
+      val dist = java.lang.Long.bitCount(sigOf(a) ^ sigOf(b))
+      assert(dist >= 1 && dist <= 3,
+        s"fixture drifted: pair ($a,$b) simhash Hamming $dist, need 1..3")
+    }
 
     def run(hamming: Int): Set[Long] = {
       val root = Files.createTempDirectory(s"graft-incnear$hamming").toString
@@ -245,16 +251,25 @@ class StreamingSpec extends AnyFunSuite {
         q.processAllAvailable()
         addBatch("b2.parquet", Seq(
           (30L, near), // near-duplicate of historical 10
-          (40L, (1 to 30).map(i => s"fresh$i").mkString(" "))))
+          (31L, base), // EXACT copy of historical 10 — must drop at ANY hamming
+          (40L, (1 to 30).map(i => s"fresh$i").mkString(" ")),
+          (50L, base2), (51L, near2), // near pair WITHIN one trigger
+          (60L, "sixty one of a kind"),
+          (60L, "sixty but edited"))) // same id twice in one trigger
         q.processAllAvailable()
       } finally q.stop()
-      Sinks.readKeyedParquet(spark, root + "/kept")
-        .select("doc_id").as[Long].collect().toSet
+      val kept = Sinks.readKeyedParquet(spark, root + "/kept")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(kept.count(_ == 60L) == 1,
+        s"a twice-carried doc_id must publish exactly one row; got $kept")
+      kept.toSet
     }
-    assert(run(3) == Set(10L, 40L),
-      "hamming=3 must drop the near-copy via the banded history probe")
-    assert(run(0) == Set(10L, 30L, 40L),
-      "hamming=0 (exact signatures) must NOT see the one-token edit")
+    assert(run(3) == Set(10L, 40L, 50L, 60L),
+      "hamming=3: history near-copy AND exact copy dropped, within-batch " +
+        "near pair collapsed to its min id")
+    assert(run(0) == Set(10L, 30L, 40L, 50L, 51L, 60L),
+      "hamming=0: exact copies still dropped (the always-on signature " +
+        "anti-join), one-token edits pass")
   }
 
   test("complete-mode runStream recovers across restart via its checkpoint") {
