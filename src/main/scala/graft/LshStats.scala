@@ -53,6 +53,33 @@ object LshStats {
         s""","candidate_pairs":${cand.count()},"emitted_pairs":${pairs.count()}}""")
     }
 
+    // ---- dedup_chunk_minhash stages (the query's own machinery) ----
+    {
+      import graft.functions.TextFunctions._
+      val sh = graft.queries.CurationQueries.chunkTable(spark, sfDir)
+        .select(col("doc_id"), col("chunk_id"),
+          explode(shingles3(tokens(col("chunk")))).as("sh"))
+        .distinct()
+      val bands0 = DQ.minhashBands(sh, Seq("chunk_id"), DQ.K).localCheckpoint()
+      val hotFull = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val hot = hotFull.filter(col("n") > DQ.MaxBucket).select("band", "bval")
+      val cold = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+        .localCheckpoint()
+      val cand = cold.as("a").join(cold.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          (col("a.doc_id") < col("b.doc_id") ||
+            (col("a.doc_id") === col("b.doc_id") &&
+              col("a.chunk_id") < col("b.chunk_id"))))
+      val maxCold = hotFull.filter(col("n") <= DQ.MaxBucket)
+        .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+      println(s"""{"query":"dedup_chunk_minhash","sf":"$sfDir"""" +
+        s""","band_rows":${bands0.count()},"buckets":${hotFull.count()}""" +
+        s""","hot_buckets":${hot.count()},"cold_rows":${cold.count()}""" +
+        s""","max_cold_bucket":$maxCold""" +
+        s""","candidate_pairs":${cand.count()}}""")
+    }
+
     // ---- ann_lsh_multiprobe stages (the query's own constants) ----
     {
       val tabs = Tables(spark, sfDir, "embeddings")

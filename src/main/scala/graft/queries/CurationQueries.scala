@@ -123,7 +123,7 @@ object CurationQueries {
     * infer (the shingleTable canonicalization rule); doc_id is never
     * null, so it is semantically free.
     */
-  private[queries] def chunkTable(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def chunkTable(s: SparkSession, dir: String): DataFrame = {
     val chunks = element_at(transform(array(tokens(col("text"))), tv =>
       when(size(tv) > 0,
         transform(
