@@ -2,19 +2,23 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Dev tool (the `Explain` family): per-stage cardinalities of the two
+/** Dev tool (the `Explain` family): per-stage cardinalities of the
   * LSH-banded queries whose wall-clock scaling needs attribution —
-  * `dedup_minhash_lsh` and `ann_lsh_multiprobe`. Prints one JSON line per
-  * query with the band-row / hot-bucket / cold-row / candidate-pair /
-  * emitted-pair counts at the given SF dir, so a super-linear TIME curve
-  * can be split into "candidate growth" (these counts grow super-linearly
-  * too) vs "per-row cost or host noise" (they don't).
+  * `dedup_minhash_lsh`, `dedup_chunk_minhash` and `ann_lsh_multiprobe`.
+  * Prints one JSON line per query with the band-row / hot-bucket /
+  * cold-row / candidate-pair / emitted-pair counts at the given SF dir,
+  * so a super-linear TIME curve can be split into "candidate growth"
+  * (these counts grow super-linearly too) vs "per-row cost or host
+  * noise" (they don't).
   *
-  * The stages are built FROM the queries' own machinery and constants
-  * (`DedupQueries.shingleTable`/`minhashBands`/`K`/`MaxBucket`,
-  * `SimilarityQueries.LshBits`/`Probes`/`MaxBucket`) — a probe with its
-  * own copies would silently desynchronize from the operator it measures
-  * the first time a constant or the band geometry changes.
+  * Every stage COMPOSES the operators' own factored machinery —
+  * `DedupQueries.{shingleTable,chunkRepShingles,minhashBands,
+  * bucketCounts,hotBuckets,dropHot,minhashCandidateJoin,estJaccard}` and
+  * `SimilarityQueries.{signTables,bucketCounts,hotBuckets,dropHot,
+  * lshCandidateJoin}` — so the probe cannot desynchronize from the
+  * operator it measures: a cap-policy or gate change lands here by
+  * construction. The only local additions are the localCheckpoints
+  * between stages (count each stage off one materialization).
   *
   * Usage: runMain graft.LshStats <sfDir>
   */
@@ -23,27 +27,23 @@ object LshStats {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = EngineSession.local(cpus, "graft-lsh-stats")
-    import graft.functions.VectorFunctions._
     import graft.queries.{DedupQueries => DQ, SimilarityQueries => SQ}
+    val bandKeys = Seq("band", "bval")
 
     // ---- dedup_minhash_lsh stages (the query's own machinery) ----
     {
       val bands0 = DQ.minhashBands(DQ.shingleTable(spark, sfDir), Nil, DQ.K)
         .localCheckpoint() // count the stages off ONE materialization
-      val hotFull = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
-        .localCheckpoint()
-      val hot = hotFull.filter(col("n") > DQ.MaxBucket).select("band", "bval")
-      val cold = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
-        .localCheckpoint()
-      val cand = cold.as("a").join(cold.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      val matches = (0 until DQ.K).map(i =>
-        when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)).reduce(_ + _)
+      val hotFull = DQ.bucketCounts(bands0, bandKeys).localCheckpoint()
+      val hot = DQ.hotBuckets(hotFull, bandKeys)
+      val cold = DQ.dropHot(bands0, hot, bandKeys).localCheckpoint()
+      val cand = DQ.minhashCandidateJoin(cold,
+        col("a.doc_id") < col("b.doc_id"))
       val pairs = cand
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          (matches / lit(DQ.K.toDouble)).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5).dropDuplicates("d1", "d2")
+          DQ.estJaccard(DQ.K).as("est_jaccard"))
+        .filter(col("est_jaccard") >= DQ.MinEstJaccard)
+        .dropDuplicates("d1", "d2")
       val maxCold = hotFull.filter(col("n") <= DQ.MaxBucket)
         .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
       println(s"""{"query":"dedup_minhash_lsh","sf":"$sfDir"""" +
@@ -54,52 +54,43 @@ object LshStats {
     }
 
     // ---- dedup_chunk_minhash stages (the query's own machinery) ----
+    // chunk_rows vs rep_rows instruments the exact-duplicate pre-filter:
+    // the signature pipeline downstream sees rep_rows, not chunk_rows.
     {
-      import graft.functions.TextFunctions._
-      val sh = graft.queries.CurationQueries.chunkTable(spark, sfDir)
-        .select(col("doc_id"), col("chunk_id"),
-          explode(shingles3(tokens(col("chunk")))).as("sh"))
-        .distinct()
+      val chunkRows =
+        graft.queries.CurationQueries.chunkTable(spark, sfDir).count()
+      val reps = DQ.chunkReps(spark, sfDir).localCheckpoint()
+      val sh = DQ.repShingles(reps)
       val bands0 = DQ.minhashBands(sh, Seq("chunk_id"), DQ.K).localCheckpoint()
-      val hotFull = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
-        .localCheckpoint()
-      val hot = hotFull.filter(col("n") > DQ.MaxBucket).select("band", "bval")
-      val cold = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
-        .localCheckpoint()
-      val cand = cold.as("a").join(cold.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          (col("a.doc_id") < col("b.doc_id") ||
-            (col("a.doc_id") === col("b.doc_id") &&
-              col("a.chunk_id") < col("b.chunk_id"))))
+      val hotFull = DQ.bucketCounts(bands0, bandKeys).localCheckpoint()
+      val hot = DQ.hotBuckets(hotFull, bandKeys)
+      val cold = DQ.dropHot(bands0, hot, bandKeys).localCheckpoint()
+      val cand = DQ.minhashCandidateJoin(cold,
+        col("a.doc_id") < col("b.doc_id") ||
+          (col("a.doc_id") === col("b.doc_id") &&
+            col("a.chunk_id") < col("b.chunk_id")))
       val maxCold = hotFull.filter(col("n") <= DQ.MaxBucket)
         .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
       println(s"""{"query":"dedup_chunk_minhash","sf":"$sfDir"""" +
+        s""","chunk_rows":$chunkRows,"rep_rows":${reps.count()}""" +
         s""","band_rows":${bands0.count()},"buckets":${hotFull.count()}""" +
         s""","hot_buckets":${hot.count()},"cold_rows":${cold.count()}""" +
         s""","max_cold_bucket":$maxCold""" +
         s""","candidate_pairs":${cand.count()}}""")
     }
 
-    // ---- ann_lsh_multiprobe stages (the query's own constants) ----
+    // ---- ann_lsh_multiprobe stages (the query's own machinery) ----
     {
-      val tabs = Tables(spark, sfDir, "embeddings")
+      val probeKeys = Seq("tbl", "bucket")
+      val e = Tables(spark, sfDir, "embeddings")
         .filter(col("vec_id").isNotNull)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
-        .select(col("vec_id"), col("v"),
-          posexplode(array((0 until SQ.Probes).map(t =>
-            signBucketAt(col("v"), t * SQ.LshBits, SQ.LshBits)): _*)))
-        .toDF("vec_id", "v", "tbl", "bucket")
-        .filter(col("bucket").isNotNull)
-        .localCheckpoint()
-      val hotFull = tabs.groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
-        .localCheckpoint()
-      val hot = hotFull.filter(col("n") > SQ.MaxBucket).select("tbl", "bucket")
-      val cold = tabs.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
-        .localCheckpoint()
-      val cand = cold.as("a").join(cold.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
+      val tabs = SQ.signTables(e).localCheckpoint()
+      val hotFull = SQ.bucketCounts(tabs, probeKeys).localCheckpoint()
+      val hot = SQ.hotBuckets(hotFull, probeKeys)
+      val cold = SQ.dropHot(tabs, hot, probeKeys).localCheckpoint()
+      val cand = SQ.lshCandidateJoin(cold, probeKeys)
       val maxCold = hotFull.filter(col("n") <= SQ.MaxBucket)
         .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
       println(s"""{"query":"ann_lsh_multiprobe","sf":"$sfDir"""" +

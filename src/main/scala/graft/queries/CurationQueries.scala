@@ -70,7 +70,10 @@ object CurationQueries {
   private val DecontamN = 8    // decontamination shingle width (PaLM-style)
   private val TfIdfK = 3       // keywords kept per document
   private val FuzzyK = 8       // fuzzy decontamination: minhash signature length
-  private val MaxBucket = 100  // fuzzy decontamination: LSH band-bucket cap (DedupQueries' rationale)
+  // fuzzy decontamination's LSH band-bucket cap IS DedupQueries.MaxBucket
+  // (shared constant + shared hotBuckets/dropHot stages — a local copy
+  // could drift from the machinery it parameterizes)
+  private def MaxBucket = DedupQueries.MaxBucket
 
   /** corpus_mix per-source resampling: (sources, base copies, extra-copy
     * md5-prefix threshold). Lexicographic compare of the first 4 md5 hex
@@ -156,7 +159,8 @@ object CurationQueries {
        |  array_to_string(tv[chunk_id * $Stride + 1 : least(chunk_id * $Stride + $ChunkSize, len(tv))], ' ') AS chunk,
        |  CAST(least($ChunkSize, len(tv) - chunk_id * $Stride) AS INT) AS n_tokens
        |FROM (SELECT doc_id, tv, unnest(range($nChunks)) AS chunk_id
-       |      FROM (SELECT doc_id, $tv AS tv FROM documents))""".stripMargin
+       |      FROM (SELECT doc_id, $tv AS tv FROM documents
+       |            WHERE doc_id IS NOT NULL))""".stripMargin
   }
 
   /** `pipeline_curate` with the dedup gate derived from a PUBLISHED
@@ -290,18 +294,19 @@ object CurationQueries {
           explode(shingles3(tokens(cleanLine(col("text"))))).as("sh"))
         .distinct()
       val bands0 = DedupQueries.minhashBands(sh, Seq("bucket"), FuzzyK)
-      val hot = bands0.filter(col("bucket") >= "cd")
-        .groupBy("band", "bval").agg(count(lit(1)).as("n"))
-        .filter(col("n") > MaxBucket).select("band", "bval")
-      val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
-      val matches = (0 until FuzzyK).map(i =>
-        when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)).reduce(_ + _)
+      // the count feeds DedupQueries' shared hot/drop stages, but over
+      // the HELD-OUT rows only — the directional cap this query's
+      // semantics demand (see the comment above)
+      val hot = DedupQueries.hotBuckets(
+        DedupQueries.bucketCounts(bands0.filter(col("bucket") >= "cd"),
+          Seq("band", "bval")), Seq("band", "bval"))
+      val bands = DedupQueries.dropHot(bands0, hot, Seq("band", "bval"))
       val hits = bands.filter(col("bucket") < "cd").as("a")
         .join(bands.filter(col("bucket") >= "cd").as("b"),
           col("a.band") === col("b.band") && col("a.bval") === col("b.bval"))
         .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("src_id"),
-          (matches / lit(FuzzyK.toDouble)).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
+          DedupQueries.estJaccard(FuzzyK).as("est_jaccard"))
+        .filter(col("est_jaccard") >= DedupQueries.MinEstJaccard)
         .dropDuplicates("doc_id", "src_id")
         .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
       Tables(s, dir, "documents")

@@ -55,11 +55,54 @@ object DedupQueries {
   // is dominated by exact/near-exact duplicates already caught by
   // dedup_exact / dedup_simhash's Hamming-0 grouping.
   private[graft] val MaxBucket = 100
+  // minhash LSH emission gate: fraction of agreeing signature components.
+  // private[graft] like K/MaxBucket — graft.LshStats applies the REAL gate.
+  private[graft] val MinEstJaccard = 0.5
   // dedup_semantic cosine gate. The driver's synthetic embeddings are
   // near-orthogonal (within-label cosine tops out ~0.47), so the gate is
   // tuned to that space; a production embedding model concentrates
   // duplicates at ~0.95+ — the constant is the operator's single knob.
   private val SemTau = 0.3
+
+  // ===== shared cap/candidate stages =====
+  // Every capped bucket space in this file (and decontaminate_fuzzy's,
+  // and graft.LshStats' probes) composes these three stages rather than
+  // re-spelling them: a probe or sibling operator with its own copy of
+  // the count/filter/anti-join would silently desynchronize the first
+  // time the cap policy changes.
+
+  /** Per-bucket membership counts of a band/bucket frame over `keys`. */
+  private[graft] def bucketCounts(rows: DataFrame, keys: Seq[String]): DataFrame =
+    rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+
+  /** Keys of buckets over the [[MaxBucket]] total-membership cap. */
+  private[graft] def hotBuckets(counts: DataFrame, keys: Seq[String]): DataFrame =
+    counts.filter(col("n") > MaxBucket).select(keys.map(col): _*)
+
+  /** Rows minus hot buckets — the broadcast anti-join cap itself. */
+  private[graft] def dropHot(rows: DataFrame, hot: DataFrame, keys: Seq[String]): DataFrame =
+    rows.join(broadcast(hot), keys, "left_anti")
+
+  /** The capped band space in one step: count, find hot, anti-join. */
+  private[graft] def capBuckets(rows: DataFrame, keys: Seq[String]): DataFrame =
+    dropHot(rows, hotBuckets(bucketCounts(rows, keys), keys), keys)
+
+  /** The minhash LSH candidate self-join on (band, bval) under a
+    * caller-supplied pair-ordering predicate (doc-level `<`, or the
+    * chunk-level composite lexicographic `<`). Sides are aliased a/b —
+    * [[estJaccard]] reads them by those names.
+    */
+  private[graft] def minhashCandidateJoin(cold: DataFrame, ord: Column): DataFrame =
+    cold.as("a").join(cold.as("b"),
+      col("a.band") === col("b.band") && col("a.bval") === col("b.bval") && ord)
+
+  /** Estimated Jaccard of an a/b-aliased candidate join: fraction of
+    * agreeing signature components (exact md5 arithmetic, oracle-exact).
+    */
+  private[graft] def estJaccard(k: Int): Column =
+    (0 until k).map(i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)).reduce(_ + _) /
+      lit(k.toDouble)
 
   /** Distinct (doc_id, shingle) pairs ([[TextFunctions.shingles3]] binds
     * the token array once — see its scaladoc for why that matters).
@@ -205,10 +248,7 @@ object DedupQueries {
       .toDF("doc_id", "sig", "band", "bval")
 
   private def simhashPairsFrom(sigTable: DataFrame): DataFrame = {
-    val bands0 = simhashBandRows(sigTable)
-    val hot = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
-      .filter(col("n") > MaxBucket).select("band", "bval")
-    val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+    val bands = capBuckets(simhashBandRows(sigTable), Seq("band", "bval"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -386,6 +426,37 @@ object DedupQueries {
         (col("doc_id") === col("canon_id")).as("keep"))
   }
 
+  /** One representative row (doc_id, chunk_id, chunk) per DISTINCT chunk
+    * content — the min-(doc_id, chunk_id) member of each md5 group, i.e.
+    * dedup_chunk_exact's canon. The chunk text rides the min-struct as a
+    * dead tiebreak slot ((doc_id, chunk_id) is unique, so it never
+    * compares), which makes the election ONE partial-aggregable hash
+    * group with no join-back. Shared by `dedup_chunk_minhash` (its
+    * exact-duplicate pre-filter) and graft.LshStats' chunk probe.
+    */
+  private[graft] def chunkReps(s: SparkSession, dir: String): DataFrame =
+    CurationQueries.chunkTable(s, dir)
+      .groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"), col("chunk"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.chunk_id").as("chunk_id"),
+        col("r.chunk").as("chunk"))
+
+  /** Distinct (doc_id, chunk_id, sh) 3-shingle rows of [[chunkReps]] —
+    * the input frame of `dedup_chunk_minhash`'s signature pipeline.
+    */
+  private[graft] def chunkRepShingles(s: SparkSession, dir: String): DataFrame =
+    repShingles(chunkReps(s, dir))
+
+  /** The shingle step of [[chunkRepShingles]] over a caller-supplied
+    * (possibly checkpointed) reps frame — split out so graft.LshStats
+    * can instrument the rep stage without re-spelling this one.
+    */
+  private[graft] def repShingles(reps: DataFrame): DataFrame =
+    reps
+      .select(col("doc_id"), col("chunk_id"),
+        explode(shingles3(tokens(col("chunk")))).as("sh"))
+      .distinct()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: canonical doc per identical text ----
     "dedup_exact" -> ((s, dir) => {
@@ -435,18 +506,12 @@ object DedupQueries {
     // canonicalizes identically and the expensive signature aggregation is
     // computed once (ReusedExchange), not once per branch.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val bands0 = minhashBands(shingleTable(s, dir), Nil, K)
-      val hot = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
-        .filter(col("n") > MaxBucket).select("band", "bval")
-      val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
-      val matches = (0 until K).map(i =>
-        when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)).reduce(_ + _)
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-            col("a.doc_id") < col("b.doc_id"))
+      val bands = capBuckets(minhashBands(shingleTable(s, dir), Nil, K),
+        Seq("band", "bval"))
+      minhashCandidateJoin(bands, col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          (matches / lit(K.toDouble)).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
+          estJaccard(K).as("est_jaccard"))
+        .filter(col("est_jaccard") >= MinEstJaccard)
         .dropDuplicates("d1", "d2")
         .orderBy("d1", "d2")
     }),
@@ -563,34 +628,35 @@ object DedupQueries {
     // (minhashBands, chunk_id riding the carry slot) pointed at CHUNKS:
     // catches a lightly-edited boilerplate paragraph (tracking params in a
     // navbar URL, a year bump in a license block) that dedup_chunk_exact's
-    // md5 group misses. Keys are composite (doc_id, chunk_id); the pair
-    // ordering predicate is the lexicographic <, so same-document chunk
-    // pairs (an in-doc repeated paragraph) are emitted too. Same
-    // [[MaxBucket]] total-membership cap as the doc-level form — a band
-    // bucket hotter than that is exact-duplicate territory, already
-    // grouped by dedup_chunk_exact (the crafted cap test pins both
-    // halves). A ~32-token chunk has ≤ 30 shingles, so per-row signature
-    // cost is bounded by the chunk size constant, not document length.
+    // md5 group misses. The probe runs over [[chunkReps]] — ONE
+    // representative per DISTINCT chunk content — not over every chunk
+    // row: on duplicate-dense data the bulk of raw candidate pairs are
+    // byte-identical chunks that dedup_chunk_exact already catches with a
+    // linear hash group, so shingling/banding them again only fills band
+    // buckets toward the cap (at sf10 the un-prefiltered form was the
+    // catalog's most expensive query, 13.5% of its band rows in dropped
+    // hot buckets). Signature/banding cost now scales with DISTINCT chunk
+    // content; pairs among exact copies are recoverable by composing the
+    // md5 groups (each rep stands for its whole group). Keys are
+    // composite (doc_id, chunk_id) of the representative; the pair
+    // ordering predicate is the lexicographic <, so same-document
+    // repeated-paragraph reps still pair. Same [[MaxBucket]]
+    // total-membership cap — a band bucket of >100 DISTINCT near-dup
+    // contents (template spam with per-page edits) is still a quadratic
+    // door, and the crafted cap test pins it with distinct-content
+    // signature-colliding chunks. A ~32-token chunk has ≤ 30 shingles,
+    // so per-row signature cost is bounded by the chunk size constant.
     "dedup_chunk_minhash" -> ((s, dir) => {
-      val sh = CurationQueries.chunkTable(s, dir)
-        .select(col("doc_id"), col("chunk_id"),
-          explode(shingles3(tokens(col("chunk")))).as("sh"))
-        .distinct()
-      val bands0 = minhashBands(sh, Seq("chunk_id"), K)
-      val hot = bands0.groupBy("band", "bval").agg(count(lit(1)).as("n"))
-        .filter(col("n") > MaxBucket).select("band", "bval")
-      val bands = bands0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
-      val matches = (0 until K).map(i =>
-        when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)).reduce(_ + _)
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-            (col("a.doc_id") < col("b.doc_id") ||
-              (col("a.doc_id") === col("b.doc_id") &&
-                col("a.chunk_id") < col("b.chunk_id"))))
+      val bands = capBuckets(minhashBands(chunkRepShingles(s, dir),
+        Seq("chunk_id"), K), Seq("band", "bval"))
+      minhashCandidateJoin(bands,
+          col("a.doc_id") < col("b.doc_id") ||
+            (col("a.doc_id") === col("b.doc_id") &&
+              col("a.chunk_id") < col("b.chunk_id")))
         .select(col("a.doc_id").as("d1"), col("a.chunk_id").as("c1"),
           col("b.doc_id").as("d2"), col("b.chunk_id").as("c2"),
-          (matches / lit(K.toDouble)).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
+          estJaccard(K).as("est_jaccard"))
+        .filter(col("est_jaccard") >= MinEstJaccard)
         .dropDuplicates("d1", "c1", "d2", "c2")
         .orderBy("d1", "c1", "d2", "c2")
     }),
@@ -618,9 +684,7 @@ object DedupQueries {
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
         .withColumn("bkt", signBucket(col("v"), CellBits))
         .filter(col("bkt").isNotNull)
-      val hot = e0.groupBy("label", "bkt").agg(count(lit(1)).as("n"))
-        .filter(col("n") > MaxBucket).select("label", "bkt")
-      val e = e0.join(broadcast(hot), Seq("label", "bkt"), "left_anti")
+      val e = capBuckets(e0, Seq("label", "bkt"))
       val pairs = e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.bkt") === col("b.bkt") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -660,9 +724,7 @@ object DedupQueries {
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
         .withColumn("bkt", signBucket(col("v"), CellBits))
         .filter(col("bkt").isNotNull)
-      val hot = e0.groupBy("label", "bkt").agg(count(lit(1)).as("n"))
-        .filter(col("n") > MaxBucket).select("label", "bkt")
-      val e = e0.join(broadcast(hot), Seq("label", "bkt"), "left_anti")
+      val e = capBuckets(e0, Seq("label", "bkt"))
       val sim = cosine(col("a.v"), col("b.v"))
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.bkt") === col("b.bkt") &&
@@ -868,10 +930,21 @@ object DedupQueries {
 
     "dedup_chunk_minhash" ->
       // same fragments as dedup_minhash_lsh's oracle (minhash*Sql
-      // builders) over the shared chunk relation, composite-keyed
-      s"""WITH sh0 AS (SELECT DISTINCT doc_id, chunk_id, unnest(${shinglesNSql("tv", 3)}) AS sh
-         |  FROM (SELECT doc_id, chunk_id, ${tokensSql("chunk")} AS tv
-         |        FROM (${CurationQueries.chunksSqlRel}))),
+      // builders) over the REPRESENTATIVE chunk relation: one min-
+      // (doc_id, chunk_id) row per md5 group (dedup_chunk_exact's canon
+      // spelling), mirroring the Spark side's exact-duplicate pre-filter
+      s"""WITH c AS (SELECT doc_id, chunk_id, chunk, md5(chunk) AS chunk_hash
+         |           FROM (${CurationQueries.chunksSqlRel})),
+         |g AS (SELECT chunk_hash, min(doc_id) AS canon_doc FROM c GROUP BY 1),
+         |g2 AS (SELECT g.chunk_hash, g.canon_doc, min(c.chunk_id) AS canon_chunk
+         |       FROM g JOIN c ON c.chunk_hash = g.chunk_hash
+         |                    AND c.doc_id = g.canon_doc GROUP BY 1, 2),
+         |reps AS (SELECT c.doc_id, c.chunk_id, c.chunk
+         |         FROM c JOIN g2 ON c.chunk_hash = g2.chunk_hash
+         |                       AND c.doc_id = g2.canon_doc
+         |                       AND c.chunk_id = g2.canon_chunk),
+         |sh0 AS (SELECT DISTINCT doc_id, chunk_id, unnest(${shinglesNSql("tv", 3)}) AS sh
+         |  FROM (SELECT doc_id, chunk_id, ${tokensSql("chunk")} AS tv FROM reps)),
          |sigs AS (SELECT doc_id, chunk_id, ${minhashMinsSql(K)}
          |         FROM sh0 GROUP BY doc_id, chunk_id),
          |bands AS (SELECT *, ${minhashBvalCaseSql(K)} AS bval

@@ -66,6 +66,47 @@ object SimilarityQueries {
       .filter(col("vec_id").isNotNull)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  // ===== shared cap/candidate stages (DedupQueries' rule transposed) =====
+  // The sign-bucket cap and the within-bucket candidate join are factored
+  // so the operators AND graft.LshStats' probe compose the same code —
+  // a probe with its own spelling of the count/filter/anti-join would
+  // silently desynchronize the first time the cap policy changes.
+
+  /** Per-bucket membership counts over `keys`. */
+  private[graft] def bucketCounts(rows: DataFrame, keys: Seq[String]): DataFrame =
+    rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+
+  /** Keys of buckets over the [[MaxBucket]] cap. */
+  private[graft] def hotBuckets(counts: DataFrame, keys: Seq[String]): DataFrame =
+    counts.filter(col("n") > MaxBucket).select(keys.map(col): _*)
+
+  /** Rows minus hot buckets — the broadcast anti-join cap. */
+  private[graft] def dropHot(rows: DataFrame, hot: DataFrame, keys: Seq[String]): DataFrame =
+    rows.join(broadcast(hot), keys, "left_anti")
+
+  /** The capped bucket space in one step: count, find hot, anti-join. */
+  private[graft] def capBuckets(rows: DataFrame, keys: Seq[String]): DataFrame =
+    dropHot(rows, hotBuckets(bucketCounts(rows, keys), keys), keys)
+
+  /** The within-bucket candidate self-join on `keys` (vec_id-distinct
+    * pairs), sides aliased a/b.
+    */
+  private[graft] def lshCandidateJoin(cold: DataFrame, keys: Seq[String]): DataFrame =
+    cold.as("a").join(cold.as("b"),
+      keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+        col("a.vec_id") =!= col("b.vec_id"))
+
+  /** The multi-probe sign-table frame (vec_id, v, tbl, bucket) — one row
+    * per (vector, 16-bit slice table); shared by `ann_lsh_multiprobe`
+    * and graft.LshStats' probe.
+    */
+  private[graft] def signTables(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"),
+        posexplode(array((0 until Probes).map(t =>
+          signBucketAt(col("v"), t * LshBits, LshBits)): _*)))
+      .toDF("vec_id", "v", "tbl", "bucket")
+      .filter(col("bucket").isNotNull)
+
   /** One deterministic representative vector per cell — the cell's
     * min-vec_id member (a medoid surrogate; a float centroid MEAN is
     * summation-order-dependent and would break engine-exactness). Shared
@@ -132,11 +173,8 @@ object SimilarityQueries {
     "ann_lsh" -> ((s, dir) => {
       val e0 = vecs(s, dir).withColumn("bucket", signBucket(col("v"), LshBits))
         .filter(col("bucket").isNotNull) // align with the join's inferred filter
-      val hot = e0.groupBy("bucket").agg(count(lit(1)).as("n"))
-        .filter(col("n") > MaxBucket).select("bucket")
-      val e = e0.join(broadcast(hot), Seq("bucket"), "left_anti")
-      e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      val e = capBuckets(e0, Seq("bucket"))
+      lshCandidateJoin(e, Seq("bucket"))
         .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
           col("b.vec_id").as("nn_id"), cosine(col("a.v"), col("b.v")).as("sim"))
         .groupBy("vec_id", "bucket")
@@ -154,17 +192,8 @@ object SimilarityQueries {
     // max(struct(...)); a pair colliding in several tables just feeds
     // the same (sim, nn) candidate to the max twice. ----
     "ann_lsh_multiprobe" -> ((s, dir) => {
-      val tabs = vecs(s, dir).select(col("vec_id"), col("v"),
-          posexplode(array((0 until Probes).map(t =>
-            signBucketAt(col("v"), t * LshBits, LshBits)): _*)))
-        .toDF("vec_id", "v", "tbl", "bucket")
-        .filter(col("bucket").isNotNull) // align with the join's inferred filter
-      val hot = tabs.groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
-        .filter(col("n") > MaxBucket).select("tbl", "bucket")
-      val cold = tabs.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
-      cold.as("a").join(cold.as("b"),
-          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") =!= col("b.vec_id"))
+      val cold = capBuckets(signTables(vecs(s, dir)), Seq("tbl", "bucket"))
+      lshCandidateJoin(cold, Seq("tbl", "bucket"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
           cosine(col("a.v"), col("b.v")).as("sim"))
         .groupBy("vec_id")
@@ -206,7 +235,18 @@ object SimilarityQueries {
       val e = vecs(s, dir).filter(col("label").isNotNull)
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val reps = cellReps(e).limit(MaxCells)
+      // the limit makes the rep side's bound STATIC (maxRows) for the
+      // structural join audit, but limit() past MaxCells rows would
+      // TRUNCATE nondeterministically and silently diverge from the
+      // oracle — so overflow fails loudly first (one count over the
+      // checkpointed broadcast-sized rep frame; eager driver-side
+      // actions at build time are the dedup_clusters precedent)
+      val repsAll = cellReps(e).localCheckpoint()
+      val nCells = repsAll.count()
+      require(nCells <= MaxCells,
+        s"ann_ivf_nprobe: $nCells cells exceed MaxCells=$MaxCells — " +
+          "raise MaxCells (nlist is a design constant) rather than let limit() truncate")
+      val reps = repsAll.limit(MaxCells)
       val probes = q.crossJoin(broadcast(reps))
         .select(col("qid"), cosine(col("qv"), col("rv")).as("csim"), col("cell"))
         .groupBy("qid")
@@ -326,8 +366,14 @@ object SimilarityQueries {
 
     "ann_ivf_nprobe" ->
       // rep = the cell's min-vec_id vector; cell rank window mirrors the
-      // TopK aggregator's (csim DESC, cell) ordering exactly
-      s"""WITH e AS ($eSql),
+      // TopK aggregator's (csim DESC, cell) ordering exactly. The WHERE
+      // mirrors the Spark side's vec_id/label isNotNull filters (as in
+      // embedding_outliers): without it a NULL-label vector would mint a
+      // NULL-cell representative on the oracle side only and could
+      // consume one of the NProbe probe slots
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings
+         |           WHERE vec_id IS NOT NULL AND label IS NOT NULL),
          |rid AS (SELECT label, min(vec_id) AS rid FROM e GROUP BY 1),
          |reps AS (SELECT e.label AS cell, e.v AS rv FROM e JOIN rid ON e.vec_id = rid.rid),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NQueries),

@@ -510,36 +510,91 @@ class QueriesSpec extends AnyFunSuite {
       "the one-token-edited boilerplate must MISS the exact chunk group")
     assert(ce.collect { case ((d, c), (_, _, n)) if c > 0 => n }.forall(_ == 1L),
       s"the distinct body chunks must each be singletons; got $ce")
-    // chunk-level minhash: the edited boilerplate still pairs with both
+    // chunk-level minhash runs over REPRESENTATIVES (one per distinct
+    // chunk content — the exact-duplicate pre-filter): the edited
+    // boilerplate pairs with the boilerplate's canon rep (0,0) ONLY.
+    // (1,0) is a non-canonical exact copy, excluded from the probe; its
+    // near-dup relation to (2,0) is recoverable by composing the pair
+    // with dedup_chunk_exact's md5 group {(0,0),(1,0)}.
     val cm = SparkEntry.queries("dedup_chunk_minhash")(spark, dir)
       .select("d1", "c1", "d2", "c2").as[(Long, Int, Long, Int)]
       .collect().toSet
-    assert(cm.contains((0L, 0, 2L, 0)) && cm.contains((1L, 0, 2L, 0)),
-      s"the near-identical boilerplate chunk must pair via minhash; got $cm")
-    assert(cm.contains((0L, 0, 1L, 0)), "identical chunks must pair too")
+    assert(cm.contains((0L, 0, 2L, 0)),
+      s"the near-identical boilerplate chunk must pair with the canon rep; got $cm")
+    assert(!cm.exists { case (d1, _, d2, _) => d1 == 1L || d2 == 1L },
+      s"non-canonical exact copies must be pre-filtered out of the probe; got $cm")
     assert(cm.forall { case (_, c1, _, c2) => c1 == 0 && c2 == 0 },
       s"body chunks must not pair; got $cm")
   }
 
-  test("dedup_chunk_minhash's bucket cap fires while dedup_chunk_exact still groups") {
+  test("dedup_chunk_minhash's exact-dup pre-filter collapses mirror spam to one rep") {
     import spark.implicits._
-    // 110 single-chunk documents of the same boilerplate: every band
-    // bucket holds 110 > MaxBucket members, so the capped minhash emits
-    // ZERO pairs (the quadratic door stays closed), while the exact chunk
-    // group — the operator that actually covers a bucket this hot — still
-    // reports all 110 copies (the doc-level cap test's posture at chunk
-    // granularity).
+    // 110 single-chunk documents of the same boilerplate: the md5 group
+    // collapses to ONE representative before shingling, so the minhash
+    // probe sees a single rep and emits ZERO pairs — the signature/
+    // banding cost scales with DISTINCT chunk content, not copies —
+    // while the exact chunk group (the operator that owns byte-identical
+    // copies) still reports all 110.
     val text = (1 to 32).map(i => s"nav$i").mkString(" ")
-    val dir = java.nio.file.Files.createTempDirectory("graft-chunkcap").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkpre").toString
     (0L until 110L).map(id => (id, text, "en", "synth", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(dir + "/documents.parquet")
     assert(SparkEntry.queries("dedup_chunk_minhash")(spark, dir).count() == 0,
-      "a >MaxBucket chunk band bucket must be dropped before the self-join")
+      "exact-duplicate chunks must collapse to one rep before the probe")
     val ce = SparkEntry.queries("dedup_chunk_exact")(spark, dir)
       .select("n_copies").as[Long].collect()
     assert(ce.length == 110 && ce.forall(_ == 110L),
-      "the exact chunk group must still cover the hot bucket's members")
+      "the exact chunk group must still cover every copy")
+  }
+
+  test("dedup_chunk_minhash's bucket cap fires on DISTINCT signature-colliding chunks") {
+    import spark.implicits._
+    // The pre-filter removes byte-identical copies, so the cap's job is
+    // now template spam with per-page edits: DISTINCT chunk contents
+    // sharing one minhash signature. Construction: 31 common tokens + 1
+    // unique final token per doc, where the unique trailing shingle's
+    // md5("i:"||sh) is verified (in-test, same md5 the engine uses) to
+    // never beat the common shingles' min for ANY of the K=8 hash
+    // indexes — so every chunk has the IDENTICAL signature (est_jaccard
+    // 1.0, true Jaccard 29/31), all land in one bucket per band, and
+    // the md5 groups are all singletons (the pre-filter keeps them all).
+    // 110 such docs: every band bucket holds 110 > MaxBucket reps → the
+    // cap drops them → ZERO pairs. Control: 3 of the same docs → bucket
+    // size 3, all 3 pairs emitted — proving the collision construction
+    // (and not the pre-filter) is what the cap acts on.
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val common = (1 to 31).map(i => s"com$i")
+    val commonShingles = common.sliding(3).map(_.mkString(" ")).toSeq // 29
+    val mins = (0 until 8).map(i => commonShingles.map(sh => md5hex(s"$i:$sh")).min)
+    val uniques = Iterator.from(1).map(n => s"uniq$n").filter { u =>
+      val sh = s"com30 com31 $u"
+      (0 until 8).forall(i => md5hex(s"$i:$sh") > mins(i))
+    }.take(113).toSeq
+    def write(docs: Seq[String], tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      docs.zipWithIndex.map { case (t, id) => (id.toLong, t, "en", "synth", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(dir + "/documents.parquet")
+      dir
+    }
+    val texts = uniques.map(u => (common :+ u).mkString(" "))
+    val hotDir = write(texts.take(110), "graft-chunkcap")
+    assert(SparkEntry.queries("dedup_chunk_minhash")(spark, hotDir).count() == 0,
+      "a >MaxBucket band bucket of DISTINCT chunk reps must be dropped")
+    // distinct contents → the pre-filter keeps all 110 as singletons
+    val ce = SparkEntry.queries("dedup_chunk_exact")(spark, hotDir)
+      .filter($"chunk_id" === 0).select("n_copies").as[Long].collect()
+    assert(ce.length == 110 && ce.forall(_ == 1L),
+      "the colliding chunks must be DISTINCT content (md5 singletons)")
+    val coldDir = write(texts.slice(110, 113), "graft-chunkcold")
+    val cold = SparkEntry.queries("dedup_chunk_minhash")(spark, coldDir)
+      .select("d1", "d2", "est_jaccard").as[(Long, Long, Double)].collect()
+    assert(cold.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (0L, 2L), (1L, 2L))
+        && cold.forall(_._3 == 1.0),
+      s"below the cap the identical-signature reps must all pair; got ${cold.toSeq}")
   }
 
   test("text_dedup_lines drops repeated lines, keeps first occurrences and blanks") {
