@@ -126,16 +126,25 @@ object CurationQueries {
     * infer (the shingleTable canonicalization rule); doc_id is never
     * null, so it is semantically free.
     */
-  private[graft] def chunkTable(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def chunkTable(s: SparkSession, dir: String): DataFrame =
+    chunkTableWith(s, dir, Stride)
+
+  /** [[chunkTable]] at a caller-chosen stride: the default overlapping
+    * windows (Stride < ChunkSize) for retrieval/dedup probing, or
+    * DISJOINT windows (stride = ChunkSize) for `scrub_chunks`, whose
+    * reassembly-by-concatenation is only well-defined when windows
+    * don't overlap.
+    */
+  private def chunkTableWith(s: SparkSession, dir: String, stride: Int): DataFrame = {
     val chunks = element_at(transform(array(tokens(col("text"))), tv =>
       when(size(tv) > 0,
         transform(
           sequence(lit(0),
             when(size(tv) <= ChunkSize, lit(0))
-              .otherwise(ceil((size(tv) - ChunkSize) / lit(Stride.toDouble)).cast("int"))),
+              .otherwise(ceil((size(tv) - ChunkSize) / lit(stride.toDouble)).cast("int"))),
           i => struct(
-            concat_ws(" ", slice(tv, i * Stride + 1, lit(ChunkSize))).as("chunk"),
-            least(lit(ChunkSize), size(tv) - i * Stride).as("n_tokens"))))
+            concat_ws(" ", slice(tv, i * stride + 1, lit(ChunkSize))).as("chunk"),
+            least(lit(ChunkSize), size(tv) - i * stride).as("n_tokens"))))
         .otherwise(array().cast("array<struct<chunk:string,n_tokens:int>>"))), 1)
     Tables(s, dir, "documents")
       .filter(col("doc_id").isNotNull)
@@ -149,15 +158,20 @@ object CurationQueries {
     * the chunk-dedup oracles in [[DedupQueries]] so the mirrors cannot
     * drift.
     */
-  private[queries] def chunksSqlRel: String = {
+  private[queries] def chunksSqlRel: String = chunksSqlRelWith(Stride)
+
+  /** [[chunksSqlRel]] at a caller-chosen stride — the DuckDB mirror of
+    * [[chunkTableWith]].
+    */
+  private def chunksSqlRelWith(stride: Int): String = {
     val tv = tokensSql("text")
     val nChunks = s"""CASE WHEN len(tv) = 0 THEN 0
        |  WHEN len(tv) <= $ChunkSize THEN 1
-       |  ELSE 1 + CAST(ceil((len(tv) - $ChunkSize) / ${Stride.toDouble}) AS BIGINT) END"""
+       |  ELSE 1 + CAST(ceil((len(tv) - $ChunkSize) / ${stride.toDouble}) AS BIGINT) END"""
       .stripMargin
     s"""SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-       |  array_to_string(tv[chunk_id * $Stride + 1 : least(chunk_id * $Stride + $ChunkSize, len(tv))], ' ') AS chunk,
-       |  CAST(least($ChunkSize, len(tv) - chunk_id * $Stride) AS INT) AS n_tokens
+       |  array_to_string(tv[chunk_id * $stride + 1 : least(chunk_id * $stride + $ChunkSize, len(tv))], ' ') AS chunk,
+       |  CAST(least($ChunkSize, len(tv) - chunk_id * $stride) AS INT) AS n_tokens
        |FROM (SELECT doc_id, tv, unnest(range($nChunks)) AS chunk_id
        |      FROM (SELECT doc_id, $tv AS tv FROM documents
        |            WHERE doc_id IS NOT NULL))""".stripMargin
@@ -210,6 +224,40 @@ object CurationQueries {
     scored.join(med, Seq("lang"))
       .filter(col("quality") >= col("med"))
       .select(col("doc_id"), col("lang"), col("quality"), col("med"))
+  }
+
+  /** The `scrub_chunks` frame (doc_id, text_scrubbed, n_chunks, n_kept),
+    * unordered — chunk-granularity boilerplate REMOVAL: where
+    * `dedup_chunk_*` FLAG duplicate chunks, this drops the non-canonical
+    * members of every md5 group (keep-first: min (doc_id, chunk_id), the
+    * corpus-wide C4/Lee keep-first rule at token-window granularity —
+    * text_dedup_spans' sibling) and reassembles the document from its
+    * surviving chunks. Chunking is DISJOINT (stride = ChunkSize):
+    * reassembly-by-concatenation is only well-defined when windows don't
+    * overlap; fidelity is the tokenized form (chunks are space-joined
+    * token runs — original whitespace is not reconstructed, same as the
+    * chunk relation itself). Tokenless docs have no chunks and are
+    * absent, exactly as in `doc_chunks`. Shapes: the md5 group is hot by
+    * construction → partial-aggregable groupBy min(struct) + equi-join
+    * back (no Window funnel); reassembly groups by doc_id with
+    * collect_list bounded by the doc's own chunk count.
+    */
+  private def scrubbedDocs(s: SparkSession, dir: String): DataFrame = {
+    val c = chunkTableWith(s, dir, ChunkSize)
+      .withColumn("ch", md5(col("chunk")))
+    val canon = c.groupBy("ch")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"))
+    c.join(canon, Seq("ch"))
+      .withColumn("keep",
+        col("k.doc_id") === col("doc_id") && col("k.chunk_id") === col("chunk_id"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("chunk_id"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("text_scrubbed"),
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("int").as("n_kept"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -399,6 +447,26 @@ object CurationQueries {
       curateWith(s, dir, DedupQueries.canonicalDecision(s, dir))
         .orderBy("doc_id")),
 
+    // ---- chunk-granularity boilerplate scrub + reassembly ----
+    // See [[scrubbedDocs]] for the rule and shapes.
+    "scrub_chunks" -> ((s, dir) =>
+      scrubbedDocs(s, dir).orderBy("doc_id")),
+
+    // ---- the curation pass WITH the chunk gate: scrubbed output ----
+    // pipeline_curate's three doc-level gates (dedup canon, decontam,
+    // quality median) compose with the chunk-level rewrite: survivors
+    // come out with their corpus-wide duplicate chunks dropped — the
+    // "what actually ships to the tokenizer" form. The join is a plain
+    // equi-join on the natural key; every curation survivor has >= 1
+    // token (NULL-quality tokenless docs never pass the quality gate),
+    // so the inner join against the chunked frame loses nothing. The
+    // composition spec asserts this frame equals the independent
+    // pipeline_curate ⋈ scrub_chunks result.
+    "pipeline_curate_scrub" -> ((s, dir) =>
+      curateWith(s, dir, DedupQueries.canonicalDecision(s, dir))
+        .join(scrubbedDocs(s, dir), Seq("doc_id"))
+        .orderBy("doc_id")),
+
     // ---- distribution-relative quality filtering ----
     // Keep documents at or above their LANGUAGE's median quality — the
     // relative-threshold curation rule (an absolute threshold over- or
@@ -503,6 +571,60 @@ object CurationQueries {
         .orderBy("vec_id")
     })
   )
+
+  /** CTE list of the `pipeline_curate` gates, producing `keeps(doc_id)`
+    * (dedup-canonical survivors, from DedupQueries.canonicalCtes — the
+    * caller must open WITH RECURSIVE), `clean(doc_id)` (exact-8-gram
+    * decontamination) and `kept(doc_id, lang, quality)` (at-or-above-
+    * median quality). Shared by the `pipeline_curate` and
+    * `pipeline_curate_scrub` oracles.
+    */
+  private def curateCtes: String =
+    s"""${DedupQueries.canonicalCtes},
+       |keeps AS (SELECT d.doc_id FROM d JOIN canon c USING (cluster_id)
+       |          WHERE d.doc_id = c.canon_id),
+       |dsh0 AS (SELECT DISTINCT doc_id,
+       |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       |    unnest(${shinglesNSql("t", DecontamN)}) AS ng
+       |  FROM (SELECT doc_id, ${tokensSql(cleanLineSql("text"))} AS t FROM documents)),
+       |dtest AS (SELECT DISTINCT ng FROM dsh0 WHERE bucket >= 'cd'),
+       |dhits AS (SELECT doc_id FROM dsh0 JOIN dtest USING (ng)
+       |          WHERE bucket < 'cd' GROUP BY doc_id),
+       |clean AS (SELECT doc_id FROM documents dd
+       |          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+       |            AND NOT EXISTS (SELECT 1 FROM dhits h
+       |                            WHERE h.doc_id = dd.doc_id)),
+       |scored AS (SELECT doc_id, lang,
+       |             ${TextAnalysisQueries.qualitySqlExpr} AS quality
+       |           FROM documents),
+       |sq AS (SELECT * FROM scored WHERE quality IS NOT NULL),
+       |med AS (SELECT lang, quantile_cont(quality, 0.5) AS med
+       |        FROM sq GROUP BY lang),
+       |kept AS (SELECT sq.doc_id, sq.lang, sq.quality
+       |         FROM sq JOIN med m USING (lang) WHERE sq.quality >= m.med)""".stripMargin
+
+  /** CTE list producing `scrub(doc_id, text_scrubbed, n_chunks, n_kept)`
+    * — the oracle mirror of [[scrubbedDocs]]: disjoint chunks, the g/g2
+    * keep-first canon election (dedup_chunk_exact's spelling), and
+    * string_agg reassembly with an in-aggregate ORDER BY (NULL inputs —
+    * dropped chunks — are skipped). Shared by the `scrub_chunks` and
+    * `pipeline_curate_scrub` oracles.
+    */
+  private def scrubCtes: String =
+    s"""sc AS (SELECT doc_id, chunk_id, chunk, md5(chunk) AS ch
+       |       FROM (${chunksSqlRelWith(ChunkSize)})),
+       |sg AS (SELECT ch, min(doc_id) AS scd FROM sc GROUP BY 1),
+       |sg2 AS (SELECT sg.ch, sg.scd, min(sc.chunk_id) AS scc
+       |        FROM sg JOIN sc ON sc.ch = sg.ch AND sc.doc_id = sg.scd
+       |        GROUP BY 1, 2),
+       |sk AS (SELECT sc.doc_id, sc.chunk_id, sc.chunk,
+       |         (sg2.scd = sc.doc_id AND sg2.scc = sc.chunk_id) AS keep
+       |       FROM sc JOIN sg2 ON sc.ch = sg2.ch),
+       |scrub AS (SELECT doc_id,
+       |    COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY chunk_id), '') AS text_scrubbed,
+       |    CAST(count(*) AS INT) AS n_chunks,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept
+       |  FROM sk GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "doc_chunks" ->
@@ -609,30 +731,27 @@ object CurationQueries {
       // (DedupQueries.canonicalCtes), exact-8-gram-clean train docs, and
       // at-or-above-median quality — inner joins on doc_id are semi-joins
       // because keeps/clean are one-row-per-doc by construction
-      s"""WITH RECURSIVE ${DedupQueries.canonicalCtes},
-         |keeps AS (SELECT d.doc_id FROM d JOIN canon c USING (cluster_id)
-         |          WHERE d.doc_id = c.canon_id),
-         |dsh0 AS (SELECT DISTINCT doc_id,
-         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-         |    unnest(${shinglesNSql("t", DecontamN)}) AS ng
-         |  FROM (SELECT doc_id, ${tokensSql(cleanLineSql("text"))} AS t FROM documents)),
-         |dtest AS (SELECT DISTINCT ng FROM dsh0 WHERE bucket >= 'cd'),
-         |dhits AS (SELECT doc_id FROM dsh0 JOIN dtest USING (ng)
-         |          WHERE bucket < 'cd' GROUP BY doc_id),
-         |clean AS (SELECT doc_id FROM documents dd
-         |          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
-         |            AND NOT EXISTS (SELECT 1 FROM dhits h
-         |                            WHERE h.doc_id = dd.doc_id)),
-         |scored AS (SELECT doc_id, lang,
-         |             ${TextAnalysisQueries.qualitySqlExpr} AS quality
-         |           FROM documents),
-         |sq AS (SELECT * FROM scored WHERE quality IS NOT NULL),
-         |med AS (SELECT lang, quantile_cont(quality, 0.5) AS med
-         |        FROM sq GROUP BY lang),
-         |kept AS (SELECT sq.doc_id, sq.lang, sq.quality
-         |         FROM sq JOIN med m USING (lang) WHERE sq.quality >= m.med)
+      s"""WITH RECURSIVE $curateCtes
          |SELECT k.doc_id, k.lang, k.quality FROM kept k
          |JOIN keeps USING (doc_id) JOIN clean USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "scrub_chunks" ->
+      s"""WITH $scrubCtes
+         |SELECT doc_id, text_scrubbed, n_chunks, n_kept
+         |FROM scrub ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate_scrub" ->
+      // pipeline_curate's gate CTEs + the scrub CTEs, joined on the
+      // natural key — the oracle composes the two published mirrors, so
+      // the composition query cannot drift from its parts
+      s"""WITH RECURSIVE $curateCtes,
+         |$scrubCtes
+         |SELECT k.doc_id, k.lang, k.quality,
+         |       s.text_scrubbed, s.n_chunks, s.n_kept
+         |FROM kept k
+         |JOIN keeps USING (doc_id) JOIN clean USING (doc_id)
+         |JOIN scrub s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "quality_filter_approx" ->

@@ -207,6 +207,50 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- CROSS-document repeated-span removal (C4/Lee-et-al rule) ----
+    // text_dedup_lines scrubs repeats WITHIN one document; this is the
+    // corpus-wide form — the single most-cited exact-dedup scrub in
+    // public training-data recipes (C4 removes any span occurring more
+    // than once in the corpus; Lee et al. 2021, arXiv:2107.06499, dedups
+    // exact substrings corpus-wide): every occurrence of a line after
+    // its FIRST occurrence anywhere in the corpus is dropped, first =
+    // min (doc_id, line_id) — keep-first, dedup_chunk_exact's canon rule
+    // at line granularity (the token-window sibling is scrub_chunks).
+    // Blank lines are paragraph structure, not boilerplate: always kept.
+    // Shape: the span unit's hash group is hot BY CONSTRUCTION (a
+    // license block in millions of docs is one md5 group), so the canon
+    // election is the partial-aggregable groupBy min(struct) + join-back
+    // — never a Window funnel — and the join back on the line hash is a
+    // plain shuffle join with AQE skew splitting available. Reassembly
+    // groups by doc_id: collect_list is bounded by the document's own
+    // line count (the same bound as the text row itself), sorted by
+    // line_id so the output is partitioning-independent.
+    "text_dedup_spans" -> ((s, dir) => {
+      val l = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+        .select(col("doc_id"), col("pos").cast("int").as("line_id"),
+          col("col").as("line"))
+        .withColumn("lh", md5(col("line")))
+      val canon = l.filter(length(col("line")) > 0)
+        .groupBy("lh")
+        .agg(min(struct(col("doc_id"), col("line_id"))).as("c"))
+      val flagged = l.join(canon, Seq("lh"), "left")
+        .withColumn("keep",
+          length(col("line")) === 0 ||
+            (col("c.doc_id") === col("doc_id") &&
+              col("c.line_id") === col("line_id")))
+      flagged.groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("line_id"), col("line"))))),
+            x => x.getField("line")), "\n").as("text_dedup"),
+          count(lit(1)).cast("int").as("n_lines"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("int").as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // ---- document fingerprint: min md5 over 3-token shingles ----
     // explode → partial-agg, NOT per-row array HOFs: higher-order functions
     // are excluded from codegen subexpression elimination (their lambdas
@@ -326,6 +370,30 @@ object TextAnalysisQueries {
           |SELECT doc_id, array_to_string(kept, chr(10)) AS text_dedup,
           |  CAST(len(lv) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept
           |FROM k ORDER BY doc_id""".stripMargin,
+
+      "text_dedup_spans" ->
+        // positions via the lateral unnest(range) idiom (chunksSqlRel's);
+        // the keep-first election is the g/g2 two-step min spelling
+        // (dedup_chunk_exact's oracle), reassembly is string_agg with an
+        // in-aggregate ORDER BY (NULL inputs — dropped lines — skipped)
+        """WITH l AS (SELECT doc_id, CAST(i AS INT) - 1 AS line_id,
+          |             lv[i] AS line, md5(lv[i]) AS lh
+          |           FROM (SELECT doc_id, lv, unnest(range(1, len(lv)+1)) AS i
+          |                 FROM (SELECT doc_id, string_split(text, chr(10)) AS lv
+          |                       FROM documents WHERE doc_id IS NOT NULL))),
+          |g AS (SELECT lh, min(doc_id) AS cd FROM l
+          |      WHERE len(line) > 0 GROUP BY 1),
+          |g2 AS (SELECT g.lh, g.cd, min(l.line_id) AS cl
+          |       FROM g JOIN l ON l.lh = g.lh AND l.doc_id = g.cd
+          |       GROUP BY 1, 2),
+          |k AS (SELECT l.doc_id, l.line_id, l.line,
+          |        (len(l.line) = 0 OR (g2.cd = l.doc_id AND g2.cl = l.line_id)) AS keep
+          |      FROM l LEFT JOIN g2 ON l.lh = g2.lh)
+          |SELECT doc_id,
+          |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_id), '') AS text_dedup,
+          |  CAST(count(*) AS INT) AS n_lines,
+          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "doc_fingerprint" ->
         s"""SELECT doc_id, min(md5(s)) AS fingerprint,

@@ -527,6 +527,49 @@ class QueriesSpec extends AnyFunSuite {
       s"body chunks must not pair; got $cm")
   }
 
+  test("scrub_chunks drops non-canonical duplicate chunks and reassembles the doc") {
+    import spark.implicits._
+    // Disjoint 32-token windows: docs 0 and 1 share a 32-token
+    // boilerplate navbar as their first chunk, followed by distinct
+    // 40-token bodies (chunks 1..2: 32 + 8 tail). Keep-first: doc 0
+    // keeps everything; doc 1 loses ONLY the navbar chunk and its body
+    // reassembles intact (token fidelity). Doc 2 repeats its OWN first
+    // 32-token chunk (an in-doc template) — the second copy is scrubbed.
+    val nav = (1 to 32).map(i => s"nav$i")
+    def body(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val rep = (1 to 32).map(i => s"rep$i")
+    val dir = java.nio.file.Files.createTempDirectory("graft-scrub").toString
+    Seq(
+      (0L, (nav ++ body("bodya", 40)).mkString(" "), "en", "synth", 0L),
+      (1L, (nav ++ body("bodyb", 40)).mkString(" "), "en", "synth", 0L),
+      (2L, (rep ++ rep).mkString(" "), "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("scrub_chunks")(spark, dir)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == (0L, (nav ++ body("bodya", 40)).mkString(" "), 3, 3),
+      s"doc 0 holds every first occurrence; got ${out(0L)}")
+    assert(out(1L) == (1L, body("bodyb", 40).mkString(" "), 3, 2),
+      s"doc 1 must lose exactly the navbar chunk; got ${out(1L)}")
+    assert(out(2L) == (2L, rep.mkString(" "), 2, 1),
+      s"doc 2's in-doc repeated chunk must be scrubbed; got ${out(2L)}")
+  }
+
+  test("pipeline_curate_scrub equals the independent gates joined with scrub_chunks") {
+    // the composition proof on real data: the composed query's frame
+    // must equal pipeline_curate ⋈ scrub_chunks computed independently
+    val dir = "/root/testdata/sf0.001"
+    val composed = SparkEntry.queries("pipeline_curate_scrub")(spark, dir)
+      .collect().toSet
+    val independent = SparkEntry.queries("pipeline_curate")(spark, dir)
+      .join(SparkEntry.queries("scrub_chunks")(spark, dir), Seq("doc_id"))
+      .select("doc_id", "lang", "quality", "text_scrubbed", "n_chunks", "n_kept")
+      .collect().toSet
+    assert(composed.nonEmpty, "the curated-scrubbed frame must be non-empty at sf0.001")
+    assert(composed == independent,
+      s"composition must equal the independent join (${composed.size} vs ${independent.size} rows)")
+  }
+
   test("dedup_chunk_minhash's exact-dup pre-filter collapses mirror spam to one rep") {
     import spark.implicits._
     // 110 single-chunk documents of the same boilerplate: the md5 group
@@ -595,6 +638,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(cold.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (0L, 2L), (1L, 2L))
         && cold.forall(_._3 == 1.0),
       s"below the cap the identical-signature reps must all pair; got ${cold.toSeq}")
+  }
+
+  test("text_dedup_spans removes corpus-wide repeated lines, keeping the first occurrence") {
+    import spark.implicits._
+    // A license block (two lines) shared by docs 0, 1 and 2 — the C4/Lee
+    // cross-document boilerplate shape text_dedup_lines cannot see (each
+    // doc contains it once). Keep-first: it must survive ONLY in doc 0
+    // (the min (doc_id, line_id) occurrence). Doc 1 also repeats one of
+    // its own body lines (the global rule subsumes the within-doc scrub)
+    // and carries a blank line (structure — always kept). Doc 3 is
+    // untouched unique content.
+    val lic = "copyright 2026 example corp\nlicensed under apache two"
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    Seq(
+      (0L, s"$lic\nbody zero", "en", "synth", 0L),
+      (1L, s"body one a\n\n$lic\nbody one a", "en", "synth", 0L),
+      (2L, s"body two\n$lic", "en", "synth", 0L),
+      (3L, "all mine", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("text_dedup_spans")(spark, dir)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == (0L, s"$lic\nbody zero", 3, 3),
+      s"doc 0 holds the first occurrence and keeps everything; got ${out(0L)}")
+    assert(out(1L) == (1L, "body one a\n", 5, 2),
+      s"doc 1 must lose the license AND its own repeated line, keep the blank; got ${out(1L)}")
+    assert(out(2L) == (2L, "body two", 3, 1),
+      s"doc 2 must lose the license block; got ${out(2L)}")
+    assert(out(3L) == (3L, "all mine", 1, 1))
   }
 
   test("text_dedup_lines drops repeated lines, keeps first occurrences and blanks") {
