@@ -66,6 +66,10 @@ object CurationQueries {
   private val Stride = 24      // chunk start interval (overlap = 8)
   private val SeqLen = 128     // pack_sequences: training-sequence capacity
   private val PackBucketChars = 4 // pack_sequences: md5 shard-key width
+  // corpus_mix_tokens: target TOKEN count per source. One shared budget
+  // here; production reads a per-source map — the cut arithmetic below
+  // is the same either way.
+  private val MixTokenBudget = 4096L
   private val TopN = 3         // docs kept per language stratum
   private val DecontamN = 8    // decontamination shingle width (PaLM-style)
   private val TfIdfK = 3       // keywords kept per document
@@ -387,6 +391,57 @@ object CurationQueries {
         .orderBy("doc_id", "copy")
     }),
 
+    // ---- TOKEN-budgeted training-mix resampling ----
+    // corpus_mix resamples by DOC-copy weights; production mixes are
+    // token-weighted (a 2× source means 2× its TOKENS in the batch
+    // stream, not 2× its document count — long-doc sources would
+    // otherwise be over-weighted). Each source is resampled to exactly
+    // [[MixTokenBudget]] tokens, rounded down to whole documents:
+    // floor(budget / total) full passes over the source, plus one
+    // partial pass of the docs whose exact BIGINT cumulative token sum
+    // fits inside the remainder — the cut runs along the deterministic
+    // (md5-shard, doc_id) order (pack_sequences' identity rule: a pure
+    // function of the data, not the partitioning). The running offset is
+    // TWO-LEVEL — per-(source, shard) window sums plus a per-source
+    // window over the 16^PackBucketChars shard SUBTOTALS — so no task
+    // ever sorts more than one shard of docs (the fixed shard-count
+    // outer window is bounded by design, the corpus-sized inner windows
+    // are shard-sized); a single per-source running sum would funnel
+    // each source's whole corpus into one task. All arithmetic is exact
+    // BIGINT sums and one integer div/mod — engine-identical.
+    "corpus_mix_tokens" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("doc_id").cast("string")), 1, PackBucketChars)
+            .as("bucket"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val wb = Window.partitionBy("source").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bbase = d.groupBy("source", "bucket").agg(sum("n_tokens").as("btok"))
+        .withColumn("bbase", coalesce(sum(col("btok")).over(wb), lit(0L)))
+        .select("source", "bucket", "bbase")
+      val tot = d.groupBy("source").agg(sum("n_tokens").as("total"))
+      val wi = Window.partitionBy("source", "bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.join(bbase, Seq("source", "bucket"))
+        .join(tot, Seq("source"))
+        .withColumn("off",
+          col("bbase") + coalesce(sum(col("n_tokens")).over(wi), lit(0L)))
+        .withColumn("n_copies",
+          expr(s"${MixTokenBudget}L div total") +
+            when(col("off") + col("n_tokens") <= lit(MixTokenBudget) % col("total"),
+              lit(1L)).otherwise(lit(0L)))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("off"),
+          posexplode(array_repeat(lit(1), col("n_copies").cast("int"))))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("off"),
+          col("pos").cast("int").as("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     // ---- per-document keyword extraction: top-k terms by tf x (N/df) ----
     // The log-free rational idf keeps scores bit-identical across engines
     // (IEEE divide/multiply are exactly rounded; ln is not — the same
@@ -542,6 +597,14 @@ object CurationQueries {
           col("seq_id").cast("int").as("seq_id"),
           greatest(col("off") - col("seq_id") * lit(SeqLen.toLong), lit(0L))
             .cast("int").as("seq_pos"),
+          // the span's offset WITHIN THE DOC — the third coordinate an
+          // attention-mask/label builder needs (seq_pos and n_in_seq
+          // locate the span in the sequence; doc_pos locates it in the
+          // document, so a straddling doc's token slices can be fetched
+          // without re-deriving the packing): tokens of this doc
+          // consumed by earlier sequences
+          greatest(col("seq_id") * lit(SeqLen.toLong) - col("off"), lit(0L))
+            .cast("int").as("doc_pos"),
           (least((col("seq_id") + 1) * lit(SeqLen.toLong),
               col("off") + col("n_tokens"))
             - greatest(col("seq_id") * lit(SeqLen.toLong), col("off")))
@@ -708,6 +771,30 @@ object CurationQueries {
          |ORDER BY doc_id, copy""".stripMargin
     },
 
+    "corpus_mix_tokens" ->
+      // the oracle spells the running offset as ONE window over
+      // (bucket, doc_id) — value-identical to the Spark side's two-level
+      // form; `off` not `offset` (reserved), `//` result cast (HUGEINT)
+      s"""WITH d AS (SELECT doc_id, source,
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, $PackBucketChars) AS bucket,
+         |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND len(${tokensSql("text")}) > 0),
+         |o AS (SELECT *,
+         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY bucket, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+         |        SUM(n_tokens) OVER (PARTITION BY source) AS total
+         |      FROM d),
+         |c AS (SELECT doc_id, source, n_tokens, off,
+         |        CAST($MixTokenBudget // total AS BIGINT)
+         |          + CASE WHEN off + n_tokens <= $MixTokenBudget % total
+         |                 THEN 1 ELSE 0 END AS n_copies
+         |      FROM o)
+         |SELECT doc_id, source, n_tokens, off, CAST(copy AS INT) AS copy
+         |FROM (SELECT *, unnest(range(n_copies)) AS copy FROM c)
+         |ORDER BY doc_id, copy""".stripMargin,
+
     "tfidf_topk" -> {
       val toks = tokensSql(cleanLineSql("text"))
       s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
@@ -796,6 +883,7 @@ object CurationQueries {
          |      FROM o)
          |SELECT doc_id, source, bucket, CAST(seq_id AS INT) AS seq_id,
          |  CAST(GREATEST(off - seq_id * $SeqLen, 0) AS INT) AS seq_pos,
+         |  CAST(GREATEST(seq_id * $SeqLen - off, 0) AS INT) AS doc_pos,
          |  CAST(LEAST((seq_id + 1) * $SeqLen, off + n_tokens)
          |       - GREATEST(seq_id * $SeqLen, off) AS INT) AS n_in_seq
          |FROM e ORDER BY doc_id, seq_id""".stripMargin,

@@ -765,19 +765,27 @@ class QueriesSpec extends AnyFunSuite {
 
   test("pack_sequences tiles every group: full sequences, no padding, docs fully packed") {
     import spark.implicits._
-    // (doc_id, source, bucket, seq_id, seq_pos, n_in_seq)
+    // (doc_id, source, bucket, seq_id, seq_pos, doc_pos, n_in_seq)
     val out = SparkEntry.queries("pack_sequences")(spark, Sf0001)
-      .as[(Long, String, String, Int, Int, Int)].collect()
+      .as[(Long, String, String, Int, Int, Int, Int)].collect()
     val nTok = SparkEntry.queries("token_stats")(spark, Sf0001)
       .select("doc_id", "n_ws_tokens").as[(Long, Int)].collect().toMap
     assert(out.nonEmpty)
     // every doc's spans sum to its token count — nothing lost at splits
     out.groupBy(_._1).foreach { case (id, spans) =>
-      assert(spans.map(_._6).sum == nTok(id), s"doc $id not fully packed") }
+      assert(spans.map(_._7).sum == nTok(id), s"doc $id not fully packed") }
+    // doc_pos tiles each DOC contiguously from token 0 (the attention-
+    // mask builder's contract: span k of a doc starts where k-1 ended)
+    out.groupBy(_._1).foreach { case (id, spans) =>
+      val sorted = spans.sortBy(_._4).toSeq
+      assert(sorted.head._6 == 0, s"doc $id first span starts at ${sorted.head._6}")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._6 + a._7 == b._6, s"doc $id doc_pos gap")
+        case _ => () } }
     // within a (source, bucket) group every sequence except the LAST is
     // exactly full — the zero-padding-waste property packing exists for
     out.groupBy(r => (r._2, r._3)).foreach { case (g, rows) =>
-      val bySeq = rows.groupBy(_._4).view.mapValues(_.map(_._6).sum).toMap
+      val bySeq = rows.groupBy(_._4).view.mapValues(_.map(_._7).sum).toMap
       val last = bySeq.keys.max
       bySeq.foreach { case (seq, tot) =>
         if (seq != last) assert(tot == 128, s"group $g seq $seq holds $tot")
@@ -787,8 +795,43 @@ class QueriesSpec extends AnyFunSuite {
       val sorted = rows.sortBy(_._5).toSeq
       assert(sorted.head._5 == 0, s"$k starts at ${sorted.head._5}")
       sorted.sliding(2).foreach {
-        case Seq(a, b) => assert(a._5 + a._6 == b._5, s"$k has a gap/overlap")
+        case Seq(a, b) => assert(a._5 + a._7 == b._5, s"$k has a gap/overlap")
         case _ => () } }
+  }
+
+  test("corpus_mix_tokens hits each source's token budget: full passes + exact prefix cut") {
+    import spark.implicits._
+    // (doc_id, source, n_tokens, off, copy) — replicate the cut rule in
+    // plain Scala on the fixture and pin the emitted per-source totals:
+    // floor(budget/total) full passes plus the longest (md5-shard,
+    // doc_id)-ordered prefix fitting the remainder.
+    val budget = 4096L
+    val out = SparkEntry.queries("corpus_mix_tokens")(spark, Sf0001)
+      .as[(Long, String, Long, Long, Int)].collect()
+    val docs = SparkEntry.queries("token_stats")(spark, Sf0001)
+      .select("doc_id", "n_ws_tokens").as[(Long, Int)].collect()
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val srcOf = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val expected = docs.filter(_._2 > 0).groupBy(d => srcOf(d._1)).map {
+      case (src, ds) =>
+        val ordered = ds.sortBy(d => (md5hex(d._1.toString).take(4), d._1))
+        val total = ordered.map(_._2.toLong).sum
+        val rem = budget % total
+        val prefix = ordered.scanLeft(0L)(_ + _._2).zip(ordered :+ ((-1L, 0)))
+          .takeWhile { case (off, (_, n)) => n > 0 && off + n <= rem }
+        src -> ((budget / total) * total + prefix.map(_._2._2.toLong).sum)
+    }
+    val emitted = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(emitted.keySet == expected.keySet, s"sources differ: $emitted")
+    expected.foreach { case (src, tok) =>
+      assert(emitted(src) == tok, s"source $src emitted ${emitted(src)} != $tok") }
+    // every copy index is dense 0..n_copies-1 per doc
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (0 until rows.length).toSeq,
+        s"doc $id copies not dense") }
   }
 
   test("embedding_outliers flags at most the bottom decile, never the representative") {
