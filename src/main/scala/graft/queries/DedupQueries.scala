@@ -705,6 +705,46 @@ object DedupQueries {
         .orderBy("d1", "d2")
     }),
 
+    // ---- SEMANTIC dedup WITHOUT labels: sign-LSH buckets as the cell ----
+    // dedup_semantic partitions candidates by the provided `label` — but
+    // production corpora are UNLABELED: this is the same SemDeDup shape
+    // with the cell being the sign-LSH bucket ALONE. The bucket width is
+    // the SAME [[CellBits]] as the labeled form's sub-bucket, so the
+    // label-free cell is exactly the labeled cell's sign component:
+    // every labeled pair (same label ∧ same sign bucket) is by
+    // construction a candidate here too, which the spec pins as a
+    // subset relation (pairs_labeled ⊆ pairs_unlabeled below the cap),
+    // with identical sim and drop election on the overlap. The sign
+    // space is FIXED (2^CellBits), so per-bucket membership grows
+    // linearly with the corpus — same [[MaxBucket]] cap, and the bit
+    // width is the production scale knob (more bits = smaller buckets =
+    // more hyperplane-straddle misses; ann_lsh_multiprobe's trade).
+    "dedup_semantic_unlabeled" -> ((s, dir) => {
+      val e0 = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bkt", signBucket(col("v"), CellBits))
+        .filter(col("bkt").isNotNull)
+      val e = capBuckets(e0, Seq("bkt"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          cosine(col("a.v"), col("b.v")).as("sim"))
+        .filter(col("sim") >= SemTau)
+      val q = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0)).as("q"))
+      pairs
+        .join(q.select(col("doc_id").as("d1"), col("q").as("q1")), Seq("d1"))
+        .join(q.select(col("doc_id").as("d2"), col("q").as("q2")), Seq("d2"))
+        .select(col("d1"), col("d2"), col("sim"),
+          when(col("q1") < col("q2"), col("d1"))
+            .when(col("q2") < col("q1"), col("d2"))
+            .otherwise(greatest(col("d1"), col("d2"))).as("drop_id"))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- embedding near-dup: cosine NN within (cell × sign sub-bucket) ----
     // The (label × 2^CellBits) bucket space is FIXED, so per-bucket
     // membership grows linearly with the corpus and the within-bucket
@@ -976,6 +1016,30 @@ object DedupQueries {
          |        ${cosineSql("a.v", "b.v")} AS sim
          |      FROM e a JOIN e b
          |        ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |q AS (SELECT doc_id,
+         |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
+         |      FROM documents)
+         |SELECT p.d1, p.d2, p.sim,
+         |  CASE WHEN x.q < y.q THEN p.d1
+         |       WHEN y.q < x.q THEN p.d2
+         |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
+         |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
+         |WHERE p.sim >= $SemTau
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_semantic_unlabeled" ->
+      // dedup_semantic's mirror with the label dropped from the bucket
+      // key and the WHERE (the Spark side filters vec_id only)
+      s"""WITH e0 AS (SELECT vec_id, v, ${signBucketSql("v", CellBits)} AS bkt
+         |            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |                  WHERE vec_id IS NOT NULL)),
+         |hot AS (SELECT bkt FROM e0 GROUP BY 1 HAVING count(*) > $MaxBucket),
+         |e AS (SELECT * FROM e0
+         |      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.bkt = e0.bkt)),
+         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |        ${cosineSql("a.v", "b.v")} AS sim
+         |      FROM e a JOIN e b
+         |        ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
          |q AS (SELECT doc_id,
          |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
          |      FROM documents)

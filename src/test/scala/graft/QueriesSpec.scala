@@ -527,6 +527,24 @@ class QueriesSpec extends AnyFunSuite {
       s"body chunks must not pair; got $cm")
   }
 
+  test("dedup_semantic_unlabeled subsumes the labeled pairs below the cap") {
+    import spark.implicits._
+    // The label-free cell is the labeled cell's sign component (same
+    // CellBits), so below the cap every labeled pair — same label AND
+    // same sign bucket — is also a label-free candidate, with identical
+    // pinned-fold cosine and quality drop election. sf0.001: ~2 vectors
+    // per sign bucket, no bucket anywhere near MaxBucket on either side.
+    val lab = SparkEntry.queries("dedup_semantic")(spark, Sf0001)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val unlab = SparkEntry.queries("dedup_semantic_unlabeled")(spark, Sf0001)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(lab.nonEmpty, "fixture must produce labeled pairs (4 at sf0.001)")
+    assert(lab.subsetOf(unlab),
+      s"labeled pairs must survive label removal with identical sim/drop: ${lab.diff(unlab)}")
+    assert(unlab.size > lab.size,
+      "the label-free form must also find CROSS-label semantic pairs")
+  }
+
   test("scrub_chunks drops non-canonical duplicate chunks and reassembles the doc") {
     import spark.implicits._
     // Disjoint 32-token windows: docs 0 and 1 share a 32-token
