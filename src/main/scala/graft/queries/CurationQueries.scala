@@ -139,7 +139,16 @@ object CurationQueries {
     * reassembly-by-concatenation is only well-defined when windows
     * don't overlap.
     */
-  private def chunkTableWith(s: SparkSession, dir: String, stride: Int): DataFrame = {
+  private def chunkTableWith(s: SparkSession, dir: String, stride: Int): DataFrame =
+    chunkRowsOf(Tables(s, dir, "documents"), stride)
+
+  /** The chunking transform over a caller-supplied (doc_id, text) frame —
+    * factored (simhashOf's pattern) so the incremental chunk-dedup
+    * stream chunks arriving batches with the SAME computation as the
+    * batch operators; its anti-join against the published chunk history
+    * is exact only if both sides chunk identically.
+    */
+  private[graft] def chunkRowsOf(docs: DataFrame, stride: Int): DataFrame = {
     val chunks = element_at(transform(array(tokens(col("text"))), tv =>
       when(size(tv) > 0,
         transform(
@@ -150,12 +159,19 @@ object CurationQueries {
             concat_ws(" ", slice(tv, i * stride + 1, lit(ChunkSize))).as("chunk"),
             least(lit(ChunkSize), size(tv) - i * stride).as("n_tokens"))))
         .otherwise(array().cast("array<struct<chunk:string,n_tokens:int>>"))), 1)
-    Tables(s, dir, "documents")
+    docs
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), posexplode(chunks))
       .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
         col("col.chunk").as("chunk"), col("col.n_tokens").as("n_tokens"))
   }
+
+  /** DISJOINT chunks (stride = ChunkSize) of a caller-supplied frame —
+    * scrub_chunks' geometry, the unit of the incremental chunk-dedup
+    * stream's history.
+    */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame =
+    chunkRowsOf(docs, ChunkSize)
 
   /** DuckDB relation mirroring [[chunkTable]] — produces (doc_id,
     * chunk_id, chunk, n_tokens); shared by the `doc_chunks` oracle and

@@ -267,6 +267,88 @@ object StreamingPipelines {
       .start()
   }
 
+  /** Incremental dedup at CHUNK granularity — [[incrementalDedupStream]]'s
+    * sub-document twin, closing its doc-level blind spot: a re-crawled
+    * page with one new navbar line is a NEW doc signature (every
+    * doc-level sketch sees an edited doc), but its chunks are 95%
+    * historical. The history here is the published DISJOINT-chunk md5
+    * set ([[graft.queries.CurationQueries.chunksOf]] — scrub_chunks'
+    * geometry, so batch and stream agree on the unit), and the decision
+    * is per-doc NOVELTY:
+    *
+    *   chunk the batch → within-batch keep-first (min (doc_id, chunk_id)
+    *   per md5 group — one canonical owner per distinct chunk content
+    *   per trigger, the batch operators' canon rule) → anti-join the
+    *   chunk-hash history → a doc SURVIVES iff it owns >= 1 novel
+    *   canonical chunk; survivors publish with (n_chunks, n_novel) so a
+    *   downstream scrub/mask builder knows how much of the doc is
+    *   genuinely new → upsert survivors, THEN the novel chunk hashes.
+    *
+    * A byte-identical re-crawl has zero novel chunks and drops however
+    * the page was re-assembled; an edited re-crawl survives and its
+    * UNCHANGED chunks are recognized (counted historical, not re-added).
+    * Two batch docs sharing all novel content collapse to the min id
+    * (the owner), the greedy within-trigger rule. Tokenless docs have no
+    * chunks and drop — they carry no trainable content.
+    *
+    * Scale posture: the history probe is an EXACT hash anti-join — no
+    * fixed band space, no cap, never decays (the incremental stream's
+    * exact-path rule); per-trigger cost is bounded by the trigger's own
+    * chunk count on the probe side. Both writes are keyed upserts
+    * (doc_id / ch), so crash-replay is idempotent; survivors commit
+    * BEFORE history for the same reason as the doc-level stream — an
+    * interrupted trigger replayed in that order re-derives the same
+    * survivor set, whereas history-first would anti-join the batch
+    * against its own chunks and lose it.
+    */
+  def incrementalChunkDedupStream(spark: SparkSession, inDir: String,
+      chunkHistoryPath: String, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (DataFrame, Long) => Unit = (batch, _) => {
+      import graft.queries.CurationQueries
+      val s = batch.sparkSession
+      // same-id rows in one trigger: pick ONE deterministically
+      // (content-max — the doc-level stream's rule)
+      val b1 = batch
+        .groupBy("doc_id")
+        .agg(max(struct(col("text"), col("lang"), col("source"),
+          col("n_chars"))).as("r"))
+        .select(col("doc_id"), col("r.text"), col("r.lang"),
+          col("r.source"), col("r.n_chars"))
+      val chunks = CurationQueries.chunksOf(b1)
+        .select(col("doc_id"), col("chunk_id"), md5(col("chunk")).as("ch"))
+      // within-batch keep-first: one canonical owner per chunk content
+      val canon = chunks.groupBy("ch")
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"))
+      val history =
+        try Some(graft.sources.Sinks.readKeyedParquet(s, chunkHistoryPath)
+          .select(col("ch")))
+        catch { case _: java.io.FileNotFoundException => None }
+      // novel = batch-canonical AND not historical; owned by its canon doc.
+      // materialize ONCE — both writes below consume it, and without the
+      // checkpoint each would re-run the history-sized probe
+      val novel = history.fold(canon)(h => canon.join(h, Seq("ch"), "left_anti"))
+        .select(col("k.doc_id").as("doc_id"), col("ch"))
+        .localCheckpoint()
+      val survivors = novel.groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      val nChunks = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val kept = b1.join(survivors, Seq("doc_id")).join(nChunks, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("n_chunks"), col("n_novel"))
+      graft.sources.Sinks.mergeIntoKeyedParquet(kept, "doc_id", outPath)
+      graft.sources.Sinks.mergeIntoKeyedParquet(novel.select("ch"), "ch",
+        chunkHistoryPath)
+    }
+    spark.readStream
+      .schema(documentsRawSchema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Per-user running totals across micro-batches via explicit custom state
     * (`KeyValueGroupedDataset.mapGroupsWithState`) — the surface for
     * stateful logic the built-in windowed aggregations can't express.

@@ -208,6 +208,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("incremental CHUNK dedup recognizes a re-crawl's unchanged chunks") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val root = Files.createTempDirectory("graft-incchunk").toString
+    val in = root + "/in"
+    new java.io.File(in).mkdirs()
+    val (hist, out, ckpt) = (root + "/chist", root + "/kept", root + "/ckpt")
+    def addBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-incc-stage").toString
+      rows.map { case (id, t) => (id, t, "en", "synth", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+    }
+    def keptRows: Map[Long, (Long, Long)] = Sinks.readKeyedParquet(spark, out)
+      .select("doc_id", "n_chunks", "n_novel").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // page A: 64 tokens = exactly two disjoint 32-token chunks
+    val pageA = (1 to 64).map(i => s"pa$i").mkString(" ")
+    // A with ONE edited token in its SECOND chunk (the "one edited line"
+    // re-crawl): chunk 0 is byte-identical to A's, chunk 1 is new
+    val pageA2 = ((1 to 39).map(i => s"pa$i") ++ Seq("edited") ++
+      (41 to 64).map(i => s"pa$i")).mkString(" ")
+    val other = (1 to 32).map(i => s"ob$i").mkString(" ")
+
+    addBatch("b1.parquet", Seq((10L, pageA), (20L, other)))
+    val q = StreamingPipelines.incrementalChunkDedupStream(spark, in, hist, out, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(keptRows.keySet == Set(10L, 20L))
+      assert(keptRows(10L) == (2L, 2L), s"page A is all-novel; got ${keptRows(10L)}")
+    } finally q.stop()
+
+    // DELETE batch 1's input before the restart: recognition can only
+    // come from the PUBLISHED chunk history (restart recovery)
+    assert(new java.io.File(in, "b1.parquet").delete())
+    addBatch("b2.parquet", Seq(
+      (30L, pageA2), // edited re-crawl: chunk 0 historical, chunk 1 novel
+      (40L, pageA),  // byte-identical re-crawl: all chunks historical
+      (50L, (1 to 32).map(i => s"fresh$i").mkString(" "))))
+    val q2 = StreamingPipelines.incrementalChunkDedupStream(spark, in, hist, out, ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(keptRows.keySet == Set(10L, 20L, 30L, 50L),
+        s"the exact re-crawl must drop, the edited one survive; got $keptRows")
+      assert(keptRows(30L) == (2L, 1L),
+        s"the re-crawl's unchanged chunk must be RECOGNIZED (2 chunks, " +
+          s"1 novel); got ${keptRows(30L)}")
+    } finally q2.stop()
+
+    // batch 3: a doc made of exactly doc 30's EDITED chunk — the history
+    // must have accumulated batch 2's novel chunk, so nothing is new
+    addBatch("b3.parquet", Seq(
+      (60L, (((1 to 39).map(i => s"pa$i") ++ Seq("edited") ++
+        (41 to 64).map(i => s"pa$i")).slice(32, 64)).mkString(" "))))
+    val q3 = StreamingPipelines.incrementalChunkDedupStream(spark, in, hist, out, ckpt)
+    try {
+      q3.processAllAvailable()
+      assert(keptRows.keySet == Set(10L, 20L, 30L, 50L),
+        s"a doc of only batch-2 novel chunks must drop; got ${keptRows.keySet}")
+    } finally q3.stop()
+  }
+
   test("incremental dedup with hamming > 0 drops near-duplicates of the history") {
     import spark.implicits._
     import graft.sources.Sinks
