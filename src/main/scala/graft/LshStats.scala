@@ -69,6 +69,12 @@ object LshStats {
         col("a.doc_id") < col("b.doc_id") ||
           (col("a.doc_id") === col("b.doc_id") &&
             col("a.chunk_id") < col("b.chunk_id")))
+      val pairs = cand
+        .select(col("a.doc_id").as("d1"), col("a.chunk_id").as("c1"),
+          col("b.doc_id").as("d2"), col("b.chunk_id").as("c2"),
+          DQ.estJaccard(DQ.K).as("est_jaccard"))
+        .filter(col("est_jaccard") >= DQ.MinEstJaccard)
+        .dropDuplicates("d1", "c1", "d2", "c2")
       val maxCold = hotFull.filter(col("n") <= DQ.MaxBucket)
         .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
       println(s"""{"query":"dedup_chunk_minhash","sf":"$sfDir"""" +
@@ -76,7 +82,7 @@ object LshStats {
         s""","band_rows":${bands0.count()},"buckets":${hotFull.count()}""" +
         s""","hot_buckets":${hot.count()},"cold_rows":${cold.count()}""" +
         s""","max_cold_bucket":$maxCold""" +
-        s""","candidate_pairs":${cand.count()}}""")
+        s""","candidate_pairs":${cand.count()},"emitted_pairs":${pairs.count()}}""")
     }
 
     // ---- ann_lsh_multiprobe stages (the query's own machinery) ----

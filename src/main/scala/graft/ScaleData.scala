@@ -24,18 +24,25 @@ import org.apache.spark.sql.functions._
 object ScaleData {
 
   def main(args: Array[String]): Unit = {
-    val (srcDir, outDir, factor) = args match {
-      case Array(s, o) => (s, o, 10)
-      case Array(s, o, f) if f.forall(_.isDigit) && f.nonEmpty => (s, o, f.toInt)
+    val (srcDir, outDir, factor, exact) = args match {
+      case Array(s, o) => (s, o, 10, false)
+      case Array(s, o, f) if f.forall(_.isDigit) && f.nonEmpty => (s, o, f.toInt, false)
+      case Array(s, o, f, "exact") if f.forall(_.isDigit) && f.nonEmpty => (s, o, f.toInt, true)
       case _ =>
-        System.err.println("usage: graft.ScaleData <srcSfDir> <outDir> [factor=10]")
+        System.err.println("usage: graft.ScaleData <srcSfDir> <outDir> [factor=10] [exact]")
         sys.exit(2)
     }
     val spark = EngineSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "*"), "graft-scaledata")
-    try scaleUp(spark, srcDir, outDir, factor) finally spark.stop()
+    try scaleUp(spark, srcDir, outDir, factor, exact) finally spark.stop()
   }
 
-  def scaleUp(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+  /** `exact = true` replicates documents byte-identically (no per-copy
+    * marker): the EXACT-duplicate-dense corpus — mirror spam — that
+    * instruments how the capped/pre-filtered operators behave when
+    * duplication is pure copies rather than near-dups.
+    */
+  def scaleUp(spark: SparkSession, srcDir: String, outDir: String, factor: Int,
+      exact: Boolean = false): Unit = {
     def src(name: String): DataFrame = Tables(spark, srcDir, name)
     def stride(df: DataFrame, key: String): Long = df.agg(max(col(key))).head().getLong(0) + 1
 
@@ -70,9 +77,9 @@ object ScaleData {
       "documents" -> copies("documents")((d, i) =>
         offset(d, i, "doc_id" -> docN)
           .withColumn("text",
-            if (i == 0) col("text") else concat(lit(s"c$i "), col("text")))
+            if (i == 0 || exact) col("text") else concat(lit(s"c$i "), col("text")))
           .withColumn("n_chars",
-            if (i == 0) col("n_chars") else col("n_chars") + lit(s"c$i ".length.toLong))),
+            if (i == 0 || exact) col("n_chars") else col("n_chars") + lit(s"c$i ".length.toLong))),
       "embeddings" -> copies("embeddings")((d, i) =>
         offset(d, i, "vec_id" -> vecN)
           .withColumn("embedding",

@@ -763,7 +763,7 @@ object CurationQueries {
          |  FROM cold a JOIN cold b
          |    ON a.band = b.band AND a.bval = b.bval
          |   AND a.bucket < 'cd' AND b.bucket >= 'cd'
-         |  WHERE ($matches) / ${FuzzyK.toDouble} >= 0.5) GROUP BY doc_id)
+         |  WHERE ($matches) / ${FuzzyK.toDouble} >= ${DedupQueries.MinEstJaccard}) GROUP BY doc_id)
          |SELECT d.doc_id, COALESCE(h.n_near_dups, 0) AS n_near_dups,
          |       COALESCE(h.n_near_dups, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h USING (doc_id)

@@ -898,7 +898,7 @@ object DedupQueries {
          |    ($matches) / ${K.toDouble} AS est_jaccard
          |  FROM cold a JOIN cold b
          |    ON a.doc_id < b.doc_id AND a.band = b.band AND a.bval = b.bval)
-         |WHERE est_jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
+         |WHERE est_jaccard >= $MinEstJaccard ORDER BY d1, d2""".stripMargin
     },
 
     "dedup_simhash" ->
@@ -999,7 +999,7 @@ object DedupQueries {
          |  FROM cold a JOIN cold b
          |    ON a.band = b.band AND a.bval = b.bval
          |   AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.chunk_id < b.chunk_id)))
-         |WHERE est_jaccard >= 0.5 ORDER BY d1, c1, d2, c2""".stripMargin,
+         |WHERE est_jaccard >= $MinEstJaccard ORDER BY d1, c1, d2, c2""".stripMargin,
 
     "dedup_semantic" ->
       // the WHERE mirrors the Spark side's vec_id/label isNotNull filter:

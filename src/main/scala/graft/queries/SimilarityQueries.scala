@@ -72,17 +72,21 @@ object SimilarityQueries {
   // a probe with its own spelling of the count/filter/anti-join would
   // silently desynchronize the first time the cap policy changes.
 
-  /** Per-bucket membership counts over `keys`. */
+  /** Per-bucket membership counts over `keys` — DedupQueries' stage
+    * verbatim (it closes over no cap constant, so ONE spelling exists).
+    */
   private[graft] def bucketCounts(rows: DataFrame, keys: Seq[String]): DataFrame =
-    rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    DedupQueries.bucketCounts(rows, keys)
 
-  /** Keys of buckets over the [[MaxBucket]] cap. */
+  /** Keys of buckets over THIS module's [[MaxBucket]] cap — the one
+    * stage that can't delegate (it closes over the local constant).
+    */
   private[graft] def hotBuckets(counts: DataFrame, keys: Seq[String]): DataFrame =
     counts.filter(col("n") > MaxBucket).select(keys.map(col): _*)
 
-  /** Rows minus hot buckets — the broadcast anti-join cap. */
+  /** Rows minus hot buckets — DedupQueries' anti-join stage verbatim. */
   private[graft] def dropHot(rows: DataFrame, hot: DataFrame, keys: Seq[String]): DataFrame =
-    rows.join(broadcast(hot), keys, "left_anti")
+    DedupQueries.dropHot(rows, hot, keys)
 
   /** The capped bucket space in one step: count, find hot, anti-join. */
   private[graft] def capBuckets(rows: DataFrame, keys: Seq[String]): DataFrame =
