@@ -53,6 +53,14 @@ object TextAnalysisQueries {
        | + LEAST(CAST(len($toksClean) AS BIGINT) / 50.0, 1.0) * 0.25""".stripMargin
   }
 
+  /** Token-span width for [[text_dedup_token_spans]] — a plan-time
+    * constant like shinglesN's widths. Lee et al. 2021 use 50-token
+    * spans on web corpora; 10 keeps the rule exercisable on the
+    * synthetic corpus's shorter documents (the width changes nothing
+    * structural: span rows stay ≈ token rows at any W).
+    */
+  private[queries] val SpanW = 10
+
   /** BPE-ish token regex: letter runs, digit runs, single other symbols.
     * Whitespace as an explicit class (`\s` differs between Java and RE2
     * on vertical tab — see TextFunctions.WsClass).
@@ -251,6 +259,67 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- CROSS-document repeated TOKEN-SPAN removal (Lee et al. 2021) ----
+    // text_dedup_spans removes repeated LINES; this is the overlapping
+    // token-window form of the same corpus-wide rule — the granularity
+    // Lee et al. (arXiv:2107.06499) actually dedup at: every SpanW-token
+    // window starting at each token position is hashed, a span occurring
+    // more than once anywhere in the corpus keeps only its FIRST
+    // occurrence (min (doc_id, pos) — the keep-first canon), and every
+    // token covered by a NON-canonical occurrence of any duplicated span
+    // is dropped; the document is reassembled from surviving tokens in
+    // position order (token-level rewrite: original inter-token
+    // whitespace is not preserved, which is the published rule's contract
+    // — it operates on token sequences). A token under both a canonical
+    // occurrence of one span and a non-canonical occurrence of another is
+    // dropped — the rule is a deterministic union of masks, not an
+    // interval-scheduling problem. One-pass by design: removal can
+    // create new adjacencies, so the rule is defined on the ORIGINAL
+    // token sequence (no idempotence claim — mirrors the reference
+    // implementations, which cut byte ranges of the original corpus).
+    // Scale posture: span rows = token rows (each position starts one
+    // span) — linear; the duplicated-span group is hot BY CONSTRUCTION
+    // (a license block in millions of docs is ONE hash group), so the
+    // canon election is the partial-aggregable groupBy min(struct) —
+    // never a Window — and the mask explode is a fixed ×SpanW, with the
+    // per-doc reassembly bounded by the doc's own token count.
+    "text_dedup_token_spans" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val spans = d
+        .select(col("doc_id"), posexplode(shinglesN(tokens(col("text")), SpanW)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          md5(col("col")).as("sh"))
+      val dup = spans.groupBy("sh")
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("doc_id"), col("pos"))).as("c"))
+        .filter(col("n") > 1)
+        .select("sh", "c")
+      val bad = spans.join(dup, Seq("sh"))
+        .filter(!(col("c.doc_id") === col("doc_id") &&
+          col("c.pos") === col("pos")))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(SpanW - 1))).as("tpos"))
+        .distinct()
+      val kept = d
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("int").as("tpos"),
+          col("col").as("tok"))
+        .join(bad, Seq("doc_id", "tpos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x.getField("tok")), " ").as("scrubbed"),
+          count(lit(1)).cast("int").as("n_kept"))
+      d.select(col("doc_id"),
+          size(tokens(col("text"))).cast("int").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("scrubbed"), lit("")).as("text_dedup"),
+          col("n_tokens"),
+          coalesce(col("n_kept"), lit(0)).as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // ---- document fingerprint: min md5 over 3-token shingles ----
     // explode → partial-agg, NOT per-row array HOFs: higher-order functions
     // are excluded from codegen subexpression elimination (their lambdas
@@ -394,6 +463,43 @@ object TextAnalysisQueries {
           |  CAST(count(*) AS INT) AS n_lines,
           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept
           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "text_dedup_token_spans" ->
+        // same building blocks as text_dedup_spans' oracle at token
+        // granularity: positions via the two-level unnest(range) idiom,
+        // keep-first as the g/g2 two-step min, the token mask as a
+        // second unnest(range) over each bad occurrence's window, and
+        // string_agg reassembly with in-aggregate ORDER BY
+        s"""WITH t0 AS (SELECT doc_id, $toksRaw AS t FROM documents
+           |            WHERE doc_id IS NOT NULL),
+           |s0 AS (SELECT doc_id, ${shinglesNSql("t", SpanW)} AS shl
+           |       FROM (SELECT doc_id, t FROM t0)),
+           |sp AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos, md5(shl[i]) AS sh
+           |       FROM (SELECT doc_id, shl, unnest(range(1, len(shl)+1)) AS i
+           |             FROM s0)),
+           |g AS (SELECT sh, min(doc_id) AS cd FROM sp
+           |      GROUP BY 1 HAVING count(*) > 1),
+           |g2 AS (SELECT g.sh, g.cd, min(sp.pos) AS cp
+           |       FROM g JOIN sp ON sp.sh = g.sh AND sp.doc_id = g.cd
+           |       GROUP BY 1, 2),
+           |bad AS (SELECT DISTINCT doc_id, CAST(tp AS INT) AS tpos FROM (
+           |        SELECT sp.doc_id, unnest(range(sp.pos, sp.pos + $SpanW)) AS tp
+           |        FROM sp JOIN g2 ON sp.sh = g2.sh
+           |        WHERE NOT (g2.cd = sp.doc_id AND g2.cp = sp.pos))),
+           |tok AS (SELECT doc_id, CAST(i AS INT) - 1 AS tpos, t[i] AS tok
+           |        FROM (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i
+           |              FROM t0)),
+           |k AS (SELECT tok.doc_id,
+           |        string_agg(tok.tok, ' ' ORDER BY tok.tpos) AS scrubbed,
+           |        CAST(count(*) AS INT) AS n_kept
+           |      FROM tok LEFT JOIN bad
+           |        ON tok.doc_id = bad.doc_id AND tok.tpos = bad.tpos
+           |      WHERE bad.tpos IS NULL GROUP BY 1)
+           |SELECT t0.doc_id, COALESCE(k.scrubbed, '') AS text_dedup,
+           |  CAST(len(t0.t) AS INT) AS n_tokens,
+           |  COALESCE(k.n_kept, 0) AS n_kept
+           |FROM t0 LEFT JOIN k ON t0.doc_id = k.doc_id
+           |ORDER BY t0.doc_id""".stripMargin,
 
       "doc_fingerprint" ->
         s"""SELECT doc_id, min(md5(s)) AS fingerprint,

@@ -687,6 +687,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(3L) == (3L, "all mine", 1, 1))
   }
 
+  test("text_dedup_token_spans masks non-canonical occurrences of repeated token windows") {
+    import spark.implicits._
+    // The Lee-et-al granularity: a 12-token license SENTENCE (not a
+    // line) shared by docs 0, 1 and 2, embedded at different positions
+    // with different neighbors — invisible to the line rule when each
+    // doc wraps it differently, but its three 10-token windows collide
+    // corpus-wide. Keep-first: only doc 0's occurrence survives; doc 1
+    // keeps its unique prefix; doc 2 IS the license and scrubs to empty
+    // (the all-dropped reassembly path). Doc 3 is shorter than SpanW
+    // (no spans — untouched). Doc 4 repeats a 10-token sentence within
+    // itself: the second occurrence's window is non-canonical vs (4,0),
+    // so the within-doc repeat is masked by the same global rule.
+    val lic = "this software is provided as is without warranty of any kind whatsoever"
+    val rep = "one two three four five six seven eight nine ten"
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokspans").toString
+    Seq(
+      (0L, s"$lic alpha beta", "en", "synth", 0L),
+      (1L, s"gamma delta $lic", "en", "synth", 0L),
+      (2L, lic, "en", "synth", 0L),
+      (3L, "tiny", "en", "synth", 0L),
+      (4L, s"$rep filler $rep", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("text_dedup_token_spans")(spark, dir)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == (0L, s"$lic alpha beta", 14, 14),
+      s"doc 0 holds the canonical occurrence and keeps everything; got ${out(0L)}")
+    assert(out(1L) == (1L, "gamma delta", 14, 2),
+      s"doc 1 must lose every token under the license's windows; got ${out(1L)}")
+    assert(out(2L) == (2L, "", 12, 0),
+      s"doc 2 is pure boilerplate and must scrub to empty; got ${out(2L)}")
+    assert(out(3L) == (3L, "tiny", 1, 1),
+      s"a doc shorter than SpanW has no spans and passes through; got ${out(3L)}")
+    assert(out(4L) == (4L, s"$rep filler", 21, 11),
+      s"the within-doc repeat's second occurrence must be masked; got ${out(4L)}")
+  }
+
   test("text_dedup_lines drops repeated lines, keeps first occurrences and blanks") {
     import spark.implicits._
     // doc 0: a header line repeated three times around distinct bodies —
