@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators — the steps between "raw crawl" and "training
@@ -89,6 +89,43 @@ object CurationQueries {
     ((5 to 9).map("src" + _), 1, Some("8000")), // 1.5x: 1 + coin
     ((10 to 14).map("src" + _), 1, None), // 1.0x: keep
     ((15 to 19).map("src" + _), 0, Some("8000"))) // 0.5x: coin keeps
+
+  // decontaminate_bloom: sketch sizing. Estimated-items covers a
+  // benchmark SUITE's distinct 8-gram count (~1M — megabytes of text);
+  // 2^23 bits = 1 MiB of sketch whatever the corpus size. Both sit
+  // below Spark's runtime-bloom conf ceilings (4M items / 64M bits), so
+  // the same constants would be legal for the optimizer's own injected
+  // filters. False positives cost only residual-join rows — never
+  // correctness (the exact confirm join follows).
+  private val BloomEstItems = 1L << 20
+  private val BloomNumBits = 1L << 23
+
+  /** One-row DataFrame `(bf binary)` holding a bloom filter of
+    * `xxhash64(values)` — Spark's own `BloomFilterAggregate` (the
+    * expression `InjectRuntimeFilter` builds), reached through
+    * [[ColumnBridge]] like the other native expressions.
+    */
+  private def bloomOf(values: DataFrame, value: Column): DataFrame =
+    values.agg(org.apache.spark.sql.graft.ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.graft.ColumnBridge.expression(xxhash64(value)),
+        org.apache.spark.sql.catalyst.expressions.Literal(BloomEstItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(BloomNumBits))
+        .toAggregateExpression()).as("bf"))
+
+  /** Predicate `might_contain(<scalar-subquery over bloomDf>, xxhash64(value))`
+    * — the bloom side is a SCALAR SUBQUERY, not a joined column, because
+    * `BloomFilterMightContain` type-checks its filter side to be foldable
+    * or a subquery (the shape the runtime-filter rule injects: the
+    * one-row sketch executes once, driver-side, and ships to tasks as a
+    * constant).
+    */
+  private def mightContain(bloomDf: DataFrame, value: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          bloomDf.queryExecution.analyzed),
+        org.apache.spark.sql.graft.ColumnBridge.expression(xxhash64(value))))
 
   /** The `decontaminate` flag frame (doc_id, n_shared, contaminated) over
     * the TRAIN split, unordered — also a gate of [[queries pipeline_curate]].
@@ -326,6 +363,44 @@ object CurationQueries {
     // here, where the held-out side is an md5 slice of the same table.
     "decontaminate" -> ((s, dir) =>
       decontaminationFlags(s, dir).orderBy("doc_id")),
+
+    // ---- bloom-prefiltered decontamination: same answer, corpus-scale plan ----
+    // Value-identical to `decontaminate` (same oracle SQL): the bloom is
+    // a PRE-filter, never the verdict — survivors are exact-confirmed by
+    // the same semi join, so false positives cost residual rows, not
+    // correctness. What changes is WHERE the data dies at 100 TB:
+    // `decontaminate` runs distinct() over every (doc, 8-gram) of the
+    // corpus — a corpus-scale exchange — before the probe join meets the
+    // held-out set (which, when the benchmark suite's distinct-shingle
+    // relation outgrows the broadcast threshold, degrades the probe to a
+    // second corpus-scale shuffle). Here the held-out shingles fold into
+    // a 1 MiB BloomFilterAggregate sketch (the expression Spark's own
+    // InjectRuntimeFilter injects) that executes once as a scalar
+    // subquery and ships to every task as a constant; ≥99% of train
+    // shingles die AT THE EXPLODE, before any exchange, and the
+    // distinct + confirm join run over true hits + false positives only.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val sh0 = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), h2.as("bucket"),
+          explode(shinglesN(tokens(cleanLine(col("text"))), DecontamN)).as("ng"))
+      val testNg = sh0.filter(col("bucket") >= "cd").select("ng").distinct()
+      val bloom = bloomOf(testNg, col("ng"))
+      val hits = sh0.filter(col("bucket") < "cd")
+        .filter(mightContain(bloom, col("ng")))
+        .select("doc_id", "ng").distinct()
+        .join(testNg, Seq("ng"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && h2 < "cd")
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
 
     // ---- FUZZY benchmark decontamination: near-dup overlap, not exact ----
     // The exact 8-gram filter (`decontaminate`) misses a benchmark doc
@@ -705,6 +780,28 @@ object CurationQueries {
        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept
        |  FROM sk GROUP BY doc_id)""".stripMargin
 
+  /** `decontaminate`'s oracle — also `decontaminate_bloom`'s: the bloom
+    * variant answers the same question with a different plan, so the two
+    * keys share ONE mirror (a second spelling could drift).
+    */
+  private lazy val decontaminateSql: String = {
+    val sh0 =
+      s"""SELECT DISTINCT doc_id,
+         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         |  unnest(${shinglesNSql("t", DecontamN)}) AS ng
+         |FROM (SELECT doc_id, ${tokensSql(cleanLineSql("text"))} AS t FROM documents)""".stripMargin
+    s"""WITH sh0 AS ($sh0),
+       |test AS (SELECT DISTINCT ng FROM sh0 WHERE bucket >= 'cd'),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |         FROM sh0 JOIN test USING (ng) WHERE bucket < 'cd'
+       |         GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+       |       COALESCE(h.n_shared, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cd'
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "doc_chunks" ->
       s"$chunksSqlRel ORDER BY doc_id, chunk_id",
@@ -720,23 +817,11 @@ object CurationQueries {
          |SELECT lang, rank, doc_id, quality FROM ranked
          |WHERE rank <= $TopN ORDER BY lang, rank""".stripMargin,
 
-    "decontaminate" -> {
-      val sh0 =
-        s"""SELECT DISTINCT doc_id,
-           |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-           |  unnest(${shinglesNSql("t", DecontamN)}) AS ng
-           |FROM (SELECT doc_id, ${tokensSql(cleanLineSql("text"))} AS t FROM documents)""".stripMargin
-      s"""WITH sh0 AS ($sh0),
-         |test AS (SELECT DISTINCT ng FROM sh0 WHERE bucket >= 'cd'),
-         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-         |         FROM sh0 JOIN test USING (ng) WHERE bucket < 'cd'
-         |         GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
-         |       COALESCE(h.n_shared, 0) > 0 AS contaminated
-         |FROM documents d LEFT JOIN hits h USING (doc_id)
-         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cd'
-         |ORDER BY doc_id""".stripMargin
-    },
+    "decontaminate" -> decontaminateSql,
+
+    // the bloom variant is value-identical BY DESIGN (the sketch is a
+    // pre-filter; the exact confirm join decides) — one oracle, two keys
+    "decontaminate_bloom" -> decontaminateSql,
 
     "decontaminate_fuzzy" -> {
       // fragments shared with dedup_minhash_lsh's oracle (DedupQueries'

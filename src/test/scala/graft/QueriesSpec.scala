@@ -392,6 +392,44 @@ class QueriesSpec extends AnyFunSuite {
       s"AQE should broadcast the benchmark-sized held-out shingles:\n$plan")
   }
 
+  test("decontaminate_bloom equals decontaminate and probes the sketch before any exchange") {
+    import spark.implicits._
+    // same fixture shape as the decontaminate test plus extra clean
+    // train docs — the rows the bloom exists to kill early. The sketch
+    // must be a PRE-filter only: output frame-equal to the exact query
+    // (false positives die in the confirm join), with the might_contain
+    // predicate sitting on the scan side BELOW the (doc_id, ng) distinct
+    // exchange — at corpus scale that placement is the whole point.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = java.nio.file.Files.createTempDirectory("graft-deconbloom").toString
+    (Seq(
+      (0L, shared, "en", "synth", 0L), // held-out (md5 "cf...")
+      (1L, s"lead $shared tail", "en", "synth", 0L), // train, contaminated
+      (2L, "one two three four five six seven eight nine", "en", "synth", 0L)) ++
+      (10L to 40L).map(i =>
+        (i, s"clean doc $i with its own words ${i * 7} ${i * 11} ${i * 13} ${i * 17} ${i * 19}",
+          "en", "synth", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val exact = SparkEntry.queries("decontaminate")(spark, dir)
+    val bloom = SparkEntry.queries("decontaminate_bloom")(spark, dir)
+    assert(bloom.collect().toSeq == exact.collect().toSeq,
+      "the bloom variant must be value-identical to the exact query")
+    assert(bloom.collect().exists(_.getBoolean(2)),
+      "the fixture must actually contain a contaminated train doc")
+    val plan = bloom.queryExecution.executedPlan.toString
+    val probeAt = plan.indexOf("might_contain")
+    assert(probeAt >= 0, s"the sketch probe must survive planning:\n$plan")
+    assert(plan.contains("bloom_filter_agg"),
+      s"the sketch must build via BloomFilterAggregate:\n$plan")
+    // the first might_contain Filter in the train branch appears deeper
+    // in the plan (further down the tree) than the (doc_id, ng) distinct
+    // aggregate that consumes it — i.e. the kill happens pre-exchange
+    val distinctAt = plan.indexOf("HashAggregate(keys=[doc_id")
+    assert(distinctAt >= 0 && distinctAt < probeAt,
+      s"might_contain must sit BELOW the distinct that consumes it:\n$plan")
+  }
+
   test("decontaminate_fuzzy flags a paraphrase the exact 8-gram filter misses") {
     import spark.implicits._
     // doc 0 ("cf") is held-out; doc 1 ("c4") is doc 0 with every 8th token
