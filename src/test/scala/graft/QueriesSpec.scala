@@ -392,6 +392,63 @@ class QueriesSpec extends AnyFunSuite {
       s"AQE should broadcast the benchmark-sized held-out shingles:\n$plan")
   }
 
+  test("text_scrub_pii redacts phones and IPv4s and counts them on the original text") {
+    import spark.implicits._
+    // the synthetic corpus carries no PII, so the crafted fixture is the
+    // only place the rule fires: E.164 and US-dashed phones, an IPv4,
+    // and near-misses that must NOT match (a 6-digit +number is too
+    // short for E.164's 7; a dotted triplet with an alpha octet is not
+    // an IPv4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (0L, "call +14155551234 or 415-555-1234 now", "en", "synth", 0L),
+      (1L, "server at 10.0.42.7 answered", "en", "synth", 0L),
+      (2L, "ref +12345 and v1.2.3.x stay", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("text_scrub_pii")(spark, dir)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == (0L, "call <PHONE> or <PHONE> now", 2, 0),
+      s"both phone spellings must redact; got ${out(0L)}")
+    assert(out(1L) == (1L, "server at <IP> answered", 0, 1),
+      s"the IPv4 must redact; got ${out(1L)}")
+    assert(out(2L) == (2L, "ref +12345 and v1.2.3.x stay", 0, 0),
+      s"near-misses must pass through untouched; got ${out(2L)}")
+  }
+
+  test("quality_classifier computes the exact hashed-bucket integer dot product") {
+    import spark.implicits._
+    // the full model arithmetic recomputed in-test from first principles
+    // (md5 via MessageDigest — the md5-fixture idiom): bucket = first 3
+    // hex chars of md5(token), weight = first 2 hex chars of
+    // md5("w"+bucket) - 128, logit = Σ weight / n_tokens with the sum
+    // exact in BIGINT — so the assertion is bit-exact double equality,
+    // not a tolerance. A repeated token exercises the count path; the
+    // empty doc exercises the NULL-logit left-join edge.
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def weightOf(tok: String): Long = {
+      val bucket = Integer.parseInt(md5hex(tok).substring(0, 3), 16)
+      Integer.parseInt(md5hex("w" + bucket).substring(0, 2), 16) - 128L
+    }
+    val toks = Seq("alpha", "beta", "beta", "gamma")
+    val expected = toks.map(weightOf).sum.toDouble / toks.size
+    val dir = java.nio.file.Files.createTempDirectory("graft-qclass").toString
+    Seq((0L, toks.mkString(" "), "en", "synth", 0L),
+        (1L, "", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("quality_classifier")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 4L)
+    assert(out(0L).getDouble(2) == expected,
+      s"logit must be bit-exact vs the in-test model; got ${out(0L).getDouble(2)} want $expected")
+    assert(out(0L).getBoolean(3) == (expected > 0))
+    assert(out(1L).getLong(1) == 0L && out(1L).isNullAt(2) && out(1L).isNullAt(3),
+      s"a tokenless doc must carry NULL logit/kept; got ${out(1L)}")
+  }
+
   test("decontaminate_bloom equals decontaminate and probes the sketch before any exchange") {
     import spark.implicits._
     // same fixture shape as the decontaminate test plus extra clean
