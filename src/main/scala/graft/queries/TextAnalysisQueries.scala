@@ -179,6 +179,41 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- RefinedWeb/MassiveText line-wise correction ----
+    // The line-level hygiene pass of the RefinedWeb recipe (arXiv:
+    // 2306.01116 §G, following MassiveText): drop lines that are
+    // mainly uppercase (2·n_upper > n_alpha — menus/nav bars), carry
+    // no letters at all (counters, page numbers, separators), or are
+    // short (1–10 chars); blank lines are paragraph structure and
+    // always pass (the text_dedup_lines convention). Then the
+    // DOC-level correction: if the corrections removed more than 5%
+    // of the document's lines, drop the whole document. Everything is
+    // integer arithmetic — the 5% gate is n_removed·20 > n_lines, the
+    // uppercase ratio 2·n_upper > n_alpha — so there is no float to
+    // disagree on. Posture: pure per-row array filter, shuffle-free,
+    // each rule independent of the others (no ordering semantics).
+    // The uppercase rule cannot fire on the lowercase synthetic
+    // corpus (like text_scrub's URLs); the crafted spec fires all
+    // three and both sides of the 5% boundary.
+    "line_filter" -> ((s, dir) => {
+      def nOf(l: Column, keepClass: String): Column =
+        length(regexp_replace(l, keepClass, "")).cast("long")
+      val keepLine = (l: Column) => {
+        val nAlpha = nOf(l, "[^A-Za-z]")
+        length(l) === 0 ||
+          (length(l) > 10 && nAlpha > 0 && nOf(l, "[^A-Z]") * 2 <= nAlpha)
+      }
+      val lv = split(col("text"), "\n")
+      val kept = filter(lv, keepLine)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(kept, "\n").as("text_filtered"),
+          size(lv).as("n_lines"), size(kept).as("n_kept"),
+          ((size(lv) - size(kept)).cast("long") * 20 <=
+            size(lv).cast("long")).as("doc_kept"))
+        .orderBy("doc_id")
+    }),
+
     // ---- repetition ratio (Gopher-style boilerplate signal): fraction of
     // a doc's 3-gram shingles accounted for by its single most frequent
     // shingle. High ratio = templated/repeated text. Same explode +
@@ -441,6 +476,21 @@ object TextAnalysisQueries {
            |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
            |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ips
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "line_filter" ->
+        // rule mirrored literally: blank OR (>10 chars AND has letters
+        // AND NOT uppercase-majority); doc gate n_removed*20 <= n_lines
+        """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS lv FROM documents),
+          |k AS (SELECT doc_id, lv,
+          |        list_filter(lv, x -> length(x) = 0 OR (length(x) > 10
+          |          AND length(regexp_replace(x, '[^A-Za-z]', '', 'g')) > 0
+          |          AND 2 * length(regexp_replace(x, '[^A-Z]', '', 'g'))
+          |            <= length(regexp_replace(x, '[^A-Za-z]', '', 'g')))) AS kept
+          |      FROM l)
+          |SELECT doc_id, array_to_string(kept, chr(10)) AS text_filtered,
+          |  CAST(len(lv) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept,
+          |  (CAST(len(lv) - len(kept) AS BIGINT) * 20 <= CAST(len(lv) AS BIGINT)) AS doc_kept
+          |FROM k ORDER BY doc_id""".stripMargin,
 
       "doc_repetition" ->
         s"""SELECT doc_id, CAST(max(c) AS BIGINT) AS top_count,

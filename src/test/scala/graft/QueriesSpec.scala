@@ -416,6 +416,31 @@ class QueriesSpec extends AnyFunSuite {
       s"near-misses must pass through untouched; got ${out(2L)}")
   }
 
+  test("line_filter fires all three line rules and both sides of the 5% doc gate") {
+    import spark.implicits._
+    // doc 0: one long kept line + one of each droppable class (short,
+    // uppercase-majority, letterless) + a blank that must survive —
+    // 3 of 5 removed, far over 5%, so doc_kept = false. doc 1: 20
+    // lines with EXACTLY one removed = exactly 5%, the gate's <=
+    // boundary, so doc_kept = true. doc 2: nothing fires.
+    val longLine = "this line is long enough to keep"
+    val doc0 = Seq(longLine, "short", "THE UPPERCASE NAV BAR", "12345 --- 67", "").mkString("\n")
+    val doc1 = (Seq.fill(19)(longLine) :+ "short").mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-linefilter").toString
+    Seq((0L, doc0, "en", "synth", 0L), (1L, doc1, "en", "synth", 0L),
+        (2L, longLine + "\n" + longLine, "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("line_filter")(spark, dir)
+      .as[(Long, String, Int, Int, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == (0L, longLine + "\n", 5, 2, false),
+      s"short/uppercase/letterless drop, blank survives, 3/5 > 5% drops the doc; got ${out(0L)}")
+    assert(out(1L)._4 == 19 && out(1L)._5,
+      s"exactly 5% removed must sit on the KEEP side of the <= gate; got ${out(1L)}")
+    assert(out(2L) == (2L, longLine + "\n" + longLine, 2, 2, true),
+      s"a clean doc passes untouched; got ${out(2L)}")
+  }
+
   test("quality_classifier computes the exact hashed-bucket integer dot product") {
     import spark.implicits._
     // the full model arithmetic recomputed in-test from first principles
