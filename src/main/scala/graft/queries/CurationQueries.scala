@@ -94,6 +94,10 @@ object CurationQueries {
   // 4096 buckets EXACTLY — no modulo, the hash prefix IS the bucket.
   private val HashDim = 4096
 
+  // doc_chunks_cdc: rolling-window width for the content-defined
+  // boundary test. One hex char of headroom: P(boundary) = 1/16.
+  private val CdcW = 4
+
   // decontaminate_bloom: sketch sizing. Estimated-items covers a
   // benchmark SUITE's distinct 8-gram count (~1M — megabytes of text);
   // 2^23 bits = 1 MiB of sketch whatever the corpus size. Both sit
@@ -334,6 +338,54 @@ object CurationQueries {
     // inlining tokens(...) would re-tokenize the document once per chunk.
     "doc_chunks" -> ((s, dir) =>
       chunkTable(s, dir).orderBy("doc_id", "chunk_id")),
+
+    // ---- content-defined chunking (the LBFS/rsync boundary trick) ----
+    // doc_chunks' fixed windows are position-defined: insert ONE token
+    // near the front of a re-crawled page and every downstream window
+    // shifts — every chunk hash changes, and chunk-granular dedup
+    // (dedup_chunk_*, the incremental chunk stream) recognizes nothing.
+    // CDC (Muthitacharoen et al., SOSP'01; FastCDC) derives boundaries
+    // from CONTENT: a chunk ends at token i when md5 of the [[CdcW]]-token
+    // window ending at i starts with hex '0' (P = 1/16 → mean chunk ≈ 16
+    // tokens), plus a final boundary at n. An insertion only perturbs
+    // boundaries whose windows overlap it — chunks realign at the next
+    // content boundary and everything downstream hashes identically
+    // (spec-proven). Shape: pure per-row array arithmetic, shuffle-free;
+    // O(n·W) md5s + linear slices per doc, bounded by the doc's own
+    // length. The token and ends arrays bind once via single-element
+    // transforms (shingles3's rule); `get` (0-based, NULL out of range)
+    // probes the last hash boundary so the empty-he row cannot trip
+    // element_at's index-0 error. Production CDC adds min/max chunk
+    // bounds (FastCDC's normalization) — a post-filter on `ends`,
+    // deliberately omitted to keep the boundary rule the whole story.
+    "doc_chunks_cdc" -> ((s, dir) => {
+      val emptyInts = array().cast("array<int>")
+      val chunks = element_at(transform(array(tokens(col("text"))), tv => {
+        val n = size(tv)
+        val he = when(n >= CdcW,
+            filter(sequence(lit(CdcW), n), i =>
+              substring(md5(concat_ws(" ",
+                slice(tv, i - CdcW + 1, lit(CdcW)))), 1, 1) === "0"))
+          .otherwise(emptyInts)
+        element_at(transform(array(
+            when(n === 0, emptyInts)
+              .when(get(he, size(he) - 1) === n, he)
+              .otherwise(concat(he, array(n)))), ev =>
+          transform(ev, (e, j) => {
+            val start = when(j === 0, lit(1))
+              .otherwise(element_at(ev, j) + 1)
+            struct(
+              concat_ws(" ", slice(tv, start, e - start + 1)).as("chunk"),
+              (e - start + 1).as("n_tokens"))
+          })), 1)
+      }), 1)
+      Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), posexplode(chunks))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+          col("col.chunk").as("chunk"), col("col.n_tokens").as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
 
     // ---- per-stratum top-N curation via the map-side TopK aggregator ----
     // Tokenless documents have NULL quality (0/0) and are excluded before
@@ -848,6 +900,28 @@ object CurationQueries {
   def oracles: Map[String, String] = Map(
     "doc_chunks" ->
       s"$chunksSqlRel ORDER BY doc_id, chunk_id",
+
+    "doc_chunks_cdc" ->
+      // boundary rule mirrored digit-for-digit; DuckDB list slices are
+      // 1-based inclusive on both ends, matching Spark's slice(arr, s, len)
+      s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS tv
+         |           FROM documents WHERE doc_id IS NOT NULL),
+         |b AS (SELECT doc_id, tv,
+         |        CASE WHEN len(tv) >= $CdcW THEN
+         |          list_filter(range($CdcW, len(tv) + 1),
+         |            i -> substring(md5(array_to_string(tv[i - ${CdcW - 1} : i], ' ')), 1, 1) = '0')
+         |        ELSE CAST([] AS BIGINT[]) END AS he
+         |      FROM t),
+         |e AS (SELECT doc_id, tv,
+         |        CASE WHEN len(tv) = 0 THEN he
+         |             WHEN len(he) > 0 AND he[len(he)] = len(tv) THEN he
+         |             ELSE list_append(he, len(tv)) END AS ends
+         |      FROM b)
+         |SELECT doc_id, CAST(j - 1 AS INT) AS chunk_id,
+         |  array_to_string(tv[(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) : ends[j]], ' ') AS chunk,
+         |  CAST(ends[j] - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) + 1 AS INT) AS n_tokens
+         |FROM (SELECT doc_id, tv, ends, unnest(range(1, len(ends) + 1)) AS j FROM e)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "curation_topk" ->
       s"""WITH scored AS (

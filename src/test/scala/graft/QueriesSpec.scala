@@ -416,6 +416,57 @@ class QueriesSpec extends AnyFunSuite {
       s"near-misses must pass through untouched; got ${out(2L)}")
   }
 
+  test("doc_chunks_cdc matches the from-first-principles model and realigns after an insertion") {
+    import spark.implicits._
+    // the full boundary algorithm recomputed in-test (the md5-fixture
+    // idiom): boundary at token i iff md5 of the 4-token window ending
+    // at i starts with '0', final boundary at n. doc 1 inserts ONE
+    // token at the front of doc 0's text — the content-defined property
+    // under test is that both chunkings share identical chunk texts
+    // from the first post-insertion boundary onward (a fixed-stride
+    // chunking of the same pair shares none). doc 2 is shorter than the
+    // window (single chunk); doc 3 is empty (no rows).
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def cdc(toks: Seq[String]): Seq[(Int, String, Int)] = {
+      val n = toks.length
+      val he = (4 to n).filter(i =>
+        md5hex(toks.slice(i - 4, i).mkString(" ")).startsWith("0"))
+      val ends =
+        if (n == 0) Seq.empty[Int]
+        else if (he.nonEmpty && he.last == n) he else he :+ n
+      ends.zipWithIndex.map { case (e, j) =>
+        val s0 = if (j == 0) 1 else ends(j - 1) + 1
+        (j, toks.slice(s0 - 1, e).mkString(" "), e - s0 + 1)
+      }
+    }
+    val base = (0 until 160).map(i => "w" + i)
+    val (m0, m1) = (cdc(base), cdc("ins" +: base))
+    val shared = m0.map(_._2).toSet & m1.map(_._2).toSet
+    require(m0.size >= 3 && shared.nonEmpty,
+      s"fixture must produce multiple chunks with post-insertion realignment; got ${m0.size} chunks, ${shared.size} shared")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    Seq((0L, base.mkString(" "), "en", "synth", 0L),
+        (1L, ("ins" +: base).mkString(" "), "en", "synth", 0L),
+        (2L, "a b", "en", "synth", 0L),
+        (3L, "", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("doc_chunks_cdc")(spark, dir)
+      .as[(Long, Int, String, Int)].collect()
+    def of(id: Long) = out.filter(_._1 == id).sortBy(_._2)
+      .map(r => (r._2, r._3, r._4)).toSeq
+    assert(of(0L) == m0, s"doc 0 must match the in-test model; got ${of(0L)}")
+    assert(of(1L) == m1, s"doc 1 must match the in-test model; got ${of(1L)}")
+    assert(of(2L) == Seq((0, "a b", 2)),
+      s"a doc shorter than the window is one chunk; got ${of(2L)}")
+    assert(of(3L).isEmpty, "an empty doc emits no chunks")
+    val sparkShared = of(0L).map(_._2).toSet & of(1L).map(_._2).toSet
+    assert(sparkShared == shared,
+      s"post-insertion chunks must realign (content-defined boundaries); got ${sparkShared.size} shared vs model ${shared.size}")
+  }
+
   test("line_filter fires all three line rules and both sides of the 5% doc gate") {
     import spark.implicits._
     // doc 0: one long kept line + one of each droppable class (short,
