@@ -218,6 +218,62 @@ object CurationQueries {
   private[graft] def chunksOf(docs: DataFrame): DataFrame =
     chunkRowsOf(docs, ChunkSize)
 
+  /** Content-defined chunks of a caller-supplied (doc_id, text) frame —
+    * the `doc_chunks_cdc` transform, factored (chunkRowsOf's pattern) so
+    * `dedup_chunk_cdc` dedups the SAME chunking the catalog entry
+    * publishes. See the `doc_chunks_cdc` entry for the boundary rule.
+    */
+  private[graft] def cdcChunkRowsOf(docs: DataFrame): DataFrame = {
+    val emptyInts = array().cast("array<int>")
+    val chunks = element_at(transform(array(tokens(col("text"))), tv => {
+      val n = size(tv)
+      val he = when(n >= CdcW,
+          filter(sequence(lit(CdcW), n), i =>
+            substring(md5(concat_ws(" ",
+              slice(tv, i - CdcW + 1, lit(CdcW)))), 1, 1) === "0"))
+        .otherwise(emptyInts)
+      element_at(transform(array(
+          when(n === 0, emptyInts)
+            .when(get(he, size(he) - 1) === n, he)
+            .otherwise(concat(he, array(n)))), ev =>
+        transform(ev, (e, j) => {
+          val start = when(j === 0, lit(1))
+            .otherwise(element_at(ev, j) + 1)
+          struct(
+            concat_ws(" ", slice(tv, start, e - start + 1)).as("chunk"),
+            (e - start + 1).as("n_tokens"))
+        })), 1)
+    }), 1)
+    docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col.chunk").as("chunk"), col("col.n_tokens").as("n_tokens"))
+  }
+
+  /** DuckDB relation mirroring [[cdcChunkRowsOf]] over `documents` —
+    * nested selects (no CTE) so it composes as a subquery; shared by the
+    * `doc_chunks_cdc` and `dedup_chunk_cdc` oracles so the mirrors
+    * cannot drift. DuckDB list slices are 1-based inclusive on both
+    * ends, matching Spark's slice(arr, start, len).
+    */
+  private[graft] def cdcChunksSqlRel: String =
+    s"""SELECT doc_id, CAST(j - 1 AS INT) AS chunk_id,
+       |  array_to_string(tv[(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) : ends[j]], ' ') AS chunk,
+       |  CAST(ends[j] - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) + 1 AS INT) AS n_tokens
+       |FROM (SELECT doc_id, tv, ends, unnest(range(1, len(ends) + 1)) AS j
+       |      FROM (SELECT doc_id, tv,
+       |              CASE WHEN len(tv) = 0 THEN he
+       |                   WHEN len(he) > 0 AND he[len(he)] = len(tv) THEN he
+       |                   ELSE list_append(he, len(tv)) END AS ends
+       |            FROM (SELECT doc_id, tv,
+       |                    CASE WHEN len(tv) >= $CdcW THEN
+       |                      list_filter(range($CdcW, len(tv) + 1),
+       |                        i -> substring(md5(array_to_string(tv[i - ${CdcW - 1} : i], ' ')), 1, 1) = '0')
+       |                    ELSE CAST([] AS BIGINT[]) END AS he
+       |                  FROM (SELECT doc_id, ${tokensSql("text")} AS tv
+       |                        FROM documents WHERE doc_id IS NOT NULL))))""".stripMargin
+
   /** DuckDB relation mirroring [[chunkTable]] — produces (doc_id,
     * chunk_id, chunk, n_tokens); shared by the `doc_chunks` oracle and
     * the chunk-dedup oracles in [[DedupQueries]] so the mirrors cannot
@@ -358,34 +414,9 @@ object CurationQueries {
     // element_at's index-0 error. Production CDC adds min/max chunk
     // bounds (FastCDC's normalization) — a post-filter on `ends`,
     // deliberately omitted to keep the boundary rule the whole story.
-    "doc_chunks_cdc" -> ((s, dir) => {
-      val emptyInts = array().cast("array<int>")
-      val chunks = element_at(transform(array(tokens(col("text"))), tv => {
-        val n = size(tv)
-        val he = when(n >= CdcW,
-            filter(sequence(lit(CdcW), n), i =>
-              substring(md5(concat_ws(" ",
-                slice(tv, i - CdcW + 1, lit(CdcW)))), 1, 1) === "0"))
-          .otherwise(emptyInts)
-        element_at(transform(array(
-            when(n === 0, emptyInts)
-              .when(get(he, size(he) - 1) === n, he)
-              .otherwise(concat(he, array(n)))), ev =>
-          transform(ev, (e, j) => {
-            val start = when(j === 0, lit(1))
-              .otherwise(element_at(ev, j) + 1)
-            struct(
-              concat_ws(" ", slice(tv, start, e - start + 1)).as("chunk"),
-              (e - start + 1).as("n_tokens"))
-          })), 1)
-      }), 1)
-      Tables(s, dir, "documents")
-        .filter(col("doc_id").isNotNull)
-        .select(col("doc_id"), posexplode(chunks))
-        .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
-          col("col.chunk").as("chunk"), col("col.n_tokens").as("n_tokens"))
-        .orderBy("doc_id", "chunk_id")
-    }),
+    "doc_chunks_cdc" -> ((s, dir) =>
+      cdcChunkRowsOf(Tables(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_id")),
 
     // ---- per-stratum top-N curation via the map-side TopK aggregator ----
     // Tokenless documents have NULL quality (0/0) and are excluded before
@@ -902,26 +933,7 @@ object CurationQueries {
       s"$chunksSqlRel ORDER BY doc_id, chunk_id",
 
     "doc_chunks_cdc" ->
-      // boundary rule mirrored digit-for-digit; DuckDB list slices are
-      // 1-based inclusive on both ends, matching Spark's slice(arr, s, len)
-      s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS tv
-         |           FROM documents WHERE doc_id IS NOT NULL),
-         |b AS (SELECT doc_id, tv,
-         |        CASE WHEN len(tv) >= $CdcW THEN
-         |          list_filter(range($CdcW, len(tv) + 1),
-         |            i -> substring(md5(array_to_string(tv[i - ${CdcW - 1} : i], ' ')), 1, 1) = '0')
-         |        ELSE CAST([] AS BIGINT[]) END AS he
-         |      FROM t),
-         |e AS (SELECT doc_id, tv,
-         |        CASE WHEN len(tv) = 0 THEN he
-         |             WHEN len(he) > 0 AND he[len(he)] = len(tv) THEN he
-         |             ELSE list_append(he, len(tv)) END AS ends
-         |      FROM b)
-         |SELECT doc_id, CAST(j - 1 AS INT) AS chunk_id,
-         |  array_to_string(tv[(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) : ends[j]], ' ') AS chunk,
-         |  CAST(ends[j] - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) + 1 AS INT) AS n_tokens
-         |FROM (SELECT doc_id, tv, ends, unnest(range(1, len(ends) + 1)) AS j FROM e)
-         |ORDER BY doc_id, chunk_id""".stripMargin,
+      s"$cdcChunksSqlRel ORDER BY doc_id, chunk_id",
 
     "curation_topk" ->
       s"""WITH scored AS (

@@ -623,6 +623,30 @@ object DedupQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- exact chunk dedup over CONTENT-DEFINED chunks ----
+    // dedup_chunk_exact's hash-group + min-struct canon pointed at
+    // doc_chunks_cdc's chunking instead of the fixed windows. The point
+    // is the composition: fixed windows make exact chunk dedup blind to
+    // re-crawls with insertions (every downstream window shifts, every
+    // hash changes), while CDC boundaries realign after an edit — so the
+    // SAME linear hash group now catches the unchanged remainder of an
+    // edited page (the spec inserts one token and watches the shared
+    // chunks collapse into n_copies=2 groups). Plan shape is identical:
+    // partial-aggregable groupBy (hot BY CONSTRUCTION for boilerplate),
+    // plain shuffle join-back, AQE skew splitting available, no Window.
+    "dedup_chunk_cdc" -> ((s, dir) => {
+      val c = CurationQueries.cdcChunkRowsOf(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("chunk_id"), md5(col("chunk")).as("chunk_hash"))
+      val groups = c.groupBy("chunk_hash")
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("canon"),
+          count(lit(1)).as("n_copies"))
+      c.join(groups, Seq("chunk_hash"))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_hash"),
+          col("canon.doc_id").as("canon_doc"),
+          col("canon.chunk_id").as("canon_chunk"), col("n_copies"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // ---- SUB-DOCUMENT near-dup pairs: chunk-granularity MinHash-LSH ----
     // dedup_minhash_lsh's shingle→minhash→band→bucket-join machinery
     // (minhashBands, chunk_id riding the carry slot) pointed at CHUNKS:
@@ -956,6 +980,22 @@ object DedupQueries {
       // chunk within that doc — equal to Spark's min(struct(...))
       s"""WITH c AS (SELECT doc_id, chunk_id, md5(chunk) AS chunk_hash
          |           FROM (${CurationQueries.chunksSqlRel})),
+         |g AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+         |        min(doc_id) AS canon_doc FROM c GROUP BY 1),
+         |g2 AS (SELECT g.chunk_hash, g.n_copies, g.canon_doc,
+         |         min(c.chunk_id) AS canon_chunk
+         |       FROM g JOIN c ON c.chunk_hash = g.chunk_hash
+         |                    AND c.doc_id = g.canon_doc
+         |       GROUP BY 1, 2, 3)
+         |SELECT c.doc_id, c.chunk_id, c.chunk_hash,
+         |       g2.canon_doc, g2.canon_chunk, g2.n_copies
+         |FROM c JOIN g2 USING (chunk_hash)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "dedup_chunk_cdc" ->
+      // dedup_chunk_exact's oracle verbatim over the CDC chunk relation
+      s"""WITH c AS (SELECT doc_id, chunk_id, md5(chunk) AS chunk_hash
+         |           FROM (${CurationQueries.cdcChunksSqlRel})),
          |g AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
          |        min(doc_id) AS canon_doc FROM c GROUP BY 1),
          |g2 AS (SELECT g.chunk_hash, g.n_copies, g.canon_doc,

@@ -467,6 +467,47 @@ class QueriesSpec extends AnyFunSuite {
       s"post-insertion chunks must realign (content-defined boundaries); got ${sparkShared.size} shared vs model ${shared.size}")
   }
 
+  test("dedup_chunk_cdc recognizes the unchanged remainder of an edited re-crawl") {
+    import spark.implicits._
+    // doc 1 is doc 0 re-crawled with ONE token inserted at the front —
+    // the edit that makes every FIXED-window chunk hash differ. Under
+    // CDC boundaries the chunks realign, so each chunk text the two
+    // docs share must collapse into an n_copies=2 group whose canon is
+    // the doc-0 copy, and every unshared chunk stays n_copies=1. The
+    // shared set is recomputed in-test with the same model as the
+    // doc_chunks_cdc spec.
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def cdcTexts(toks: Seq[String]): Seq[String] = {
+      val n = toks.length
+      val he = (4 to n).filter(i =>
+        md5hex(toks.slice(i - 4, i).mkString(" ")).startsWith("0"))
+      val ends = if (he.nonEmpty && he.last == n) he else he :+ n
+      ends.zipWithIndex.map { case (e, j) =>
+        toks.slice(if (j == 0) 0 else ends(j - 1), e).mkString(" ")
+      }
+    }
+    val base = (0 until 160).map(i => "w" + i)
+    val shared = cdcTexts(base).toSet & cdcTexts("ins" +: base).toSet
+    require(shared.nonEmpty, "fixture must realign after the insertion")
+    val sharedHashes = shared.map(md5hex)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-dedup").toString
+    Seq((0L, base.mkString(" "), "en", "synth", 0L),
+        (1L, ("ins" +: base).mkString(" "), "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("dedup_chunk_cdc")(spark, dir)
+      .as[(Long, Int, String, Long, Int, Long)].collect()
+    val dupGroups = out.filter(_._6 == 2L)
+    assert(dupGroups.map(_._3).toSet == sharedHashes,
+      s"exactly the realigned chunks must form n_copies=2 groups; got ${dupGroups.length} dup rows for ${sharedHashes.size} shared chunks")
+    assert(dupGroups.forall(_._4 == 0L),
+      "every shared chunk's canon must be the doc-0 (first-crawl) copy")
+    assert(out.filterNot(r => sharedHashes.contains(r._3)).forall(_._6 == 1L),
+      "unshared chunks must stay singleton groups")
+  }
+
   test("line_filter fires all three line rules and both sides of the 5% doc gate") {
     import spark.implicits._
     // doc 0: one long kept line + one of each droppable class (short,
