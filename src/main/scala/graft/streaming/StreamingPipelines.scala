@@ -300,12 +300,21 @@ object StreamingPipelines {
     * interrupted trigger replayed in that order re-derives the same
     * survivor set, whereas history-first would anti-join the batch
     * against its own chunks and lose it.
+    *
+    * `chunker` picks the chunk geometry: the default disjoint fixed
+    * windows (batch/stream unit parity with scrub_chunks), or
+    * [[graft.queries.CurationQueries.cdcChunkRowsOf]] for
+    * content-defined boundaries — the production choice for re-crawl
+    * streams, where an INSERTION (not just an in-place edit) shifts
+    * every fixed window but CDC chunks realign (spec-proven). The
+    * history is only meaningful against itself: pick one geometry per
+    * history path and keep it.
     */
   def incrementalChunkDedupStream(spark: SparkSession, inDir: String,
-      chunkHistoryPath: String, outPath: String, checkpoint: String)
+      chunkHistoryPath: String, outPath: String, checkpoint: String,
+      chunker: DataFrame => DataFrame = graft.queries.CurationQueries.chunksOf)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val step: (DataFrame, Long) => Unit = (batch, _) => {
-      import graft.queries.CurationQueries
       val s = batch.sparkSession
       // same-id rows in one trigger: pick ONE deterministically
       // (content-max — the doc-level stream's rule)
@@ -315,7 +324,7 @@ object StreamingPipelines {
           col("n_chars"))).as("r"))
         .select(col("doc_id"), col("r.text"), col("r.lang"),
           col("r.source"), col("r.n_chars"))
-      val chunks = CurationQueries.chunksOf(b1)
+      val chunks = chunker(b1)
         .select(col("doc_id"), col("chunk_id"), md5(col("chunk")).as("ch"))
       // within-batch keep-first: one canonical owner per chunk content
       val canon = chunks.groupBy("ch")
