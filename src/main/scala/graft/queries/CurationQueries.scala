@@ -1026,16 +1026,19 @@ object CurationQueries {
     "corpus_mix_tokens" ->
       // the oracle spells the running offset as ONE window over
       // (bucket, doc_id) — value-identical to the Spark side's two-level
-      // form; `off` not `offset` (reserved), `//` result cast (HUGEINT)
+      // form; `off` not `offset` (reserved), `//` result cast (HUGEINT).
+      // `off` is itself an EMITTED window SUM: DuckDB widens SUM(BIGINT)
+      // to HUGEINT, so it must be cast back to BIGINT or the driver's
+      // typed hash diverges from Spark's BIGINT (the r8 red row).
       s"""WITH d AS (SELECT doc_id, source,
          |    substring(md5(CAST(doc_id AS VARCHAR)), 1, $PackBucketChars) AS bucket,
          |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
          |  FROM documents
          |  WHERE doc_id IS NOT NULL AND len(${tokensSql("text")}) > 0),
          |o AS (SELECT *,
-         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
          |          ORDER BY bucket, doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off,
          |        SUM(n_tokens) OVER (PARTITION BY source) AS total
          |      FROM d),
          |c AS (SELECT doc_id, source, n_tokens, off,
