@@ -280,31 +280,46 @@ object DedupQueries {
     * (no float order sensitivity).
     */
   private def clusterLabels(s: SparkSession, dir: String,
-      includeExact: Boolean = false): DataFrame = {
-    val docs = Tables(s, dir, "documents").select(col("doc_id"))
-    // `includeExact` additionally connects same-signature (Hamming-0)
-    // documents: dedup_clusters deliberately leaves those to
-    // dedup_simhash's exact-group canon, but a KEEP/DROP decision
-    // (dedup_canonical) must treat exact and near duplicates as one
-    // class. The star edges (min-id -> member) are O(group) rows and
-    // collapse in one propagation round; deriving both edge kinds from
-    // ONE checkpointed signature table runs the expensive signature
-    // aggregation once, not twice.
-    val pairs0 =
-      if (!includeExact) simhashPairs(s, dir).select("d1", "d2")
-      else {
-        val sigs = simhashTable(s, dir).localCheckpoint()
-        // groupBy + join back, NOT a Window over sig: a doc mirrored
-        // millions of times is one signature group, and a window would
-        // funnel the whole group into a single task's sort — the
-        // partial-aggregable min + equi-join spelling has no such
-        // concentration (the repo-wide "no Window funnel" rule)
-        val sigMin = sigs.groupBy("sig").agg(min(col("doc_id")).as("m"))
-        val sigDup = sigs.join(sigMin, Seq("sig"))
-          .filter(col("doc_id") =!= col("m"))
-          .select(col("m").as("d1"), col("doc_id").as("d2"))
-        simhashPairsFrom(sigs).select("d1", "d2").union(sigDup)
-      }
+      includeExact: Boolean = false): DataFrame =
+    clusterLabelsFromEdges(Tables(s, dir, "documents").select(col("doc_id")),
+      simhashEdges(s, dir, includeExact))
+
+  /** The simhash near-dup pair edges (d1, d2) of [[clusterLabels]].
+    * `includeExact` additionally connects same-signature (Hamming-0)
+    * documents: dedup_clusters deliberately leaves those to
+    * dedup_simhash's exact-group canon, but a KEEP/DROP decision
+    * (dedup_canonical) must treat exact and near duplicates as one
+    * class. The star edges (min-id -> member) are O(group) rows and
+    * collapse in one propagation round; deriving both edge kinds from
+    * ONE checkpointed signature table runs the expensive signature
+    * aggregation once, not twice.
+    */
+  private def simhashEdges(s: SparkSession, dir: String,
+      includeExact: Boolean): DataFrame =
+    if (!includeExact) simhashPairs(s, dir).select("d1", "d2")
+    else {
+      val sigs = simhashTable(s, dir).localCheckpoint()
+      // groupBy + join back, NOT a Window over sig: a doc mirrored
+      // millions of times is one signature group, and a window would
+      // funnel the whole group into a single task's sort — the
+      // partial-aggregable min + equi-join spelling has no such
+      // concentration (the repo-wide "no Window funnel" rule)
+      val sigMin = sigs.groupBy("sig").agg(min(col("doc_id")).as("m"))
+      val sigDup = sigs.join(sigMin, Seq("sig"))
+        .filter(col("doc_id") =!= col("m"))
+        .select(col("m").as("d1"), col("doc_id").as("d2"))
+      simhashPairsFrom(sigs).select("d1", "d2").union(sigDup)
+    }
+
+  /** The connected-components label loop over a caller-supplied undirected
+    * pair-edge frame (d1, d2) — the engine of [[clusterLabels]] (simhash
+    * edges) and `dedup_clusters_multi` (the union of every pair relation
+    * the catalog emits). Edge SOURCE is the only thing that varies; the
+    * pointer-jumping iteration, its convergence certificate, and the
+    * singleton-completion join are shared verbatim.
+    */
+  private[graft] def clusterLabelsFromEdges(docs: DataFrame,
+      pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.localCheckpoint()
     // checkpointed PRE-PARTITIONED on the per-round join key: LogicalRDD
     // preserves outputPartitioning, so the edge side of every iteration's
@@ -357,7 +372,7 @@ object DedupQueries {
       labels = next
       rounds += 1
     }
-    require(converged, s"dedup_clusters failed to converge in $rounds rounds")
+    require(converged, s"cluster labeling failed to converge in $rounds rounds")
     if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
       System.err.println(s"[dedup_clusters] converged in $rounds rounds")
     // sizes come from the SMALL checkpointed labels frame, not from the
@@ -386,6 +401,16 @@ object DedupQueries {
   def publishClusterMap(s: SparkSession, dir: String, path: String): Unit =
     graft.sources.Sinks.mergeIntoKeyedParquet(
       clusterLabels(s, dir, includeExact = true), "doc_id", path)
+
+  /** [[publishClusterMap]] over the FULL edge union ([[multiSourceEdges]])
+    * — the production publish: one canonical cluster decision across
+    * every duplicate-evidence relation the catalog emits, consumable by
+    * [[canonicalDecisionFromMap]] unchanged (it takes the map path).
+    */
+  def publishMultiClusterMap(s: SparkSession, dir: String, path: String): Unit =
+    graft.sources.Sinks.mergeIntoKeyedParquet(
+      clusterLabelsFromEdges(Tables(s, dir, "documents").select(col("doc_id")),
+        multiSourceEdges(s, dir)), "doc_id", path)
 
   /** [[canonicalDecision]] with the cluster map read from a published
     * snapshot ([[publishClusterMap]]) instead of re-running the CC loop.
@@ -455,6 +480,108 @@ object DedupQueries {
     reps
       .select(col("doc_id"), col("chunk_id"),
         explode(shingles3(tokens(col("chunk")))).as("sh"))
+      .distinct()
+
+  /** `dedup_ngram_jaccard`'s pair frame (d1, d2, jaccard), unordered —
+    * also an edge source of `dedup_clusters_multi`.
+    */
+  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh0 = shingleTable(s, dir)
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("sh")
+    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+  }
+
+  /** `dedup_chunk_minhash`'s pair frame (d1, c1, d2, c2, est_jaccard),
+    * unordered — projected to (d1, d2) it is an edge source of
+    * `dedup_clusters_multi`.
+    */
+  private[graft] def chunkMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = capBuckets(minhashBands(chunkRepShingles(s, dir),
+      Seq("chunk_id"), K), Seq("band", "bval"))
+    minhashCandidateJoin(bands,
+        col("a.doc_id") < col("b.doc_id") ||
+          (col("a.doc_id") === col("b.doc_id") &&
+            col("a.chunk_id") < col("b.chunk_id")))
+      .select(col("a.doc_id").as("d1"), col("a.chunk_id").as("c1"),
+        col("b.doc_id").as("d2"), col("b.chunk_id").as("c2"),
+        estJaccard(K).as("est_jaccard"))
+      .filter(col("est_jaccard") >= MinEstJaccard)
+      .dropDuplicates("d1", "c1", "d2", "c2")
+  }
+
+  /** `dedup_semantic` (labeled = true) / `dedup_semantic_unlabeled`
+    * (labeled = false) pair frame (d1, d2, sim, drop_id), unordered.
+    * The two forms differ ONLY in the candidate cell — (label × sign
+    * bucket) vs sign bucket alone — and in which null filters the cell
+    * key needs; sharing the body is what the unlabeled form's
+    * subset-relation spec relies on.
+    */
+  private[graft] def semanticPairs(s: SparkSession, dir: String,
+      labeled: Boolean): DataFrame = {
+    val idFilter =
+      if (labeled) col("vec_id").isNotNull && col("label").isNotNull
+      else col("vec_id").isNotNull
+    val cols =
+      if (labeled) Seq(col("vec_id"), col("label"))
+      else Seq(col("vec_id"))
+    val cellKeys = if (labeled) Seq("label", "bkt") else Seq("bkt")
+    val e0 = Tables(s, dir, "embeddings")
+      .filter(idFilter)
+      .select(cols :+ col("embedding").cast("array<double>").as("v"): _*)
+      .withColumn("bkt", signBucket(col("v"), CellBits))
+      .filter(col("bkt").isNotNull)
+    val e = capBuckets(e0, cellKeys)
+    val cellEq =
+      if (labeled) col("a.label") === col("b.label") && col("a.bkt") === col("b.bkt")
+      else col("a.bkt") === col("b.bkt")
+    val pairs = e.as("a").join(e.as("b"),
+        cellEq && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        cosine(col("a.v"), col("b.v")).as("sim"))
+      .filter(col("sim") >= SemTau)
+    val q = Tables(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0)).as("q"))
+    pairs
+      .join(q.select(col("doc_id").as("d1"), col("q").as("q1")), Seq("d1"))
+      .join(q.select(col("doc_id").as("d2"), col("q").as("q2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("sim"),
+        when(col("q1") < col("q2"), col("d1"))
+          .when(col("q2") < col("q1"), col("d2"))
+          .otherwise(greatest(col("d1"), col("d2"))).as("drop_id"))
+  }
+
+  /** The unioned (d1, d2) edge frame of `dedup_clusters_multi`: simhash
+    * near-dup pairs with the exact (Hamming-0) star edges folded in, plus
+    * chunk-minhash pairs projected to documents (same-doc repeated-
+    * paragraph pairs are self-loops here and are dropped), n-gram Jaccard
+    * pairs, and both semantic pair forms. All five relations emit doc-id
+    * pairs from the same corpus id domain (embeddings' vec_id is the
+    * documents' id — both sides of the semantic pairs inner-join
+    * `documents` for the quality election, so no edge can mention an id
+    * outside the doc table). `distinct()` collapses pairs that several
+    * relations vote for before the CC loop checkpoints the edge frame.
+    */
+  private[graft] def multiSourceEdges(s: SparkSession, dir: String): DataFrame =
+    simhashEdges(s, dir, includeExact = true)
+      .union(chunkMinhashPairs(s, dir)
+        .filter(col("d1") =!= col("d2")).select("d1", "d2"))
+      .union(ngramJaccardPairs(s, dir).select("d1", "d2"))
+      .union(semanticPairs(s, dir, labeled = true).select("d1", "d2"))
+      .union(semanticPairs(s, dir, labeled = false).select("d1", "d2"))
       .distinct()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -577,24 +704,8 @@ object DedupQueries {
     // removes are exactly the ones whose within-bucket pair count would
     // grow quadratically. Jaccard is then computed over the surviving
     // (rare-shingle) sets on both engines.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh0 = shingleTable(s, dir)
-      val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > MaxShingleDf).select("sh")
-      val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-        .select(col("d1"), col("d2"),
-          (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
-        .orderBy("d1", "d2")
-    }),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(s, dir).orderBy("d1", "d2")),
 
     // ---- SUB-DOCUMENT dedup: exact chunk-granularity duplicate groups ----
     // Boilerplate repeats at PARAGRAPH granularity (headers, navbars,
@@ -670,20 +781,8 @@ object DedupQueries {
     // door, and the crafted cap test pins it with distinct-content
     // signature-colliding chunks. A ~32-token chunk has ≤ 30 shingles,
     // so per-row signature cost is bounded by the chunk size constant.
-    "dedup_chunk_minhash" -> ((s, dir) => {
-      val bands = capBuckets(minhashBands(chunkRepShingles(s, dir),
-        Seq("chunk_id"), K), Seq("band", "bval"))
-      minhashCandidateJoin(bands,
-          col("a.doc_id") < col("b.doc_id") ||
-            (col("a.doc_id") === col("b.doc_id") &&
-              col("a.chunk_id") < col("b.chunk_id")))
-        .select(col("a.doc_id").as("d1"), col("a.chunk_id").as("c1"),
-          col("b.doc_id").as("d2"), col("b.chunk_id").as("c2"),
-          estJaccard(K).as("est_jaccard"))
-        .filter(col("est_jaccard") >= MinEstJaccard)
-        .dropDuplicates("d1", "c1", "d2", "c2")
-        .orderBy("d1", "c1", "d2", "c2")
-    }),
+    "dedup_chunk_minhash" -> ((s, dir) =>
+      chunkMinhashPairs(s, dir).orderBy("d1", "c1", "d2", "c2")),
 
     // ---- SEMANTIC dedup: embedding pairs, TEXT-quality drop election ----
     // The SemDeDup shape (Abbas et al. 2023, arXiv:2303.03540): semantic
@@ -702,32 +801,8 @@ object DedupQueries {
     // vectors), making the quality join a plain equi-join on the natural
     // key; ids with no text side drop out of the inner join identically
     // on both engines.
-    "dedup_semantic" -> ((s, dir) => {
-      val e0 = Tables(s, dir, "embeddings")
-        .filter(col("vec_id").isNotNull && col("label").isNotNull)
-        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("bkt", signBucket(col("v"), CellBits))
-        .filter(col("bkt").isNotNull)
-      val e = capBuckets(e0, Seq("label", "bkt"))
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.bkt") === col("b.bkt") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-          cosine(col("a.v"), col("b.v")).as("sim"))
-        .filter(col("sim") >= SemTau)
-      val q = Tables(s, dir, "documents")
-        .filter(col("doc_id").isNotNull)
-        .select(col("doc_id"),
-          coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0)).as("q"))
-      pairs
-        .join(q.select(col("doc_id").as("d1"), col("q").as("q1")), Seq("d1"))
-        .join(q.select(col("doc_id").as("d2"), col("q").as("q2")), Seq("d2"))
-        .select(col("d1"), col("d2"), col("sim"),
-          when(col("q1") < col("q2"), col("d1"))
-            .when(col("q2") < col("q1"), col("d2"))
-            .otherwise(greatest(col("d1"), col("d2"))).as("drop_id"))
-        .orderBy("d1", "d2")
-    }),
+    "dedup_semantic" -> ((s, dir) =>
+      semanticPairs(s, dir, labeled = true).orderBy("d1", "d2")),
 
     // ---- SEMANTIC dedup WITHOUT labels: sign-LSH buckets as the cell ----
     // dedup_semantic partitions candidates by the provided `label` — but
@@ -743,31 +818,32 @@ object DedupQueries {
     // linearly with the corpus — same [[MaxBucket]] cap, and the bit
     // width is the production scale knob (more bits = smaller buckets =
     // more hyperplane-straddle misses; ann_lsh_multiprobe's trade).
-    "dedup_semantic_unlabeled" -> ((s, dir) => {
-      val e0 = Tables(s, dir, "embeddings")
-        .filter(col("vec_id").isNotNull)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("bkt", signBucket(col("v"), CellBits))
-        .filter(col("bkt").isNotNull)
-      val e = capBuckets(e0, Seq("bkt"))
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-          cosine(col("a.v"), col("b.v")).as("sim"))
-        .filter(col("sim") >= SemTau)
-      val q = Tables(s, dir, "documents")
-        .filter(col("doc_id").isNotNull)
-        .select(col("doc_id"),
-          coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0)).as("q"))
-      pairs
-        .join(q.select(col("doc_id").as("d1"), col("q").as("q1")), Seq("d1"))
-        .join(q.select(col("doc_id").as("d2"), col("q").as("q2")), Seq("d2"))
-        .select(col("d1"), col("d2"), col("sim"),
-          when(col("q1") < col("q2"), col("d1"))
-            .when(col("q2") < col("q1"), col("d2"))
-            .otherwise(greatest(col("d1"), col("d2"))).as("drop_id"))
-        .orderBy("d1", "d2")
-    }),
+    "dedup_semantic_unlabeled" -> ((s, dir) =>
+      semanticPairs(s, dir, labeled = false).orderBy("d1", "d2")),
+
+    // ---- ONE cluster map over EVERY pair relation the catalog emits ----
+    // dedup_clusters consumes simhash pair edges alone, but the catalog
+    // produces four more near-duplicate evidence relations — chunk-level
+    // minhash (projected to documents), n-gram Jaccard, and both semantic
+    // forms — each catching duplicates the others are blind to (a shared
+    // boilerplate paragraph is invisible to every doc-level sketch; a
+    // paraphrase is invisible to every lexical one). A production dedup
+    // pass publishes ONE canonical decision across all evidence: union
+    // the (d1, d2) edge relations (they share the corpus id domain) into
+    // the SAME pointer-jumping loop. Transitivity is deliberate — if a
+    // chunk edge links A-B and a semantic edge links B-C, A and C are one
+    // cluster, exactly as a union-find over mixed evidence behaves. Exact
+    // duplicates (Hamming-0 star edges) are folded in as in
+    // dedup_canonical, so the map is KEEP/DROP-grade. Cost is the sum of
+    // the edge relations' candidate stages (each already capped) plus the
+    // unchanged O(log diameter) loop — the union adds edge rows, never a
+    // new quadratic door; `distinct()` collapses multi-evidence pairs
+    // BEFORE the checkpointed edge frame so the loop's per-round join
+    // sees each edge once however many relations voted for it.
+    "dedup_clusters_multi" -> ((s, dir) =>
+      clusterLabelsFromEdges(
+        Tables(s, dir, "documents").select(col("doc_id")),
+        multiSourceEdges(s, dir)).orderBy("doc_id")),
 
     // ---- embedding near-dup: cosine NN within (cell × sign sub-bucket) ----
     // The (label × 2^CellBits) bucket space is FIXED, so per-bucket
@@ -883,6 +959,95 @@ object DedupQueries {
        |                       ORDER BY qscore DESC, doc_id) AS rn
        |  FROM d) WHERE rn = 1)""".stripMargin
 
+  /** dedup_ngram_jaccard's oracle — ONE string, shared by its own entry
+    * and (as a nested subquery) dedup_clusters_multi's edge union.
+    */
+  private def ngramJaccardPairsSql: String =
+    s"""WITH sh0 AS ($shSqlRel),
+       |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $MaxShingleDf),
+       |sh AS (SELECT doc_id, sh FROM sh0
+       |       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.sh = sh0.sh)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2, inter / (x.n + y.n - inter) AS jaccard
+       |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+       |WHERE inter / (x.n + y.n - inter) >= 0.2
+       |ORDER BY d1, d2""".stripMargin
+
+  /** dedup_chunk_minhash's oracle (shared like [[ngramJaccardPairsSql]]):
+    * same fragments as dedup_minhash_lsh's oracle (minhash*Sql builders)
+    * over the REPRESENTATIVE chunk relation — one min-(doc_id, chunk_id)
+    * row per md5 group (dedup_chunk_exact's canon spelling), mirroring
+    * the Spark side's exact-duplicate pre-filter.
+    */
+  private def chunkMinhashPairsSql: String =
+    s"""WITH c AS (SELECT doc_id, chunk_id, chunk, md5(chunk) AS chunk_hash
+       |           FROM (${CurationQueries.chunksSqlRel})),
+       |g AS (SELECT chunk_hash, min(doc_id) AS canon_doc FROM c GROUP BY 1),
+       |g2 AS (SELECT g.chunk_hash, g.canon_doc, min(c.chunk_id) AS canon_chunk
+       |       FROM g JOIN c ON c.chunk_hash = g.chunk_hash
+       |                    AND c.doc_id = g.canon_doc GROUP BY 1, 2),
+       |reps AS (SELECT c.doc_id, c.chunk_id, c.chunk
+       |         FROM c JOIN g2 ON c.chunk_hash = g2.chunk_hash
+       |                       AND c.doc_id = g2.canon_doc
+       |                       AND c.chunk_id = g2.canon_chunk),
+       |sh0 AS (SELECT DISTINCT doc_id, chunk_id, unnest(${shinglesNSql("tv", 3)}) AS sh
+       |  FROM (SELECT doc_id, chunk_id, ${tokensSql("chunk")} AS tv FROM reps)),
+       |sigs AS (SELECT doc_id, chunk_id, ${minhashMinsSql(K)}
+       |         FROM sh0 GROUP BY doc_id, chunk_id),
+       |bands AS (SELECT *, ${minhashBvalCaseSql(K)} AS bval
+       |          FROM sigs, (SELECT unnest(range(${K / 2})) AS band)),
+       |hot AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
+       |cold AS (SELECT * FROM bands bd
+       |         WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                           WHERE h.band = bd.band AND h.bval = bd.bval))
+       |SELECT d1, c1, d2, c2, est_jaccard FROM (
+       |  SELECT DISTINCT a.doc_id d1, a.chunk_id c1, b.doc_id d2, b.chunk_id c2,
+       |    (${minhashMatchesSql(K)}) / ${K.toDouble} AS est_jaccard
+       |  FROM cold a JOIN cold b
+       |    ON a.band = b.band AND a.bval = b.bval
+       |   AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.chunk_id < b.chunk_id)))
+       |WHERE est_jaccard >= $MinEstJaccard ORDER BY d1, c1, d2, c2""".stripMargin
+
+  /** dedup_semantic (labeled) / dedup_semantic_unlabeled oracle (shared
+    * like [[ngramJaccardPairsSql]]). The WHERE mirrors the Spark side's
+    * isNotNull filters: without it a NULL-id row would count toward a
+    * bucket's hot-cap membership on one engine and not the other; the
+    * unlabeled form drops the label from the bucket key and the WHERE.
+    */
+  private def semanticPairsSql(labeled: Boolean): String = {
+    val (selCols, whereIds, hotKeys, hotEq, cellEq) =
+      if (labeled)
+        ("vec_id, label", "vec_id IS NOT NULL AND label IS NOT NULL",
+          "label, bkt", "h.label = e0.label AND h.bkt = e0.bkt",
+          "a.label = b.label AND a.bkt = b.bkt")
+      else
+        ("vec_id", "vec_id IS NOT NULL",
+          "bkt", "h.bkt = e0.bkt", "a.bkt = b.bkt")
+    s"""WITH e0 AS (SELECT $selCols, v, ${signBucketSql("v", CellBits)} AS bkt
+       |            FROM (SELECT $selCols, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |                  WHERE $whereIds)),
+       |hot AS (SELECT $hotKeys FROM e0 GROUP BY ${if (labeled) "1, 2" else "1"} HAVING count(*) > $MaxBucket),
+       |e AS (SELECT * FROM e0
+       |      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE $hotEq)),
+       |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |        ${cosineSql("a.v", "b.v")} AS sim
+       |      FROM e a JOIN e b
+       |        ON $cellEq AND a.vec_id < b.vec_id),
+       |q AS (SELECT doc_id,
+       |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
+       |      FROM documents)
+       |SELECT p.d1, p.d2, p.sim,
+       |  CASE WHEN x.q < y.q THEN p.d1
+       |       WHEN y.q < x.q THEN p.d2
+       |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
+       |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
+       |WHERE p.sim >= $SemTau
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_hash,
@@ -961,19 +1126,7 @@ object DedupQueries {
          |       d.doc_id = c.canon_id AS keep
          |FROM d JOIN canon c USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      s"""WITH sh0 AS ($shSqlRel),
-         |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $MaxShingleDf),
-         |sh AS (SELECT doc_id, sh FROM sh0
-         |       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.sh = sh0.sh)),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) AS inter
-         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT d1, d2, inter / (x.n + y.n - inter) AS jaccard
-         |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-         |WHERE inter / (x.n + y.n - inter) >= 0.2
-         |ORDER BY d1, d2""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardPairsSql,
 
     "dedup_chunk_exact" ->
       // lexicographic min (doc_id, chunk_id) spelled as min doc, then min
@@ -1008,88 +1161,43 @@ object DedupQueries {
          |FROM c JOIN g2 USING (chunk_hash)
          |ORDER BY doc_id, chunk_id""".stripMargin,
 
-    "dedup_chunk_minhash" ->
-      // same fragments as dedup_minhash_lsh's oracle (minhash*Sql
-      // builders) over the REPRESENTATIVE chunk relation: one min-
-      // (doc_id, chunk_id) row per md5 group (dedup_chunk_exact's canon
-      // spelling), mirroring the Spark side's exact-duplicate pre-filter
-      s"""WITH c AS (SELECT doc_id, chunk_id, chunk, md5(chunk) AS chunk_hash
-         |           FROM (${CurationQueries.chunksSqlRel})),
-         |g AS (SELECT chunk_hash, min(doc_id) AS canon_doc FROM c GROUP BY 1),
-         |g2 AS (SELECT g.chunk_hash, g.canon_doc, min(c.chunk_id) AS canon_chunk
-         |       FROM g JOIN c ON c.chunk_hash = g.chunk_hash
-         |                    AND c.doc_id = g.canon_doc GROUP BY 1, 2),
-         |reps AS (SELECT c.doc_id, c.chunk_id, c.chunk
-         |         FROM c JOIN g2 ON c.chunk_hash = g2.chunk_hash
-         |                       AND c.doc_id = g2.canon_doc
-         |                       AND c.chunk_id = g2.canon_chunk),
-         |sh0 AS (SELECT DISTINCT doc_id, chunk_id, unnest(${shinglesNSql("tv", 3)}) AS sh
-         |  FROM (SELECT doc_id, chunk_id, ${tokensSql("chunk")} AS tv FROM reps)),
-         |sigs AS (SELECT doc_id, chunk_id, ${minhashMinsSql(K)}
-         |         FROM sh0 GROUP BY doc_id, chunk_id),
-         |bands AS (SELECT *, ${minhashBvalCaseSql(K)} AS bval
-         |          FROM sigs, (SELECT unnest(range(${K / 2})) AS band)),
-         |hot AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
-         |cold AS (SELECT * FROM bands bd
-         |         WHERE NOT EXISTS (SELECT 1 FROM hot h
-         |                           WHERE h.band = bd.band AND h.bval = bd.bval))
-         |SELECT d1, c1, d2, c2, est_jaccard FROM (
-         |  SELECT DISTINCT a.doc_id d1, a.chunk_id c1, b.doc_id d2, b.chunk_id c2,
-         |    (${minhashMatchesSql(K)}) / ${K.toDouble} AS est_jaccard
-         |  FROM cold a JOIN cold b
-         |    ON a.band = b.band AND a.bval = b.bval
-         |   AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.chunk_id < b.chunk_id)))
-         |WHERE est_jaccard >= $MinEstJaccard ORDER BY d1, c1, d2, c2""".stripMargin,
+    "dedup_chunk_minhash" -> chunkMinhashPairsSql,
 
-    "dedup_semantic" ->
-      // the WHERE mirrors the Spark side's vec_id/label isNotNull filter:
-      // without it a NULL-id row would count toward a bucket's hot-cap
-      // membership on one engine and not the other
-      s"""WITH e0 AS (SELECT vec_id, label, v, ${signBucketSql("v", CellBits)} AS bkt
-         |            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |                  WHERE vec_id IS NOT NULL AND label IS NOT NULL)),
-         |hot AS (SELECT label, bkt FROM e0 GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
-         |e AS (SELECT * FROM e0
-         |      WHERE NOT EXISTS (SELECT 1 FROM hot h
-         |                        WHERE h.label = e0.label AND h.bkt = e0.bkt)),
-         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
-         |        ${cosineSql("a.v", "b.v")} AS sim
-         |      FROM e a JOIN e b
-         |        ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
-         |q AS (SELECT doc_id,
-         |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
-         |      FROM documents)
-         |SELECT p.d1, p.d2, p.sim,
-         |  CASE WHEN x.q < y.q THEN p.d1
-         |       WHEN y.q < x.q THEN p.d2
-         |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
-         |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
-         |WHERE p.sim >= $SemTau
-         |ORDER BY d1, d2""".stripMargin,
+    "dedup_semantic" -> semanticPairsSql(labeled = true),
 
-    "dedup_semantic_unlabeled" ->
-      // dedup_semantic's mirror with the label dropped from the bucket
-      // key and the WHERE (the Spark side filters vec_id only)
-      s"""WITH e0 AS (SELECT vec_id, v, ${signBucketSql("v", CellBits)} AS bkt
-         |            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |                  WHERE vec_id IS NOT NULL)),
-         |hot AS (SELECT bkt FROM e0 GROUP BY 1 HAVING count(*) > $MaxBucket),
-         |e AS (SELECT * FROM e0
-         |      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.bkt = e0.bkt)),
-         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
-         |        ${cosineSql("a.v", "b.v")} AS sim
-         |      FROM e a JOIN e b
-         |        ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
-         |q AS (SELECT doc_id,
-         |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
-         |      FROM documents)
-         |SELECT p.d1, p.d2, p.sim,
-         |  CASE WHEN x.q < y.q THEN p.d1
-         |       WHEN y.q < x.q THEN p.d2
-         |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
-         |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
-         |WHERE p.sim >= $SemTau
-         |ORDER BY d1, d2""".stripMargin,
+    "dedup_semantic_unlabeled" -> semanticPairsSql(labeled = false),
+
+    "dedup_clusters_multi" ->
+      // the dedup_clusters recursive reachability closure over the UNION
+      // of every pair relation: simhash pairs + Hamming-0 star edges
+      // (canonicalCtes' sigdup), chunk-minhash pairs projected to
+      // documents, n-gram Jaccard pairs, and both semantic forms. Each
+      // edge source is the corresponding pair oracle nested VERBATIM as a
+      // subquery (DuckDB scopes their internal CTE names) — mirrors
+      // cannot drift because there is exactly one SQL string per pair
+      // relation, shared with its own catalog entry.
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |sigdup AS (SELECT d1, d2 FROM (
+         |  SELECT MIN(doc_id) OVER (PARTITION BY simhash) AS d1, doc_id AS d2
+         |  FROM sigs) WHERE d1 <> d2),
+         |echunk AS (SELECT DISTINCT d1, d2 FROM ($chunkMinhashPairsSql) WHERE d1 <> d2),
+         |engram AS (SELECT d1, d2 FROM ($ngramJaccardPairsSql)),
+         |esem AS (SELECT d1, d2 FROM (${semanticPairsSql(labeled = true)})),
+         |esemu AS (SELECT d1, d2 FROM (${semanticPairsSql(labeled = false)})),
+         |alledges AS (SELECT d1, d2 FROM pairs UNION SELECT d1, d2 FROM sigdup
+         |  UNION SELECT d1, d2 FROM echunk UNION SELECT d1, d2 FROM engram
+         |  UNION SELECT d1, d2 FROM esem UNION SELECT d1, d2 FROM esemu),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM alledges
+         |          UNION ALL SELECT d2, d1 FROM alledges),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY 1)
+         |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       // WHERE mirrors the Spark isNotNull filters (see dedup_semantic)

@@ -739,6 +739,65 @@ class QueriesSpec extends AnyFunSuite {
       s"body chunks must not pair; got $cm")
   }
 
+  test("dedup_clusters_multi links a pair that shares ONLY a chunk edge") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    // docs 0 and 1 share a near-identical 32-token boilerplate chunk
+    // (the chunk-dedup fixture's boiler/boilerC: one token edited, chunk
+    // est_jaccard 1.0 by deterministic md5 arithmetic) followed by LONG
+    // distinct 96-token bodies, so no document-level relation fires:
+    // doc n-gram Jaccard ≈ 27/225 << 0.2, simhash Hamming far above 3,
+    // embeddings orthogonal (sim 0 < SemTau). Doc 2 is all-distinct
+    // control. The chunk-minhash edge is the ONLY evidence linking 0-1 —
+    // exactly the production case (two pages sharing an edited navbar).
+    val boiler = (1 to 32).map(i => s"nav$i")
+    val boilerC = boiler.updated(9, "xnav")
+    def doc(pre: Seq[String], tag: String) =
+      (pre ++ (1 to 96).map(i => s"$tag$i")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-multi").toString
+    Seq((0L, doc(boiler, "bodya"), "en", "synth", 0L),
+        (1L, doc(boilerC, "bodyb"), "en", "synth", 0L),
+        (2L, (1 to 128).map(i => s"other$i").mkString(" "), "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    Seq((0L, Array(1f, 0f, 0f, 0f), 0),
+        (1L, Array(0f, 1f, 0f, 0f), 1),
+        (2L, Array(0f, 0f, 1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(dir + "/embeddings.parquet")
+    // no OTHER edge source fires for (0, 1)
+    assert(DedupQueries.ngramJaccardPairs(spark, dir).isEmpty,
+      "fixture bodies must be long enough to defeat doc-level n-gram Jaccard")
+    assert(DedupQueries.semanticPairs(spark, dir, labeled = false).isEmpty,
+      "orthogonal fixture embeddings must emit no semantic pairs")
+    val single = SparkEntry.queries("dedup_clusters")(spark, dir)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(single(0L) != single(1L),
+      "simhash evidence alone must NOT link the pair")
+    val multi = SparkEntry.queries("dedup_clusters_multi")(spark, dir)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(multi(0L) == (0L, 2L) && multi(1L) == (0L, 2L),
+      s"the chunk edge must place 0 and 1 in one min-label cluster; got $multi")
+    assert(multi(2L) == (2L, 1L), s"the control doc must stay a singleton; got $multi")
+  }
+
+  test("dedup_clusters labels refine into dedup_clusters_multi labels") {
+    // partition refinement: the multi-source edge set is a superset of
+    // the single-source one, so every dedup_clusters cluster must land
+    // INSIDE exactly one multi cluster (more evidence can only merge
+    // clusters, never split one).
+    val single = SparkEntry.queries("dedup_clusters")(spark, Sf0001)
+      .select(col("doc_id"), col("cluster_id").as("c1"))
+    val multi = SparkEntry.queries("dedup_clusters_multi")(spark, Sf0001)
+      .select(col("doc_id"), col("cluster_id").as("c2"))
+    val split = single.join(multi, "doc_id")
+      .groupBy("c1").agg(count_distinct(col("c2")).as("n"))
+      .filter(col("n") > 1)
+    assert(split.isEmpty,
+      s"single-source clusters split across multi clusters: ${split.collect().toSeq}")
+  }
+
   test("dedup_semantic_unlabeled subsumes the labeled pairs below the cap") {
     import spark.implicits._
     // The label-free cell is the labeled cell's sign component (same
