@@ -83,6 +83,32 @@ object TextAnalysisQueries {
   private val PhoneRe = "(?:[+][0-9]{7,15}|[0-9]{3}[-][0-9]{3}[-][0-9]{4})"
   private val Ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
 
+  /** quality_perplexity thresholds. A bigram is RARE when its corpus
+    * conditional probability C(w1 w2)/C(w1·) < 1/[[RareDen]]; a doc is
+    * kept when its rare fraction ≤ [[KeepNum]]/[[KeepDen]]. Both gates
+    * are evaluated as cross-multiplied BIGINT comparisons (the repo's
+    * log-free determinism rule — quality_classifier's logit-gate shape),
+    * so no float ever decides membership.
+    */
+  private[queries] val RareDen = 32L
+  private val KeepNum = 3L
+  private val KeepDen = 8L
+
+  /** Per-occurrence bigram rows (doc_id, bg, w1) of the cleaned token
+    * stream — [[shinglesN]] at n = 2, multiplicity KEPT (LM counts are
+    * occurrence counts, unlike dedup's distinct shingle sets). w1 is the
+    * text before the shingle's single separator space (tokens are
+    * whitespace-split, so they contain none themselves). Docs with < 2
+    * tokens have no bigram and drop out — unscorable under any LM.
+    */
+  private def bigramRows(docs: DataFrame): DataFrame = {
+    val t = tokens(cleanLine(col("text")))
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(shinglesN(t, 2)).as("bg"))
+      .select(col("doc_id"), col("bg"),
+        substring_index(col("bg"), " ", 1).as("w1"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- language ID: stopword-count argmax, fixed tie-break order ----
     "lang_id" -> ((s, dir) => {
@@ -115,6 +141,42 @@ object TextAnalysisQueries {
         .select(col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
           (nAlpha / nChars).as("alpha_ratio"), (nStop / nTok).as("stopword_ratio"),
           qualityExpr(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- CCNet-style model-free LM quality: rare-bigram fraction ----
+    // The other half of the public quality recipe (Wenzek et al. 2019,
+    // arXiv:1911.00359 — CCNet buckets docs by n-gram LM perplexity;
+    // quality_classifier covers the fasttext half): score each document
+    // against a corpus-level bigram LM. Log-free spelling of "high
+    // perplexity": perplexity is driven by low-probability transitions,
+    // so the signal is the FRACTION of a doc's bigrams whose conditional
+    // probability C(w1 w2)/C(w1·) falls below 1/RareDen — a rational
+    // from exact BIGINT counts, decided by cross-multiplication
+    // (32·C(bg) < C(w1)), never by ln. C(w1·) is the first-position
+    // occurrence count (the sum of C(w1 w2) over continuations), so the
+    // conditional distribution sums to exactly 1 per w1. Keyword-salad
+    // spam transitions are unpredictable under the corpus LM (high rare
+    // fraction); natural repeated collocations are predictable (low).
+    // Scale: the LM tables are corpus-derived aggregations — C2 is a
+    // partial-aggregable count on (bigram), C1 a second-stage SUM over
+    // the much smaller DISTINCT-bigram table, and the score join runs
+    // UNhinted on vocabulary keys (decontaminate's rule: never broadcast
+    // a corpus-derived side; AQE splits hot-bigram skew). The one float
+    // division per doc happens after all gating.
+    "quality_perplexity" -> ((s, dir) => {
+      val b = bigramRows(Tables(s, dir, "documents"))
+      val c2 = b.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = c2.select(substring_index(col("bg"), " ", 1).as("w1"), col("c2"))
+        .groupBy("w1").agg(sum("c2").as("c1"))
+      b.join(c2, "bg")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c2") * RareDen < col("c1"), 1L).otherwise(0L)).as("n_rare"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+          (col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"),
+          (col("n_rare") * KeepDen <= col("n_bigrams") * KeepNum).as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -447,6 +509,28 @@ object TextAnalysisQueries {
            |FROM documents
            |ORDER BY doc_id""".stripMargin
       },
+
+      "quality_perplexity" ->
+        // bigram rows via the bound-token shinglesNSql idiom (n = 2);
+        // both SUMs cast back to BIGINT (DuckDB widens SUM(BIGINT) to
+        // HUGEINT — the corpus_mix_tokens lesson); the keep gate is the
+        // same cross-multiplied integer comparison as the Spark side
+        s"""WITH b AS (SELECT doc_id, unnest(${shinglesNSql("t", 2)}) AS bg
+           |           FROM (SELECT doc_id, $toksClean AS t FROM documents
+           |                 WHERE doc_id IS NOT NULL)),
+           |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1),
+           |c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+           |         CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+           |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |         CAST(SUM(CASE WHEN c2.c2 * $RareDen < c1.c1
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+           |       FROM b JOIN c2 USING (bg)
+           |              JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+           |       GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams, n_rare,
+           |  CAST(n_rare AS DOUBLE) / n_bigrams AS rare_frac,
+           |  n_rare * $KeepDen <= n_bigrams * $KeepNum AS keep
+           |FROM sc ORDER BY doc_id""".stripMargin,
 
       "token_stats" ->
         s"""SELECT doc_id,

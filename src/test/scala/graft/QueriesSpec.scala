@@ -739,6 +739,38 @@ class QueriesSpec extends AnyFunSuite {
       s"body chunks must not pair; got $cm")
   }
 
+  test("quality_perplexity: keyword-salad spam scores worse than natural text") {
+    import spark.implicits._
+    // 20 natural docs = the same 8-word cycle repeated 5 times: every
+    // bigram is a high-count collocation (c2 ≈ 80–100 vs c1 ≈ 80–101,
+    // conditional probability ≈ 1 >> 1/32 → zero rare bigrams). One spam
+    // doc = the SAME vocabulary in an order no natural doc uses: each
+    // spam bigram occurs once while its first token starts ~100 corpus
+    // bigrams (32·1 < c1 → rare), so ALL its transitions are surprising
+    // under the corpus LM. Same words — only the transition structure
+    // differs, which is exactly what a bigram LM measures.
+    val cycle = Seq("river", "stone", "moss", "fern", "rain", "cloud", "wind", "leaf")
+    val naturalText = Seq.fill(5)(cycle).flatten.mkString(" ")
+    val spamText = Seq("stone", "river", "fern", "moss",
+      "cloud", "rain", "leaf", "wind").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppl").toString
+    ((0 until 20).map(i => (i.toLong, naturalText, "en", "synth", 0L))
+      :+ ((20L, spamText, "en", "synth", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("quality_perplexity")(spark, dir)
+      .select("doc_id", "n_bigrams", "n_rare", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    (0 until 20).foreach { i =>
+      val (nb, nr, keep) = out(i.toLong)
+      assert(nb == 39L && nr == 0L && keep,
+        s"natural doc $i must have zero rare bigrams; got ${out(i.toLong)}")
+    }
+    assert(out(20L) == (7L, 7L, false),
+      s"every spam transition must be rare and the doc dropped; got ${out(20L)}")
+  }
+
   test("dedup_clusters_multi links a pair that shares ONLY a chunk edge") {
     import spark.implicits._
     import graft.queries.DedupQueries
