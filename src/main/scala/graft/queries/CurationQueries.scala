@@ -588,6 +588,59 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- SEMANTIC benchmark decontamination: embedding-cosine overlap ----
+    // The third rung of the decontamination ladder: `decontaminate`
+    // catches verbatim 8-gram overlap, `decontaminate_fuzzy` the light
+    // paraphrase that still shares 3-token shingles — but a full rewrite
+    // of a benchmark item (same meaning, no shared shingle) defeats every
+    // lexical form. Embedding cosine across the split catches it:
+    // dedup_semantic_unlabeled's capped sign-LSH cells (SAME CellBits —
+    // the label-free production cell) pointed ACROSS the train/held-out
+    // split, flagging a train doc whose vector lands in a held-out
+    // vector's cell at cosine >= SemTau. The cap is DIRECTIONAL
+    // (decontaminate_fuzzy's recall lesson, spelled with DedupQueries'
+    // shared hot/drop stages over the HELD-OUT rows only): a benchmark
+    // rewritten into the crawl n times makes the TRAIN side of its cell
+    // hot, and a total-membership cap would unflag exactly those docs.
+    // Held-out cell membership <= MaxBucket bounds every cell's join
+    // output to MaxBucket x its train rows — linear in the corpus — and
+    // a held-out cell that hot means the benchmark suite itself carries
+    // 100+ near-identical vectors. vec_id shares the documents' id
+    // domain (dedup_semantic's argument), so the split rule is the SAME
+    // md5 coin as the lexical forms — all three ladders partition the
+    // corpus identically and their flag sets compose.
+    "decontaminate_semantic" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      val h2v = substring(md5(col("vec_id").cast("string")), 1, 2)
+      val e0 = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull)
+        .select(col("vec_id"), h2v.as("bucket"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("bkt", signBucket(col("v"), DedupQueries.CellBits))
+        .filter(col("bkt").isNotNull)
+      val hot = DedupQueries.hotBuckets(
+        DedupQueries.bucketCounts(e0.filter(col("bucket") >= "cd"),
+          Seq("bkt")), Seq("bkt"))
+      val e = DedupQueries.dropHot(e0, hot, Seq("bkt"))
+      val hits = e.filter(col("bucket") < "cd").as("a")
+        .join(e.filter(col("bucket") >= "cd").as("b"),
+          col("a.bkt") === col("b.bkt"))
+        .select(col("a.vec_id").as("doc_id"), col("b.vec_id").as("src_id"),
+          cosine(col("a.v"), col("b.v")).as("sim"))
+        .filter(col("sim") >= DedupQueries.SemTau)
+        .dropDuplicates("doc_id", "src_id")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sem_dups"))
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && h2 < "cd")
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sem_dups"), lit(0L)).as("n_sem_dups"),
+          (coalesce(col("n_sem_dups"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // ---- training-mix resampling to per-source target weights ----
     // Deterministic coin = the doc id's md5 prefix (sample_split's rule),
     // so the mix is identical across runs and partitionings; a 0-copy doc
@@ -1004,6 +1057,33 @@ object CurationQueries {
          |       COALESCE(h.n_near_dups, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h USING (doc_id)
          |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cd'
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "decontaminate_semantic" -> {
+      // cell assignment and cosine shared with dedup_semantic_unlabeled's
+      // oracle fragments (VectorFunctions' *Sql builders); the hot cap
+      // counts HELD-OUT vectors only — see the query comment
+      import graft.functions.VectorFunctions.{cosineSql, signBucketSql}
+      s"""WITH e0 AS (SELECT vec_id,
+         |    substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) AS bucket,
+         |    v, ${signBucketSql("v", DedupQueries.CellBits)} AS bkt
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |        WHERE vec_id IS NOT NULL)),
+         |hot AS (SELECT bkt FROM e0 WHERE bucket >= 'cd'
+         |        GROUP BY 1 HAVING count(*) > ${DedupQueries.MaxBucket}),
+         |e AS (SELECT * FROM e0
+         |      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.bkt = e0.bkt)),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sem_dups FROM (
+         |  SELECT DISTINCT a.vec_id AS doc_id, b.vec_id AS src_id
+         |  FROM e a JOIN e b
+         |    ON a.bkt = b.bkt AND a.bucket < 'cd' AND b.bucket >= 'cd'
+         |  WHERE ${cosineSql("a.v", "b.v")} >= ${DedupQueries.SemTau}) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(h.n_sem_dups, 0) AS n_sem_dups,
+         |       COALESCE(h.n_sem_dups, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id IS NOT NULL
+         |  AND substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cd'
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -47,7 +47,7 @@ object DedupQueries {
   private val BITS = 64        // simhash width (two md5s, one bit per hex digit)
   private val Bands = 4        // simhash LSH bands (16 bits each → 65,536 buckets/band)
   private val MaxShingleDf = 100 // n-gram Jaccard: drop shingles in more docs than this
-  private val CellBits = 8     // embedding dedup: sign-LSH sub-bucket bits within a cell
+  private[graft] val CellBits = 8  // embedding dedup: sign-LSH sub-bucket bits within a cell
   // Any FIXED-width bucket space (simhash bands, sign sub-buckets) admits a
   // quadratic blow-up when one bucket's membership grows with the corpus;
   // buckets larger than this are dropped via broadcast anti-join BEFORE the
@@ -62,7 +62,7 @@ object DedupQueries {
   // near-orthogonal (within-label cosine tops out ~0.47), so the gate is
   // tuned to that space; a production embedding model concentrates
   // duplicates at ~0.95+ — the constant is the operator's single knob.
-  private val SemTau = 0.3
+  private[graft] val SemTau = 0.3
 
   // ===== shared cap/candidate stages =====
   // Every capped bucket space in this file (and decontaminate_fuzzy's,

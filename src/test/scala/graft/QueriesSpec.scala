@@ -686,6 +686,60 @@ class QueriesSpec extends AnyFunSuite {
       s"a >MaxBucket held-out bucket must be dropped by the cap; got ${outB.toSeq}")
   }
 
+  test("decontaminate_semantic flags the shingle-disjoint rewrite; mirror heat survives the cap") {
+    import spark.implicits._
+    // the third decontamination rung: a benchmark item REWRITTEN into the
+    // crawl shares no 3-token shingle with the held-out original (fuzzy
+    // is blind) but its embedding stays cosine-close. Fixture: train doc
+    // T's text has zero common tokens with held-out H's, yet their
+    // vectors share a sign cell at cosine ≈ 0.98. Plus the directional-
+    // cap case (fuzzy's lesson transplanted): 120 train mirror VECTORS
+    // share one cell with a single held-out vector — train-side heat
+    // must not trip the cap, all 120 stay flagged.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def prefix2(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    val ids = (0L until 4000L).toVector
+    val heldOut = ids.filter(prefix2(_) >= "cd")
+    val train = ids.filter(prefix2(_) < "cd")
+    val t = train.head; val mirrors = train.tail.take(120)
+    val Vector(h, h2) = heldOut.take(2)
+    // cell "11110011": H's vector and T's sign-preserving perturbation
+    val vh = Array(1f, 1f, 1f, 1f, -1f, -1f, 1f, 1f)
+    val vt = Array(0.9f, 0.9f, 0.9f, 0.9f, -0.9f, -1.1f, 0.95f, 1.05f)
+    // cell "11111111": the mirror swarm and its held-out source
+    val vm = Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)
+    val vh2 = Array(1.1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem").toString
+    (Seq((t, "zebra quartz umbrella nectar violin harbor lantern meadow", "en", "synth", 0L),
+         (h, "benchmark question river mountain answer choice evaluation item", "en", "synth", 0L),
+         (h2, "second held out benchmark content goes here now", "en", "synth", 0L))
+      ++ mirrors.map(m => (m, "mirror spam page body text repeated across crawl", "en", "synth", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    (Seq((t, vt, 0), (h, vh, 1), (h2, vh2, 1)) ++ mirrors.map(m => (m, vm, 0)))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(dir + "/embeddings.parquet")
+    val sem = SparkEntry.queries("decontaminate_semantic")(spark, dir)
+      .select("doc_id", "n_sem_dups", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sem(t) == (1L, true),
+      s"the cosine-close, shingle-disjoint rewrite must be flagged; got ${sem(t)}")
+    mirrors.foreach { m =>
+      assert(sem(m) == (1L, true),
+        s"train-side cell heat must not unflag mirror $m; got ${sem(m)}")
+    }
+    // the lexical rungs are blind to the rewrite — no shared 8-gram, no
+    // shared 3-token shingle
+    val fuzzy = SparkEntry.queries("decontaminate_fuzzy")(spark, dir)
+      .filter(col("doc_id") === t).select("contaminated").as[Boolean].head()
+    assert(!fuzzy, "the rewrite shares no shingle — fuzzy must miss it")
+    val exact = SparkEntry.queries("decontaminate")(spark, dir)
+      .filter(col("doc_id") === t).select("contaminated").as[Boolean].head()
+    assert(!exact, "the rewrite shares no 8-gram — exact must miss it")
+  }
+
   test("chunk dedup catches a shared boilerplate paragraph doc-level dedup misses") {
     import spark.implicits._
     // docs A and B: the same 32-token boilerplate "navbar" followed by
