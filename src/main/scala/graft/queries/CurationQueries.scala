@@ -792,6 +792,23 @@ object CurationQueries {
         .join(scrubbedDocs(s, dir), Seq("doc_id"))
         .orderBy("doc_id")),
 
+    // ---- the FULL curation pass: + the RefinedWeb line-correction gate ----
+    // pipeline_curate_scrub's composition plus line_filter's doc gate
+    // (drop the doc if the line-wise corrections removed > 5% of its
+    // lines) as a FOURTH semi-join on the natural key — a real pass runs
+    // the line rules too, and a doc gutted by them is low-quality
+    // evidence the median quality score alone can miss (the gate fires
+    // on STRUCTURE — uppercase-navbar / link-list lines — not on token
+    // statistics). Same composition rules as the other gates: the line
+    // frame is an independent per-row subplan (shuffle-free until its
+    // semi-join), siblings at cluster scale, nothing re-sorts mid-plan.
+    "pipeline_curate_full" -> ((s, dir) =>
+      curateWith(s, dir, DedupQueries.canonicalDecision(s, dir))
+        .join(TextAnalysisQueries.lineFilterFrame(s, dir)
+          .filter(col("doc_kept")).select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(scrubbedDocs(s, dir), Seq("doc_id"))
+        .orderBy("doc_id")),
+
     // ---- distribution-relative quality filtering ----
     // Keep documents at or above their LANGUAGE's median quality — the
     // relative-threshold curation rule (an absolute threshold over- or
@@ -1173,6 +1190,23 @@ object CurationQueries {
          |       s.text_scrubbed, s.n_chunks, s.n_kept
          |FROM kept k
          |JOIN keeps USING (doc_id) JOIN clean USING (doc_id)
+         |JOIN scrub s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate_full" ->
+      // pipeline_curate_scrub's oracle plus line_filter's own mirror
+      // nested verbatim as the fourth gate (one string per rule — the
+      // dedup_clusters_multi composition discipline)
+      s"""WITH RECURSIVE $curateCtes,
+         |$scrubCtes,
+         |linekeep AS (SELECT doc_id
+         |             FROM (${TextAnalysisQueries.lineFilterSql})
+         |             WHERE doc_kept)
+         |SELECT k.doc_id, k.lang, k.quality,
+         |       s.text_scrubbed, s.n_chunks, s.n_kept
+         |FROM kept k
+         |JOIN keeps USING (doc_id) JOIN clean USING (doc_id)
+         |JOIN linekeep USING (doc_id)
          |JOIN scrub s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 

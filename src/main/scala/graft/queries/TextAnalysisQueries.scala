@@ -94,6 +94,47 @@ object TextAnalysisQueries {
   private val KeepNum = 3L
   private val KeepDen = 8L
 
+  /** The `line_filter` frame (doc_id, text_filtered, n_lines, n_kept,
+    * doc_kept), unordered — also the fourth gate of [[CurationQueries]]'
+    * `pipeline_curate_full` (`doc_kept` is the RefinedWeb §G rule: the
+    * line corrections removed > 5% of the doc's lines ⇒ drop the doc).
+    */
+  private[queries] def lineFilterFrame(s: SparkSession, dir: String): DataFrame = {
+    def nOf(l: Column, keepClass: String): Column =
+      length(regexp_replace(l, keepClass, "")).cast("long")
+    val keepLine = (l: Column) => {
+      val nAlpha = nOf(l, "[^A-Za-z]")
+      length(l) === 0 ||
+        (length(l) > 10 && nAlpha > 0 && nOf(l, "[^A-Z]") * 2 <= nAlpha)
+    }
+    val lv = split(col("text"), "\n")
+    val kept = filter(lv, keepLine)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(kept, "\n").as("text_filtered"),
+        size(lv).as("n_lines"), size(kept).as("n_kept"),
+        ((size(lv) - size(kept)).cast("long") * 20 <=
+          size(lv).cast("long")).as("doc_kept"))
+  }
+
+  /** line_filter's oracle — ONE string, shared by its own entry and (as
+    * a nested subquery) pipeline_curate_full's line gate.
+    */
+  private[queries] val lineFilterSql: String =
+    // rule mirrored literally: blank OR (>10 chars AND has letters
+    // AND NOT uppercase-majority); doc gate n_removed*20 <= n_lines
+    """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS lv FROM documents),
+      |k AS (SELECT doc_id, lv,
+      |        list_filter(lv, x -> length(x) = 0 OR (length(x) > 10
+      |          AND length(regexp_replace(x, '[^A-Za-z]', '', 'g')) > 0
+      |          AND 2 * length(regexp_replace(x, '[^A-Z]', '', 'g'))
+      |            <= length(regexp_replace(x, '[^A-Za-z]', '', 'g')))) AS kept
+      |      FROM l)
+      |SELECT doc_id, array_to_string(kept, chr(10)) AS text_filtered,
+      |  CAST(len(lv) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept,
+      |  (CAST(len(lv) - len(kept) AS BIGINT) * 20 <= CAST(len(lv) AS BIGINT)) AS doc_kept
+      |FROM k ORDER BY doc_id""".stripMargin
+
   /** Per-occurrence bigram rows (doc_id, bg, w1) of the cleaned token
     * stream — [[shinglesN]] at n = 2, multiplicity KEPT (LM counts are
     * occurrence counts, unlike dedup's distinct shingle sets). w1 is the
@@ -257,24 +298,7 @@ object TextAnalysisQueries {
     // The uppercase rule cannot fire on the lowercase synthetic
     // corpus (like text_scrub's URLs); the crafted spec fires all
     // three and both sides of the 5% boundary.
-    "line_filter" -> ((s, dir) => {
-      def nOf(l: Column, keepClass: String): Column =
-        length(regexp_replace(l, keepClass, "")).cast("long")
-      val keepLine = (l: Column) => {
-        val nAlpha = nOf(l, "[^A-Za-z]")
-        length(l) === 0 ||
-          (length(l) > 10 && nAlpha > 0 && nOf(l, "[^A-Z]") * 2 <= nAlpha)
-      }
-      val lv = split(col("text"), "\n")
-      val kept = filter(lv, keepLine)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          array_join(kept, "\n").as("text_filtered"),
-          size(lv).as("n_lines"), size(kept).as("n_kept"),
-          ((size(lv) - size(kept)).cast("long") * 20 <=
-            size(lv).cast("long")).as("doc_kept"))
-        .orderBy("doc_id")
-    }),
+    "line_filter" -> ((s, dir) => lineFilterFrame(s, dir).orderBy("doc_id")),
 
     // ---- repetition ratio (Gopher-style boilerplate signal): fraction of
     // a doc's 3-gram shingles accounted for by its single most frequent
@@ -561,20 +585,7 @@ object TextAnalysisQueries {
            |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ips
            |FROM documents ORDER BY doc_id""".stripMargin,
 
-      "line_filter" ->
-        // rule mirrored literally: blank OR (>10 chars AND has letters
-        // AND NOT uppercase-majority); doc gate n_removed*20 <= n_lines
-        """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS lv FROM documents),
-          |k AS (SELECT doc_id, lv,
-          |        list_filter(lv, x -> length(x) = 0 OR (length(x) > 10
-          |          AND length(regexp_replace(x, '[^A-Za-z]', '', 'g')) > 0
-          |          AND 2 * length(regexp_replace(x, '[^A-Z]', '', 'g'))
-          |            <= length(regexp_replace(x, '[^A-Za-z]', '', 'g')))) AS kept
-          |      FROM l)
-          |SELECT doc_id, array_to_string(kept, chr(10)) AS text_filtered,
-          |  CAST(len(lv) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept,
-          |  (CAST(len(lv) - len(kept) AS BIGINT) * 20 <= CAST(len(lv) AS BIGINT)) AS doc_kept
-          |FROM k ORDER BY doc_id""".stripMargin,
+      "line_filter" -> lineFilterSql,
 
       "doc_repetition" ->
         s"""SELECT doc_id, CAST(max(c) AS BIGINT) AS top_count,

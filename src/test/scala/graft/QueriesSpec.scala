@@ -945,6 +945,49 @@ class QueriesSpec extends AnyFunSuite {
       s"composition must equal the independent join (${composed.size} vs ${independent.size} rows)")
   }
 
+  test("pipeline_curate_full adds the line gate; a navbar-gutted survivor is dropped") {
+    import spark.implicits._
+    // composition proof on real data (the line gate is vacuous on the
+    // single-line synthetic corpus — every doc passes — so equality with
+    // the independently-gated form is the meaningful assertion there)
+    val full = SparkEntry.queries("pipeline_curate_full")(spark, Sf0001)
+    val expect = SparkEntry.queries("pipeline_curate_scrub")(spark, Sf0001)
+      .join(SparkEntry.queries("line_filter")(spark, Sf0001)
+        .filter(col("doc_kept")).select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(full.exceptAll(expect).isEmpty && expect.exceptAll(full).isEmpty,
+      "the composed query must equal pipeline_curate_scrub gated by line_filter")
+    // crafted corpus where the gate FIRES inside the composition: the
+    // gutted doc is its own language's only member (median = itself, so
+    // the quality gate passes it), unique text (dedup keeps it), train
+    // split, no held-out 8-gram overlap — every other gate says keep,
+    // but 2 of its 12 lines are uppercase navbars (> 5% removed ⇒ drop)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def prefix2(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    val train = (0L until 200L).filter(prefix2(_) < "cd")
+    val gutted = train.head
+    val goodLine = "the quick brown fox jumps over the lazy dog again"
+    val guttedText = (Seq.fill(10)(goodLine) ++
+      Seq("HOME ABOUT CONTACT MENU", "PRIVACY TERMS SITEMAP LOGIN")).mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-full").toString
+    ((gutted, guttedText, "xx", "synth", 0L) +:
+      train.tail.take(8).zipWithIndex.map { case (id, i) =>
+        (id, s"plain body text number $i with the usual words in it", "en", "synth", 0L)
+      })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val scrubIds = SparkEntry.queries("pipeline_curate_scrub")(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val fullIds = SparkEntry.queries("pipeline_curate_full")(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(scrubIds.contains(gutted),
+      s"every non-line gate must keep the gutted doc; kept = $scrubIds")
+    assert(!fullIds.contains(gutted),
+      s"the line gate must drop the navbar-gutted doc; kept = $fullIds")
+    assert(fullIds == scrubIds - gutted,
+      s"the line gate must drop ONLY the gutted doc; $fullIds vs $scrubIds")
+  }
+
   test("dedup_chunk_minhash's exact-dup pre-filter collapses mirror spam to one rep") {
     import spark.implicits._
     // 110 single-chunk documents of the same boilerplate: the md5 group
