@@ -274,6 +274,81 @@ class StreamingSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("incremental chunk dedup under the CDC chunker recognizes an insertion re-crawl") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    // THE composition CDC exists for: a re-crawl with one INSERTED token
+    // shifts every fixed window (nothing recognized), while content-
+    // defined boundaries realign after the edit — the stream must see
+    // the re-crawl as MOSTLY historical under the CDC chunker and as
+    // all-novel under fixed windows. The expected counts come from the
+    // same in-test boundary model as the doc_chunks_cdc spec.
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def cdcChunks(toks: Seq[String]): Seq[String] = {
+      val n = toks.length
+      val he = (4 to n).filter(i =>
+        md5hex(toks.slice(i - 4, i).mkString(" ")).startsWith("0"))
+      val ends = if (he.nonEmpty && he.last == n) he else he :+ n
+      ends.zipWithIndex.map { case (e, j) =>
+        val s0 = if (j == 0) 0 else ends(j - 1)
+        toks.slice(s0, e).mkString(" ")
+      }
+    }
+    val base = (0 until 160).map(i => "w" + i)
+    val ins = "ins" +: base
+    val (m0, m1) = (cdcChunks(base), cdcChunks(ins))
+    val novelAfterIns = m1.toSet -- m0.toSet
+    require(m1.size >= 3 && novelAfterIns.nonEmpty && novelAfterIns.size < m1.size,
+      s"fixture must realign: ${m1.size} chunks, ${novelAfterIns.size} novel")
+    // the stream's default chunker is the DISJOINT form (stride = 32)
+    def fixedCount(n: Int): Long = math.ceil(n / 32.0).toLong
+
+    def runStream(tag: String, chunker: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] = {
+      val root = Files.createTempDirectory(s"graft-cdcstream-$tag").toString
+      val in = root + "/in"
+      new java.io.File(in).mkdirs()
+      val (hist, out, ckpt) = (root + "/chist", root + "/kept", root + "/ckpt")
+      def addBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+        val stage = Files.createTempDirectory("graft-cdcs-stage").toString
+        rows.map { case (id, t) => (id, t, "en", "synth", 0L) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, java.nio.file.Paths.get(in, name))
+      }
+      addBatch("b1.parquet", Seq((10L, base.mkString(" "))))
+      val q = StreamingPipelines.incrementalChunkDedupStream(
+        spark, in, hist, out, ckpt, chunker)
+      try q.processAllAvailable() finally q.stop()
+      // restart recovery: batch 1's input is GONE before the re-crawl
+      // arrives — recognition can only come from the published history
+      assert(new java.io.File(in, "b1.parquet").delete())
+      addBatch("b2.parquet", Seq((30L, ins.mkString(" "))))
+      val q2 = StreamingPipelines.incrementalChunkDedupStream(
+        spark, in, hist, out, ckpt, chunker)
+      try q2.processAllAvailable() finally q2.stop()
+      Sinks.readKeyedParquet(spark, out)
+        .select("doc_id", "n_chunks", "n_novel").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    }
+
+    val cdcKept = runStream("cdc", graft.queries.CurationQueries.cdcChunkRowsOf)
+    assert(cdcKept(10L) == (m0.size.toLong, m0.size.toLong))
+    assert(cdcKept(30L) == (m1.size.toLong, novelAfterIns.size.toLong),
+      s"CDC must recognize the post-insertion chunks off the published " +
+        s"history (expected ${m1.size} chunks / ${novelAfterIns.size} novel); " +
+        s"got ${cdcKept(30L)}")
+
+    val fixedKept = runStream("fixed", graft.queries.CurationQueries.chunksOf)
+    assert(fixedKept(30L) == (fixedCount(161), fixedCount(161)),
+      s"fixed windows must recognize NOTHING after an insertion " +
+        s"(all ${fixedCount(161)} chunks shifted); got ${fixedKept(30L)}")
+  }
+
   test("incremental dedup with hamming > 0 drops near-duplicates of the history") {
     import spark.implicits._
     import graft.sources.Sinks
