@@ -85,6 +85,28 @@ object LshStats {
         s""","candidate_pairs":${cand.count()},"emitted_pairs":${pairs.count()}}""")
     }
 
+    // ---- CDC chunking stats (dedup_chunk_cdc's relation) ----
+    // The CDC scale argument made measurable: mean chunk ≈ CdcW·16/...
+    // tokens (P = 1/16 boundary rule) implies ≈ ChunkSize/mean × the
+    // fixed DISJOINT chunk rows, and the exact chunk-dedup group space
+    // is the DISTINCT chunk-content count. Same composition discipline:
+    // the relation is the operator's own cdcChunkRowsOf.
+    {
+      val fixedRows = graft.queries.CurationQueries.chunksOf(
+        Tables(spark, sfDir, "documents")).count()
+      val cdc = graft.queries.CurationQueries.cdcChunkRowsOf(
+        Tables(spark, sfDir, "documents")).localCheckpoint()
+      val rows = cdc.count()
+      val agg = cdc.agg(
+        coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("sum_t"),
+        coalesce(max(col("n_tokens")), lit(0)).as("max_t")).head()
+      val distinct = cdc.select(md5(col("chunk")).as("ch")).distinct().count()
+      println(s"""{"query":"dedup_chunk_cdc","sf":"$sfDir"""" +
+        s""","fixed_disjoint_chunk_rows":$fixedRows,"cdc_chunk_rows":$rows""" +
+        s""","distinct_chunks":$distinct,"sum_tokens":${agg.getLong(0)}""" +
+        s""","max_chunk_tokens":${agg.get(1)}}""")
+    }
+
     // ---- ann_lsh_multiprobe stages (the query's own machinery) ----
     {
       val probeKeys = Seq("tbl", "bucket")
