@@ -76,9 +76,15 @@ object TextAnalysisQueries {
 
   /** PII patterns for text_scrub_pii — same explicit-class discipline as
     * [[UrlRe]] (Java-regex and RE2 read them identically). Phone = E.164
-    * (+ and 7–15 digits) or US dashed triplets; the two alternatives are
-    * disjoint from [[Ipv4Re]] (an IPv4 has dots where the dashed form
-    * has dashes, and no leading +), so replacement order cannot matter.
+    * (+ and 7–15 digits) or US dashed triplets. No single span matches
+    * BOTH patterns (an IPv4 has dots where the dashed form has dashes,
+    * and no leading +), but the classes are not fully independent: on
+    * adversarial digit runs ('999-999-9999.1.2.3') the phone match can
+    * CONSUME digits an IPv4 match would have spanned, so `n_ips` counted
+    * on the original text can exceed the `<IP>` markers in the scrubbed
+    * output. Both engines evaluate the same rule in the same order, so
+    * the oracle compare is unaffected; the counts are defined as
+    * "matches in the ORIGINAL text per class", not "redactions made".
     */
   private val PhoneRe = "(?:[+][0-9]{7,15}|[0-9]{3}[-][0-9]{3}[-][0-9]{4})"
   private val Ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"

@@ -9,6 +9,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * (the public Column API intentionally hides its expression backing).
   * Keep this file to these forwarders; all graft logic lives in the
   * `graft` packages.
+  *
+  * VERSION PIN: everything reached through this bridge is Spark-internal
+  * API, validated against the build's Spark 4.1.2 jars. The most
+  * upgrade-fragile consumers are CurationQueries' `bloomOf`/`mightContain`
+  * (`BloomFilterAggregate` constructor arity, `BloomFilterMightContain`'s
+  * scalar-subquery type-check rule) and `ofRows` below — on a Spark
+  * upgrade, compile failures surface constructor drift, and the
+  * decontaminate_bloom spec's plan assertion (might_contain below the
+  * distinct) plus its frame-equality check surface behavioral drift loudly.
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
