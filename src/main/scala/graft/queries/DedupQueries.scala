@@ -34,6 +34,16 @@ import org.apache.spark.sql.functions._
   *             the self-join, the same broadcast-anti-join cap as the
   *             n-gram path
   *
+  *  - containment: the DIRECTIONAL sibling of n-gram Jaccard (|A∩B|/|A| ≥
+  *             0.8) over the same capped candidate stage — catches a short
+  *             doc quoted inside a long one, which symmetric Jaccard
+  *             scores ≈ |A|/|B| and misses
+  *  - source overlap: per-source bottom-k (KMV) md5-shingle sketches →
+  *             pairwise Jaccard estimates between corpus sources, one
+  *             partial-aggregable pass plus a sources²·k driver-scale join
+  *  - n-gram novelty: per-doc fraction of corpus-FIRST shingles
+  *             (keep-first min(doc_id)) — the dedup-outcome metric
+  *
   * All hashing is md5 (identical in Spark and DuckDB), so even the sketch
   * operators are oracle-checkable.
   */
@@ -58,6 +68,13 @@ object DedupQueries {
   // minhash LSH emission gate: fraction of agreeing signature components.
   // private[graft] like K/MaxBucket — graft.LshStats applies the REAL gate.
   private[graft] val MinEstJaccard = 0.5
+  // dedup_containment emission gate: fraction of the CONTAINED doc's rare
+  // shingles that appear in the container.
+  private[graft] val MinContainment = 0.8
+  // source_overlap: bottom-k (KMV) sketch size per source. 256 gives a
+  // Jaccard standard error of ~1/sqrt(256) ≈ 6% — mix-weight informative
+  // — and the sketch stays 256 hashes per source whatever the corpus.
+  private[graft] val SketchK = 256
   // dedup_semantic cosine gate. The driver's synthetic embeddings are
   // near-orthogonal (within-label cosine tops out ~0.47), so the gate is
   // tuned to that space; a production embedding model concentrates
@@ -482,10 +499,12 @@ object DedupQueries {
         explode(shingles3(tokens(col("chunk")))).as("sh"))
       .distinct()
 
-  /** `dedup_ngram_jaccard`'s pair frame (d1, d2, jaccard), unordered —
-    * also an edge source of `dedup_clusters_multi`.
+  /** Rare-shingle pair statistics (d1 < d2, inter, n1, n2) under the
+    * hot-shingle cap — the shared candidate stage of `dedup_ngram_jaccard`
+    * (symmetric Jaccard) and `dedup_containment` (directional
+    * containment). One SQL twin: [[rareShinglePairStatsSql]].
     */
-  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def rareShinglePairStats(s: SparkSession, dir: String): DataFrame = {
     val sh0 = shingleTable(s, dir)
     val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("sh")
@@ -498,10 +517,16 @@ object DedupQueries {
     inter
       .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+  }
+
+  /** `dedup_ngram_jaccard`'s pair frame (d1, d2, jaccard), unordered —
+    * also an edge source of `dedup_clusters_multi`.
+    */
+  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    rareShinglePairStats(s, dir)
       .select(col("d1"), col("d2"),
         (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-  }
 
   /** `dedup_chunk_minhash`'s pair frame (d1, c1, d2, c2, est_jaccard),
     * unordered — projected to (d1, d2) it is an edge source of
@@ -707,6 +732,33 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(s, dir).orderBy("d1", "d2")),
 
+    // ---- directional containment: the quote/inclusion detector ----
+    // Jaccard is SYMMETRIC, so a short doc quoted verbatim inside a much
+    // longer one scores |A|/|B| — far below any Jaccard threshold the
+    // moment the container is big (the spec pins exactly this miss).
+    // Containment |A∩B|/|A| is the asymmetric form (Broder's original
+    // distinction): ≥ [[MinContainment]] of the CONTAINED side's rare
+    // shingles appear in the container, whatever the container's size.
+    // Same candidate stage as dedup_ngram_jaccard (shared
+    // [[rareShinglePairStats]] — hot-shingle capped, so the denominator
+    // counts rare shingles; a doc made ENTIRELY of stop-shingles has no
+    // candidates, documented like the Jaccard form). Both directions of
+    // each unordered candidate pair are tested; the union doubles rows
+    // before a filter, never the join itself.
+    "dedup_containment" -> ((s, dir) => {
+      val st = rareShinglePairStats(s, dir)
+      val d1in2 = st.select(col("d1").as("contained"), col("d2").as("container"),
+        col("inter").as("n_shared"), col("n1").as("n_contained"))
+      val d2in1 = st.select(col("d2").as("contained"), col("d1").as("container"),
+        col("inter").as("n_shared"), col("n2").as("n_contained"))
+      d1in2.union(d2in1)
+        .select(col("contained"), col("container"), col("n_shared"),
+          col("n_contained"),
+          (col("n_shared") / col("n_contained")).as("containment"))
+        .filter(col("containment") >= MinContainment)
+        .orderBy("contained", "container")
+    }),
+
     // ---- SUB-DOCUMENT dedup: exact chunk-granularity duplicate groups ----
     // Boilerplate repeats at PARAGRAPH granularity (headers, navbars,
     // license blocks) and is invisible to every document-level signature
@@ -875,6 +927,63 @@ object DedupQueries {
         .agg(max(struct(col("sim").as("sim"), (-col("nn_id")).as("neg_id"))).as("best"))
         .select(col("vec_id"), col("label"), (-col("best.neg_id")).as("nn_id"))
         .orderBy("vec_id")
+    }),
+
+    // ---- source-level content overlap: bottom-k (KMV) sketch Jaccard ----
+    // Which corpus sources crawl the same underlying content? The answer
+    // drives mix weights (corpus_mix double-counts overlapping sources)
+    // and dedup ordering, and the exact answer is a cross-source
+    // shingle-intersection join — quadratic in sources × corpus. The
+    // bottom-k sketch answers it in ONE partial-aggregable pass: per
+    // source, the k smallest distinct md5(shingle) values ([[graft
+    // .functions.BottomK]] — map-side pruned like TopK, no Window funnel
+    // on the handful of hot source keys). For the union's bottom-k U, J ≈
+    // |{h ∈ U : h ∈ A ∧ h ∈ B}| / |U| — membership against the sketches
+    // alone is EXACT for union-sketch elements (any union-bottom-k hash
+    // present in A is necessarily among A's k smallest). The pairwise
+    // stage joins one k-hash row per source (sources² rows, driver-scale
+    // whatever the corpus); n_k < k iff the union itself has fewer than k
+    // distinct shingles. Integers only — no float decides anything.
+    "source_overlap" -> ((s, dir) => {
+      val bk = udaf(new graft.functions.BottomK(SketchK))
+      val sk = Tables(s, dir, "documents")
+        .select(col("source"), explode(shingles3(tokens(col("text")))).as("sh"))
+        .select(col("source"), md5(col("sh")).as("h"))
+        .groupBy("source").agg(bk(col("h")).as("sk"))
+      sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"))
+        .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, SketchK))
+        .select(col("src_a"), col("src_b"),
+          size(col("u")).cast("long").as("n_k"),
+          size(filter(col("u"), x =>
+            array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+            .cast("long").as("n_common"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // ---- per-doc n-gram novelty: the dedup-literature outcome metric ----
+    // The fraction of a doc's distinct 3-token shingles whose corpus-wide
+    // FIRST occurrence (min doc_id — text_dedup_spans' keep-first rule)
+    // is this doc. Near-1 = fresh content; near-0 = a re-crawl or template
+    // assembled from text the corpus already has — the document-level
+    // signal Lee et al. 2021 (arXiv:2107.06499) measure dedup quality by.
+    // Scale: first-occurrence is a partial-aggregable min groupBy on the
+    // shingle; the join-back is 1:1 on shingle rows (output = input rows,
+    // never amplifying; hot-shingle skew is AQE's split case, and the
+    // corpus-derived side is deliberately unhinted — decontaminate's
+    // rule); the per-doc roll-up is a partial-aggregable count/sum. The
+    // one float division happens after all counting.
+    "ngram_novelty" -> ((s, dir) => {
+      val sh = shingleTable(s, dir)
+      val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+        .orderBy("doc_id")
     })
   )
 
@@ -962,18 +1071,28 @@ object DedupQueries {
   /** dedup_ngram_jaccard's oracle — ONE string, shared by its own entry
     * and (as a nested subquery) dedup_clusters_multi's edge union.
     */
-  private def ngramJaccardPairsSql: String =
-    s"""WITH sh0 AS ($shSqlRel),
+  /** The CTE block of [[rareShinglePairStats]] (shared by the Jaccard and
+    * containment oracles the way the Spark stage is): final CTE `st` has
+    * (d1, d2, inter, n1, n2) with d1 < d2.
+    */
+  private def rareShinglePairStatsSql: String =
+    s"""sh0 AS ($shSqlRel),
        |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $MaxShingleDf),
        |sh AS (SELECT doc_id, sh FROM sh0
        |       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.sh = sh0.sh)),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) AS inter
        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT d1, d2, inter / (x.n + y.n - inter) AS jaccard
-       |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-       |WHERE inter / (x.n + y.n - inter) >= 0.2
+       |          GROUP BY 1, 2),
+       |st AS (SELECT d1, d2, inter, x.n AS n1, y.n AS n2
+       |       FROM inter JOIN sz x ON d1 = x.doc_id
+       |                  JOIN sz y ON d2 = y.doc_id)""".stripMargin
+
+  private def ngramJaccardPairsSql: String =
+    s"""WITH $rareShinglePairStatsSql
+       |SELECT d1, d2, inter / (n1 + n2 - inter) AS jaccard
+       |FROM st
+       |WHERE inter / (n1 + n2 - inter) >= 0.2
        |ORDER BY d1, d2""".stripMargin
 
   /** dedup_chunk_minhash's oracle (shared like [[ngramJaccardPairsSql]]):
@@ -1128,6 +1247,17 @@ object DedupQueries {
 
     "dedup_ngram_jaccard" -> ngramJaccardPairsSql,
 
+    "dedup_containment" ->
+      s"""WITH $rareShinglePairStatsSql,
+         |u AS (SELECT d1 AS contained, d2 AS container,
+         |        inter AS n_shared, n1 AS n_contained FROM st
+         |      UNION ALL
+         |      SELECT d2, d1, inter, n2 FROM st)
+         |SELECT contained, container, n_shared, n_contained,
+         |  n_shared / n_contained AS containment
+         |FROM u WHERE n_shared / n_contained >= $MinContainment
+         |ORDER BY contained, container""".stripMargin,
+
     "dedup_chunk_exact" ->
       // lexicographic min (doc_id, chunk_id) spelled as min doc, then min
       // chunk within that doc — equal to Spark's min(struct(...))
@@ -1215,6 +1345,43 @@ object DedupQueries {
          |SELECT vec_id, label, nn_id FROM (
          |  SELECT vec_id, label, nn_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
-         |  FROM sims) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |  FROM sims) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "source_overlap" ->
+      // the oracle's window-rank bottom-k is value-equal to the
+      // aggregator's distinct-bottom-k because sh0 is hash-DISTINCT per
+      // source before ranking
+      s"""WITH sh0 AS (SELECT DISTINCT source, md5(sh) AS h
+         |  FROM (SELECT source, unnest(${shinglesNSql("t", 3)}) AS sh
+         |        FROM (SELECT source, ${tokensSql("text")} AS t FROM documents))),
+         |bk AS (SELECT source, h FROM (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM sh0) WHERE rn <= $SketchK),
+         |srcs AS (SELECT DISTINCT source FROM bk),
+         |prs AS (SELECT a.source AS sa, b.source AS sb
+         |        FROM srcs a JOIN srcs b ON a.source < b.source),
+         |m AS (SELECT p.sa, p.sb, k.h,
+         |        max(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS ina,
+         |        max(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS inb
+         |      FROM prs p JOIN bk k ON k.source = p.sa OR k.source = p.sb
+         |      GROUP BY 1, 2, 3),
+         |r AS (SELECT sa, sb, ina, inb,
+         |        row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM m)
+         |SELECT sa AS src_a, sb AS src_b, CAST(count(*) AS BIGINT) AS n_k,
+         |  CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common
+         |FROM r WHERE rn <= $SketchK GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ngram_novelty" ->
+      s"""WITH sh0 AS ($shSqlRel),
+         |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh0 GROUP BY sh)
+         |SELECT s.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS novelty
+         |FROM sh0 s JOIN f USING (sh) GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
 }

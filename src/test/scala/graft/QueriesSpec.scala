@@ -77,6 +77,68 @@ class QueriesSpec extends AnyFunSuite {
       rows.head.fieldIndex("stopword_ratio")))
   }
 
+  test("dedup_containment flags the quote Jaccard is blind to") {
+    // doc 1 (10 shingles) is quoted verbatim at the head of doc 2 (70
+    // shingles): J = 10/70 ≈ 0.14 < 0.2, so the symmetric form emits no
+    // pair — containment(1 in 2) = 10/10 = 1.0 flags it
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val junk = (1 to 60).map(i => s"j$i").mkString(" ")
+    Seq((1L, quote, "en", "synth", 0L),
+        (2L, s"$quote $junk", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    assert(SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).count() == 0,
+      "the symmetric form must NOT pair a small quote with a large container")
+    val rows = SparkEntry.queries("dedup_containment")(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.toSeq == Seq((1L, 2L, 10L, 10L, 1.0)),
+      s"exactly the contained->container direction must flag; got ${rows.toSeq}")
+  }
+
+  test("source_overlap: sketch Jaccard is exact below k, bounded above it") {
+    // sets smaller than SketchK are held in full, so n_common/n_k is the
+    // EXACT Jaccard: identical sources → 1, disjoint → 0, half-shared →
+    // 1/2. A >k source proves the bound: n_k caps at SketchK (256).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-srcov").toString
+    val tA = (1 to 12).map(i => s"t$i").mkString(" ")   // 10 shingles
+    val tC = (1 to 12).map(i => s"u$i").mkString(" ")   // 10 disjoint
+    val tD2 = (1 to 12).map(i => s"v$i").mkString(" ")  // 10 disjoint
+    val tE = (1 to 300).map(i => s"w$i").mkString(" ")  // 298 > SketchK
+    Seq((1L, tA, "en", "a", 0L), (2L, tA, "en", "b", 0L),
+        (3L, tC, "en", "c", 0L), (4L, tA, "en", "d", 0L),
+        (5L, tD2, "en", "d", 0L), (6L, tE, "en", "e", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val rows = SparkEntry.queries("source_overlap")(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(rows.size == 10, s"5 sources -> 10 pairs; got ${rows.keySet}")
+    assert(rows(("a", "b")) == (10L, 10L), "identical sources: J = 1")
+    assert(rows(("a", "c")) == (20L, 0L), "disjoint sources: J = 0")
+    assert(rows(("a", "d")) == (20L, 10L), "half-shared: J = 10/20")
+    assert(rows(("a", "e"))._1 == 256L, "union sketch must cap at SketchK")
+    assert(rows(("a", "e"))._2 == 0L)
+  }
+
+  test("ngram_novelty: re-crawled text scores 0, edited continuation partial") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-novel").toString
+    Seq((1L, "n1 n2 n3 n4 n5", "en", "synth", 0L),  // 3 shingles, all first
+        (2L, "n1 n2 n3 n4 n5", "en", "synth", 0L),  // exact re-crawl
+        (3L, "n3 n4 n5 n6 n7", "en", "synth", 0L))  // 1 seen + 2 new
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val rows = SparkEntry.queries("ngram_novelty")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(rows(1L) == (3L, 3L, 1.0), "first occurrence: fully novel")
+    assert(rows(2L) == (3L, 0L, 0.0), "exact re-crawl: zero novelty")
+    assert(rows(3L) == (3L, 2L, 2.0 / 3.0), "one shingle already seen")
+  }
+
   test("ngram-jaccard hot-shingle cap fires: a df>100 shingle creates no pairs") {
     // 120 docs share exactly one shingle ("xx yy zz", df=120 > MaxShingleDf);
     // every other shingle is unique per doc. With the cap, the hot bucket is

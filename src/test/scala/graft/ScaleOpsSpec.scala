@@ -663,4 +663,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(df.filter(org.apache.spark.sql.functions.col("o_totalprice") > 0.0)
       .count() > 0, "derived plans must re-analyze after dropTempView")
   }
+
+  test("BottomK aggregator: bounded, distinct, null-safe, partial-agg plan") {
+    import graft.functions.BottomK
+    val agg = new BottomK(3)
+    // reduce keeps the 3 lexicographically smallest DISTINCT strings;
+    // duplicates and nulls never grow the buffer
+    val buf = Seq("dd", "bb", "dd", null, "aa", "cc", "bb")
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == Seq("aa", "bb", "cc"))
+    // merge of two partial buffers = bottom-3 of the distinct union
+    val other = Seq("ab", "zz").foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(buf, other)) == Seq("aa", "ab", "bb"))
+    // the fast path (incoming >= current max on a full buffer) must also
+    // reject an exact duplicate of the buffer's last element
+    assert(agg.finish(agg.reduce(buf, "cc")) == Seq("aa", "bb", "cc"))
+
+    // the physical plan prunes map-side: partial_bottomk before the
+    // exchange (the whole point — no Window funnel on few source keys)
+    val plan = SparkEntry.queries("source_overlap")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bottomk"),
+      s"expected map-side partial bottom-k:\n$plan")
+  }
 }
