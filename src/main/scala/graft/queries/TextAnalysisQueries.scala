@@ -100,6 +100,14 @@ object TextAnalysisQueries {
   private val KeepNum = 3L
   private val KeepDen = 8L
 
+  /** The eight mandatory English function words of the Gopher quality
+    * rules (Rae et al. 2021, arXiv:2112.11446, Table A1): a document must
+    * contain at least two DISTINCT words of this list to pass the
+    * stop-word gate — the cheap "is this prose at all" test.
+    */
+  private[queries] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** The `line_filter` frame (doc_id, text_filtered, n_lines, n_kept,
     * doc_kept), unordered — also the fourth gate of [[CurationQueries]]'
     * `pipeline_curate_full` (`doc_kept` is the RefinedWeb §G rule: the
@@ -498,6 +506,149 @@ object TextAnalysisQueries {
           sum(col("c")).as("n_shingles"),
           count(lit(1)).as("n_distinct_shingles"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Gopher document-quality gates (Rae et al. 2021, Table A1) ----
+    // The doc-level heuristic battery the Gopher/MassiveText recipe runs
+    // BEFORE any model-based scoring: word count in [50, 100k], mean word
+    // length in [3, 10], symbol-to-word ratio ('#' / '...') <= 0.1, <= 90%
+    // of lines bullet-led, <= 30% ellipsis-ended, >= 80% of words contain
+    // a letter, and >= 2 distinct [[GopherStops]]. Every gate is a
+    // cross-multiplied BIGINT comparison (the repo's float rule — no
+    // ratio is ever materialized to decide), the whole battery is one
+    // shuffle-free projection, and the per-gate counts are emitted so a
+    // curation run can audit WHICH rule fired. The synthetic corpus's
+    // lowercase prose exercises the word-count/word-length/stop-word
+    // gates; the bullet/ellipsis/symbol rules need the crafted spec to
+    // fire (text_scrub's URL precedent).
+    "gopher_quality" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val lv = split(col("text"), "\n")
+      val nTok = size(toks).cast("long")
+      val tokChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      val nSym = size(regexp_extract_all(col("text"), lit("#|[.][.][.]"), lit(0))).cast("long")
+      val nLines = size(lv).cast("long")
+      val nBullet = size(filter(lv, l => l.rlike("^[-*]"))).cast("long")
+      val nEll = size(filter(lv, l => l.rlike("[.][.][.]$"))).cast("long")
+      val nAlphaW = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+      val nStopD = size(array_distinct(filter(toks, t =>
+        t.isin(GopherStops.map(_.asInstanceOf[Any]): _*)))).cast("long")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), nTok.as("n_tokens"), tokChars.as("tok_chars"),
+          nSym.as("n_sym"), nLines.as("n_lines"), nBullet.as("n_bullet"),
+          nEll.as("n_ellipsis"), nAlphaW.as("n_alpha_words"),
+          nStopD.as("n_stops"),
+          (nTok >= 50L && nTok <= 100000L &&
+            tokChars >= nTok * 3L && tokChars <= nTok * 10L &&
+            nSym * 10L <= nTok &&
+            nBullet * 10L <= nLines * 9L &&
+            nEll * 10L <= nLines * 3L &&
+            nAlphaW * 5L >= nTok * 4L &&
+            nStopD >= 2L).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Gopher repetition battery (Rae et al. 2021, Table A1) ----
+    // doc_repetition emits ONE signal (top-3-gram count share); this is
+    // the paper's full removal battery: duplicate-line fraction and
+    // duplicate-line CHAR fraction (lines beyond their first occurrence,
+    // empty lines excluded as paragraph structure), top-n-gram char
+    // concentration for n = 2, 3, 4, and duplicate-n-gram char fraction
+    // for n = 5 and 10 (the two ends of the paper's 5..10 range — the
+    // interior ns are the same plan with a different constant). Char
+    // fractions are OCCURRENCE-weighted (sum of c·len(gram) over the
+    // doc's grams) rather than the paper's char-position marking —
+    // overlapping occurrences count per occurrence, a documented
+    // simplification that keeps every fraction a ratio of two exact
+    // BIGINT sums (and both mirrors trivially identical). The keep gate
+    // cross-multiplies the paper's thresholds (0.30/0.20/0.20/0.18/0.16/
+    // 0.15/0.10) on the integer sums — no float decides. Scale: each
+    // n-gram pipeline is the doc_fingerprint two-stage partial agg
+    // (per-doc keys, hot only as hot as one doc); the joins are 1:1 on
+    // doc_id; docs with < 10 tokens have no 10-gram row and drop from
+    // the battery (unscorable), mirrored by the oracle's inner joins.
+    "gopher_repetition" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val tt = d.select(col("doc_id"), tokens(col("text")).as("t"))
+      def grams(n: Int) =
+        tt.select(col("doc_id"), explode(shinglesN(col("t"), n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      // top-n concentration: max(struct(c, len)) = the largest count,
+      // tie-broken to the longest gram — only (c, len) reaches the
+      // output, so any same-(c, len) tie is immaterial; the oracle
+      // spells the same election as its max-c-then-max-len two-step
+      def top(n: Int) =
+        grams(n).groupBy("doc_id").agg(
+          sum(col("c") * length(col("g"))).as(s"all$n"),
+          max(struct(col("c").as("c"), length(col("g")).as("l"))).as("m"))
+          .select(col("doc_id"), col(s"all$n"),
+            (col("m.c") * col("m.l")).as(s"top${n}_chars"))
+      def dup(n: Int) =
+        grams(n).groupBy("doc_id").agg(
+          sum(col("c") * length(col("g"))).as(s"alld$n"),
+          sum(when(col("c") >= 2, col("c") * length(col("g")))
+            .otherwise(0L)).as(s"dup${n}_chars"))
+      val ls = d
+        .select(col("doc_id"), explode(split(col("text"), "\n")).as("l"))
+        .filter(length(col("l")) > 0)
+        .groupBy("doc_id", "l").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_lines"),
+          sum(when(col("c") >= 2, col("c") - 1).otherwise(0L)).as("n_dup_lines"),
+          sum(col("c") * length(col("l"))).as("line_chars"),
+          sum(when(col("c") >= 2, (col("c") - 1) * length(col("l")))
+            .otherwise(0L)).as("dup_line_chars"))
+      ls.join(top(2), "doc_id").join(top(3), "doc_id").join(top(4), "doc_id")
+        .join(dup(5), "doc_id").join(dup(10), "doc_id")
+        .select(col("doc_id"), col("n_lines"),
+          (col("n_dup_lines") / col("n_lines")).as("dup_line_frac"),
+          (col("dup_line_chars") / col("line_chars")).as("dup_line_char_frac"),
+          (col("top2_chars") / col("all2")).as("top2_frac"),
+          (col("top3_chars") / col("all3")).as("top3_frac"),
+          (col("top4_chars") / col("all4")).as("top4_frac"),
+          (col("dup5_chars") / col("alld5")).as("dup5_frac"),
+          (col("dup10_chars") / col("alld10")).as("dup10_frac"),
+          (col("n_dup_lines") * 10L <= col("n_lines") * 3L &&
+            col("dup_line_chars") * 5L <= col("line_chars") &&
+            col("top2_chars") * 5L <= col("all2") &&
+            col("top3_chars") * 50L <= col("all3") * 9L &&
+            col("top4_chars") * 25L <= col("all4") * 4L &&
+            col("dup5_chars") * 20L <= col("alld5") * 3L &&
+            col("dup10_chars") * 10L <= col("alld10")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-source corpus roll-up: the curation dashboard ----
+    // One row per corpus source with the aggregates a mix/curation
+    // decision reads: doc count, distinct languages, token/char volume,
+    // and corpus-level alpha/stop-word ratios. The float-determinism
+    // rule shapes the spelling: a naive avg(quality) SUMS DOUBLES
+    // (order-dependent across partitions — not reproducible), so the
+    // ratios are computed from exact BIGINT component sums with ONE
+    // double division per ratio at the very end. Single
+    // partial-aggregable groupBy on source; count(distinct lang) expands
+    // over a statically tiny language space.
+    "source_stats" -> ((s, dir) => {
+      val toksC = tokens(cleanLine(col("text")))
+      Tables(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(toksC).cast("long").as("ntok"),
+          length(col("text")).cast("long").as("nch"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("nal"),
+          stopCount(toksC, Stopwords.flatMap(_._2)).cast("long").as("nst"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          sum("ntok").as("n_tokens"),
+          sum("nch").as("n_chars"),
+          sum("nal").as("n_alpha"),
+          sum("nst").as("n_stop"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("n_tokens"), col("n_chars"), col("n_alpha"), col("n_stop"),
+          (col("n_alpha") / col("n_chars")).as("alpha_ratio"),
+          (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+          (col("n_tokens") / col("n_docs")).as("mean_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -696,7 +847,113 @@ object TextAnalysisQueries {
            |  SELECT doc_id,
            |    unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            |  FROM (SELECT doc_id, $toksRaw AS t FROM documents))
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "gopher_quality" -> {
+        val inList = GopherStops.map(w => s"'$w'").mkString(",")
+        // counts in an inner SELECT, gates in the outer (no same-SELECT
+        // alias references); COALESCE because list_sum([]) is NULL where
+        // Spark's aggregate() returns its 0 seed
+        s"""WITH cnt AS (SELECT doc_id,
+           |  CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS tok_chars,
+           |  CAST(len(regexp_extract_all(text, '#|[.][.][.]')) AS BIGINT) AS n_sym,
+           |  CAST(len(lv) AS BIGINT) AS n_lines,
+           |  CAST(len(list_filter(lv, x -> regexp_matches(x, '^[-*]'))) AS BIGINT) AS n_bullet,
+           |  CAST(len(list_filter(lv, x -> regexp_matches(x, '[.][.][.]$$'))) AS BIGINT) AS n_ellipsis,
+           |  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+           |  CAST(len(list_distinct(list_filter(t, x -> x IN ($inList)))) AS BIGINT) AS n_stops
+           |FROM (SELECT doc_id, text, $toksRaw AS t,
+           |        string_split(text, chr(10)) AS lv FROM documents))
+           |SELECT doc_id, n_tokens, tok_chars, n_sym, n_lines, n_bullet,
+           |  n_ellipsis, n_alpha_words, n_stops,
+           |  (n_tokens >= 50 AND n_tokens <= 100000
+           |   AND tok_chars >= n_tokens * 3 AND tok_chars <= n_tokens * 10
+           |   AND n_sym * 10 <= n_tokens
+           |   AND n_bullet * 10 <= n_lines * 9
+           |   AND n_ellipsis * 10 <= n_lines * 3
+           |   AND n_alpha_words * 5 >= n_tokens * 4
+           |   AND n_stops >= 2) AS keep
+           |FROM cnt ORDER BY doc_id""".stripMargin
+      },
+
+      "gopher_repetition" -> {
+        // per-n CTE triple: counts -> (all_chars, top count) -> top-gram
+        // chars via max-length-among-top-count (= Spark's max(struct));
+        // SUMs cast back to BIGINT (DuckDB widens to HUGEINT)
+        def topCtes(n: Int): String =
+          s"""c$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id, unnest(${shinglesNSql("t", n)}) AS g FROM d)
+             |  GROUP BY 1, 2),
+             |a$n AS (SELECT doc_id, CAST(SUM(c * length(g)) AS BIGINT) AS all$n,
+             |          CAST(MAX(c) AS BIGINT) AS tc FROM c$n GROUP BY 1),
+             |t$n AS (SELECT c$n.doc_id, MAX(a$n.all$n) AS all$n,
+             |          CAST(MAX(a$n.tc * length(c$n.g)) AS BIGINT) AS top${n}_chars
+             |        FROM c$n JOIN a$n
+             |          ON c$n.doc_id = a$n.doc_id AND c$n.c = a$n.tc
+             |        GROUP BY 1)""".stripMargin
+        def dupCtes(n: Int): String =
+          s"""c$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id, unnest(${shinglesNSql("t", n)}) AS g FROM d)
+             |  GROUP BY 1, 2),
+             |d$n AS (SELECT doc_id, CAST(SUM(c * length(g)) AS BIGINT) AS alld$n,
+             |          CAST(SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup${n}_chars
+             |        FROM c$n GROUP BY 1)""".stripMargin
+        s"""WITH d AS (SELECT doc_id, text, $toksRaw AS t FROM documents
+           |           WHERE doc_id IS NOT NULL),
+           |lg AS (SELECT doc_id, l, CAST(count(*) AS BIGINT) AS c FROM (
+           |         SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM d)
+           |       WHERE length(l) > 0 GROUP BY 1, 2),
+           |ls AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+           |         CAST(SUM(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           |         CAST(SUM(c * length(l)) AS BIGINT) AS line_chars,
+           |         CAST(SUM(CASE WHEN c >= 2 THEN (c - 1) * length(l) ELSE 0 END) AS BIGINT) AS dup_line_chars
+           |       FROM lg GROUP BY 1),
+           |${topCtes(2)},
+           |${topCtes(3)},
+           |${topCtes(4)},
+           |${dupCtes(5)},
+           |${dupCtes(10)}
+           |SELECT doc_id, n_lines,
+           |  n_dup_lines / n_lines AS dup_line_frac,
+           |  dup_line_chars / line_chars AS dup_line_char_frac,
+           |  top2_chars / all2 AS top2_frac,
+           |  top3_chars / all3 AS top3_frac,
+           |  top4_chars / all4 AS top4_frac,
+           |  dup5_chars / alld5 AS dup5_frac,
+           |  dup10_chars / alld10 AS dup10_frac,
+           |  (n_dup_lines * 10 <= n_lines * 3
+           |   AND dup_line_chars * 5 <= line_chars
+           |   AND top2_chars * 5 <= all2
+           |   AND top3_chars * 50 <= all3 * 9
+           |   AND top4_chars * 25 <= all4 * 4
+           |   AND dup5_chars * 20 <= alld5 * 3
+           |   AND dup10_chars * 10 <= alld10) AS keep
+           |FROM ls JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
+           |        JOIN t4 USING (doc_id) JOIN d5 USING (doc_id)
+           |        JOIN d10 USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "source_stats" -> {
+        val allStop = Stopwords.flatMap(_._2)
+        s"""WITH pd AS (SELECT source, lang,
+           |  CAST(len($toksClean) AS BIGINT) AS ntok,
+           |  CAST(length(text) AS BIGINT) AS nch,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nal,
+           |  CAST(${stopSql(toksClean, allStop)} AS BIGINT) AS nst
+           |FROM documents)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(nch) AS BIGINT) AS n_chars,
+           |  CAST(SUM(nal) AS BIGINT) AS n_alpha,
+           |  CAST(SUM(nst) AS BIGINT) AS n_stop,
+           |  CAST(SUM(nal) AS BIGINT) / CAST(SUM(nch) AS BIGINT) AS alpha_ratio,
+           |  CAST(SUM(nst) AS BIGINT) / CAST(SUM(ntok) AS BIGINT) AS stop_ratio,
+           |  CAST(SUM(ntok) AS BIGINT) / CAST(count(*) AS BIGINT) AS mean_tokens
+           |FROM pd GROUP BY source ORDER BY source""".stripMargin
+      }
     )
   }
 }

@@ -139,6 +139,77 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows(3L) == (3L, 2L, 2.0 / 3.0), "one shingle already seen")
   }
 
+  test("gopher_quality: each gate fires on the crafted doc built to trip it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gq").toString
+    val words48 = (1 to 48).map(i => s"word$i").mkString(" ")
+    val bulletLines = (1 to 10).map(_ => "- the and word1 word2 word3").mkString("\n")
+    val ellLines = ((1 to 4).map(_ => "the and word1 word2 word3...") ++
+      (1 to 6).map(_ => "the and word1 word2 word3")).mkString("\n")
+    val hashes = (1 to 10).map(_ => "#").mkString(" ")
+    Seq(
+      (1L, s"the and $words48", "en", "synth", 0L),              // all gates pass
+      (2L, "the and word", "en", "synth", 0L),                   // word count < 50
+      (3L, bulletLines, "en", "synth", 0L),                      // 100% bullet lines
+      (4L, ellLines, "en", "synth", 0L),                         // 40% ellipsis lines
+      (5L, s"the and $words48 $hashes", "en", "synth", 0L),      // symbol ratio
+      (6L, (1 to 50).map(i => s"word$i").mkString(" "), "en", "synth", 0L)) // no stops
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val rows = SparkEntry.queries("gopher_quality")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows(1L)._10, "well-formed prose must pass every gate")
+    assert(rows(1L)._2 == 50L && rows(1L)._9 == 2L, "50 tokens, 2 distinct stops")
+    assert(!rows(2L)._10, "11-char doc fails the word-count gate")
+    assert(!rows(3L)._10 && rows(3L)._6 == 10L, "all-bullet doc drops")
+    assert(!rows(4L)._10 && rows(4L)._7 == 4L, "4/10 ellipsis-ended lines drop")
+    assert(!rows(5L)._10 && rows(5L)._4 == 10L, "10 '#' against 60 words drops")
+    assert(!rows(6L)._10 && rows(6L)._9 == 0L, "zero mandatory stopwords drops")
+  }
+
+  test("gopher_repetition: exact fractions on crafted repetition shapes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gr").toString
+    val distinct10 = ('a' to 'j').map(_.toString).mkString(" ") // no repetition
+    val line = (1 to 10).map(i => s"x$i").mkString(" ")
+    val alt = (1 to 6).flatMap(_ => Seq("r", "s")).mkString(" ") // r s r s ...
+    Seq((1L, distinct10, "en", "synth", 0L),
+        (2L, s"$line\n$line\n$line", "en", "synth", 0L),          // 3 identical lines
+        (3L, alt, "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val rows = SparkEntry.queries("gopher_repetition")(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: every n-gram unique — top-n = 1/(#grams), zero dup mass
+    assert(rows(1L)._5 == 3.0 / 27 && rows(1L)._8 == 0.0 && rows(1L)._10,
+      s"unique-gram doc must pass with top2 = 1/9; got ${rows(1L)}")
+    // doc 2: 3 identical non-empty lines -> dup_line_frac 2/3, drops
+    assert(rows(2L)._3 == 2.0 / 3 && !rows(2L)._10,
+      s"triplicated line must yield dup_line_frac 2/3; got ${rows(2L)}")
+    // doc 3: 'r s' x6 of 11 bigrams -> top2 18/33; all 5-grams duplicated
+    assert(rows(3L)._5 == 18.0 / 33 && rows(3L)._8 == 1.0 && !rows(3L)._10,
+      s"alternating spam must concentrate top2 and saturate dup5; got ${rows(3L)}")
+  }
+
+  test("source_stats: integer component sums and their one-division ratios") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss").toString
+    Seq((1L, "the cat", "en", "a", 0L),   // 2 toks, 7 ch, 6 alpha, 1 stop
+        (2L, "und oder", "de", "a", 0L),  // 2 toks, 8 ch, 7 alpha, 1 stop
+        (3L, "zz", "en", "b", 0L))        // 1 tok, 2 ch, 2 alpha, 0 stop
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val rows = SparkEntry.queries("source_stats")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows("a") == (("a", 2L, 2L, 4L, 15L, 13L, 2L, 13.0 / 15, 0.5, 2.0)),
+      s"source a sums/ratios; got ${rows("a")}")
+    assert(rows("b") == (("b", 1L, 1L, 1L, 2L, 2L, 0L, 1.0, 0.0, 1.0)),
+      s"source b sums/ratios; got ${rows("b")}")
+  }
+
   test("ngram-jaccard hot-shingle cap fires: a df>100 shingle creates no pairs") {
     // 120 docs share exactly one shingle ("xx yy zz", df=120 > MaxShingleDf);
     // every other shingle is unique per doc. With the cap, the hot bucket is
