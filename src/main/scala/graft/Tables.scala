@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -10,13 +10,19 @@ import org.apache.spark.sql.types.LongType
   * `spark.read.parquet` so Catalyst keeps full pushdown/pruning freedom —
   * filters and projections in downstream queries reach the scan.
   *
-  * `events.ts` is physically parquet TIMESTAMP(NANOS). Sessions must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (done once at construction
-  * by [[EngineSession]] — this loader deliberately does NOT mutate session
-  * conf as a side effect); the column then surfaces as nanos-since-epoch
-  * LONG and is rebuilt into a proper TimestampType column by
-  * integer-dividing to micros — the same ns→us truncation DuckDB applies,
-  * so oracle comparisons agree.
+  * `events.ts` is normalized to TimestampType here whatever the parquet
+  * physical type, so every downstream query sees ONE timestamp semantics:
+  *  - TIMESTAMP(NANOS): sessions must set
+  *    `spark.sql.legacy.parquet.nanosAsLong=true` (done once at
+  *    construction by [[EngineSession]] — this loader deliberately does
+  *    NOT mutate session conf as a side effect); the column surfaces as
+  *    nanos-since-epoch LONG and is rebuilt by integer-dividing to
+  *    micros — the same ns→us truncation DuckDB applies.
+  *  - TIMESTAMP(MICROS) without isAdjustedToUTC (a later testdata
+  *    generation): Spark 4 infers TIMESTAMP_NTZ, which instant-typed
+  *    functions (`unix_micros`, watermarks) refuse; cast to TimestampType.
+  *    The session timezone is pinned UTC ([[EngineSession]]), so the cast
+  *    is value-preserving and agrees with DuckDB's naive reading.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -27,9 +33,11 @@ object Tables {
     require(names.contains(name), s"unknown table: $name")
     if (name == "events") {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -61,23 +61,34 @@ object StreamingPipelines {
     kept.groupBy("word").agg(count(lit(1)).as("count"))
   }
 
-  /** Schema of the events table as a stream source (ts arrives as
-    * nanos-since-epoch LONG, converted like graft.Tables does).
+  /** Schema of the events table as a stream source, for a given physical
+    * `ts` type (readStream demands a declared schema — no inference).
     */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  private def eventsRawSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File stream over events parquet with a proper event-time column.
-    * (Requires `spark.sql.legacy.parquet.nanosAsLong` — guaranteed by
-    * `EngineSession.requiredConfs`; not mutated here.)
+    *
+    * The physical `ts` type is sniffed from the directory's parquet
+    * footers ONCE at stream construction (a batch schema read — no data
+    * scan) and normalized to TimestampType exactly as [[graft.Tables]]
+    * does for the batch path: TIMESTAMP(NANOS) arrives as nanos LONG
+    * (requires `spark.sql.legacy.parquet.nanosAsLong`, guaranteed by
+    * `EngineSession.requiredConfs`) and is integer-divided to micros;
+    * NTZ micros is cast under the session's pinned-UTC timezone. Files
+    * arriving later must match the type the first footer declared — one
+    * generation per directory, which is the testdata contract.
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream.schema(eventsRawSchema(physical)).parquet(dir)
+    physical match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window counts per event type (append-able). */

@@ -21,6 +21,27 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  /** Append one late event whose `ts` PHYSICAL type matches whatever the
+    * directory already holds (nanos LONG vs NTZ micros — the testdata
+    * generation changed between rounds; a file stream reads the whole
+    * directory under ONE declared schema, so a mixed-type append breaks
+    * the source, not just this row).
+    */
+  private def appendLateEvent(dir: String, eventId: Long, us: Long, userId: Long): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val base = Seq((eventId, us, userId, "click", 1.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    val withTs = spark.read.parquet(dir).schema("ts").dataType match {
+      case LongType => base.withColumn("ts", col("us") * 1000L)
+      case TimestampNTZType =>
+        base.withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+      case _ => base.withColumn("ts", timestamp_micros(col("us")))
+    }
+    withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
   test("file arrival retriggers wordcount; complete mode tracks the corpus (S9)") {
     val dir = Files.createTempDirectory("graft-stream")
     Files.writeString(dir.resolve("f1.txt"), "alpha beta\nalpha\n")
@@ -603,12 +624,9 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       // late file pushes the watermark 3h past the corpus -> every session
       // in the original data is now closed and must have been emitted
-      import spark.implicits._
       val maxMicros = Tables(spark, SparkTestBase.Sf0001, "events")
         .agg(max(unix_micros(col("ts")))).head().getLong(0)
-      Seq((99999L, (maxMicros + 3L * 3600 * 1000000) * 1000, 999L, "click", 1.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("append").parquet(dir.toString)
+      appendLateEvent(dir.toString, 99999L, maxMicros + 3L * 3600 * 1000000, 999L)
       q.processAllAvailable()
 
       val streamed = spark.sql(
@@ -682,12 +700,9 @@ class StreamingSpec extends AnyFunSuite {
 
     // late file advances event time by 3h; on the next run the restored
     // watermark (max_ts - 1h) releases the earlier sessions
-    import spark.implicits._
     val maxMicros = Tables(spark, SparkTestBase.Sf0001, "events")
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
-    Seq((99999L, (maxMicros + 3L * 3600 * 1000000) * 1000, 1L, "click", 1.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("append").parquet(dir.toString)
+    appendLateEvent(dir.toString, 99999L, maxMicros + 3L * 3600 * 1000000, 1L)
     runBatchOfStream()
 
     val sessions = spark.read.parquet(outDir).select("user_id", "n_events")
