@@ -34,6 +34,15 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Squared L2 distance as the same sequential left fold as [[dotHof]]
+    * (deterministic summation order; no norm, so a zero vector needs no
+    * NULL-degrade here — k-means' reason to prefer L2 over cosine).
+    * (x−y)² is never −0.0, so the 0.0-init fold is bit-identical to
+    * DuckDB's first-element-init `list_reduce` ([[dist2Sql]]).
+    */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
   /** Sign-bit bucket over the first `nBits` dimensions — an axis-aligned
     * locality-sensitive hash (random-hyperplane LSH with unit-axis planes).
     * Exact on floats, so Spark and the SQL oracle always agree.
@@ -59,6 +68,10 @@ object VectorFunctions {
 
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  /** DuckDB squared L2 distance with the same fold order as [[dist2]]. */
+  def dist2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])), (acc, x) -> acc + x)"
 
   def signBucketSql(v: String, nBits: Int): String = signBucketAtSql(v, 0, nBits)
 

@@ -71,6 +71,10 @@ object DedupQueries {
   // dedup_containment emission gate: fraction of the CONTAINED doc's rare
   // shingles that appear in the container.
   private[graft] val MinContainment = 0.8
+  // dedup_winnowing: candidate pairs must share at least this many
+  // winnowed fingerprints — one shared local-min hash is a 6-token run
+  // (boilerplate-grade); two begins to look like copied prose.
+  private[graft] val MinSharedFp = 2
   // source_overlap: bottom-k (KMV) sketch size per source. 256 gives a
   // Jaccard standard error of ~1/sqrt(256) ≈ 6% — mix-weight informative
   // — and the sketch stays 256 hashes per source whatever the corpus.
@@ -589,6 +593,39 @@ object DedupQueries {
           .otherwise(greatest(col("d1"), col("d2"))).as("drop_id"))
   }
 
+  /** `dedup_semantic_kmeans`: the SemDeDup cell is the LEARNED k-means
+    * cluster (SimilarityQueries.kmeansAssign) instead of a hash bucket or
+    * a provided label — the recipe as published (Abbas et al.,
+    * arXiv:2303.03540: k-means the embeddings, dedup within clusters).
+    * Same capped within-cell candidate join, same cosine gate, same
+    * cross-modal quality election as [[semanticPairs]]. K is the
+    * production scale knob (SemDeDup grows cluster count with the
+    * corpus); the [[MaxBucket]] cap keeps the join bounded whatever K is
+    * set to — an under-provisioned K degrades recall (dense clusters
+    * drop), never the plan.
+    */
+  private[graft] def kmeansSemanticPairs(s: SparkSession, dir: String): DataFrame = {
+    val a = SimilarityQueries.kmeansAssign(s, dir)
+      .select(col("vec_id"), col("v"), col("cluster"))
+    val e = capBuckets(a, Seq("cluster"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        cosine(col("a.v"), col("b.v")).as("sim"))
+      .filter(col("sim") >= SemTau)
+    val q = Tables(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0)).as("q"))
+    pairs
+      .join(q.select(col("doc_id").as("d1"), col("q").as("q1")), Seq("d1"))
+      .join(q.select(col("doc_id").as("d2"), col("q").as("q2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("sim"),
+        when(col("q1") < col("q2"), col("d1"))
+          .when(col("q2") < col("q1"), col("d2"))
+          .otherwise(greatest(col("d1"), col("d2"))).as("drop_id"))
+  }
+
   /** The unioned (d1, d2) edge frame of `dedup_clusters_multi`: simhash
     * near-dup pairs with the exact (Hamming-0) star edges folded in, plus
     * chunk-minhash pairs projected to documents (same-doc repeated-
@@ -759,6 +796,37 @@ object DedupQueries {
         .orderBy("contained", "container")
     }),
 
+    // ---- winnowing dedup: pairs sharing local-min fingerprints ----
+    // The MOSS candidate rule over doc_winnowing's postings
+    // (TextAnalysisQueries.winnowFps): two docs pair iff they share ≥
+    // [[MinSharedFp]] winnowed fingerprints, scored by containment in
+    // fingerprint space (n_shared / min fingerprint count — directional
+    // like dedup_containment, so a short doc quoted inside a long one
+    // still scores high). Versus minhash/simhash: winnowing's guarantee
+    // is POSITIONAL (any shared ≥6-token run surfaces a shared
+    // fingerprint wherever it sits), so it catches a copied paragraph
+    // inside otherwise-unrelated docs, which whole-doc sketches dilute
+    // away. The fingerprint IS the bucket key: a fingerprint posted by >
+    // [[MaxBucket]] docs is corpus boilerplate (the hot navbar hash) and
+    // is dropped before the self-join — the same data-independent cap as
+    // every candidate stage in this family; per-pair work after the join
+    // is one partial-aggregable groupBy, never an all-pairs score.
+    "dedup_winnowing" -> ((s, dir) => {
+      val f = TextAnalysisQueries.winnowFps(s, dir)
+      val cold = capBuckets(f, Seq("fp"))
+      val pairs = cold.as("a").join(cold.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+      val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      pairs.filter(col("n_shared") >= MinSharedFp)
+        .join(cnt.select(col("doc_id").as("d1"), col("nf").as("n1")), Seq("d1"))
+        .join(cnt.select(col("doc_id").as("d2"), col("nf").as("n2")), Seq("d2"))
+        .select(col("d1"), col("d2"), col("n_shared"),
+          (col("n_shared") / least(col("n1"), col("n2"))).as("overlap"))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- SUB-DOCUMENT dedup: exact chunk-granularity duplicate groups ----
     // Boilerplate repeats at PARAGRAPH granularity (headers, navbars,
     // license blocks) and is invisible to every document-level signature
@@ -872,6 +940,18 @@ object DedupQueries {
     // more hyperplane-straddle misses; ann_lsh_multiprobe's trade).
     "dedup_semantic_unlabeled" -> ((s, dir) =>
       semanticPairs(s, dir, labeled = false).orderBy("d1", "d2")),
+
+    // ---- SemDeDup with LEARNED cells: k-means clusters as the partition ----
+    // The published recipe end-to-end: embedding_kmeans' final assignment
+    // is the cell, candidates pair within a cluster under the same
+    // MaxBucket cap, cosine gates, and the cross-modal quality election
+    // picks the drop side. Versus dedup_semantic_unlabeled's sign-LSH
+    // cells: hyperplane-straddling near-duplicates land in ONE k-means
+    // cluster when they share a centroid basin (the spec's blob case),
+    // at the cost of the KmIter clustering scans — which amortize over
+    // every downstream consumer of the assignment.
+    "dedup_semantic_kmeans" -> ((s, dir) =>
+      kmeansSemanticPairs(s, dir).orderBy("d1", "d2")),
 
     // ---- ONE cluster map over EVERY pair relation the catalog emits ----
     // dedup_clusters consumes simhash pair edges alone, but the catalog
@@ -1296,6 +1376,46 @@ object DedupQueries {
     "dedup_semantic" -> semanticPairsSql(labeled = true),
 
     "dedup_semantic_unlabeled" -> semanticPairsSql(labeled = false),
+
+    "dedup_winnowing" ->
+      s"""WITH f AS (${TextAnalysisQueries.winnowFpsSql}),
+         |hot AS (SELECT fp FROM f GROUP BY 1 HAVING count(*) > $MaxBucket),
+         |cold AS (SELECT * FROM f
+         |         WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.fp = f.fp)),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |      FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |cnt AS (SELECT doc_id, count(*) AS nf FROM f GROUP BY 1)
+         |SELECT p.d1, p.d2, p.n_shared,
+         |  p.n_shared / LEAST(x.nf, y.nf) AS overlap
+         |FROM p JOIN cnt x ON p.d1 = x.doc_id JOIN cnt y ON p.d2 = y.doc_id
+         |WHERE p.n_shared >= $MinSharedFp
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_semantic_kmeans" ->
+      // the k-means CTE chain (SimilarityQueries.kmeansCtes — one SQL
+      // string shared with embedding_kmeans' own oracle, so the mirrors
+      // cannot drift) feeding semanticPairsSql's capped-cell pair shape
+      // with cluster as the cell key.
+      s"""WITH ${SimilarityQueries.kmeansCtes},
+         |ka AS (SELECT vec_id, v, cluster FROM ${SimilarityQueries.kmFinalAsg}),
+         |hot AS (SELECT cluster FROM ka GROUP BY 1 HAVING count(*) > $MaxBucket),
+         |ke AS (SELECT * FROM ka
+         |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.cluster = ka.cluster)),
+         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |        ${cosineSql("a.v", "b.v")} AS sim
+         |      FROM ke a JOIN ke b
+         |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |q AS (SELECT doc_id,
+         |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
+         |      FROM documents)
+         |SELECT p.d1, p.d2, p.sim,
+         |  CASE WHEN x.q < y.q THEN p.d1
+         |       WHEN y.q < x.q THEN p.d2
+         |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
+         |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
+         |WHERE p.sim >= $SemTau
+         |ORDER BY d1, d2""".stripMargin,
 
     "dedup_clusters_multi" ->
       // the dedup_clusters recursive reachability closure over the UNION

@@ -47,6 +47,18 @@ object SimilarityQueries {
   // ann_ivf_nprobe: coarse cells searched per query (production IVF's
   // nprobe knob).
   private val NProbe = 2
+  // k-means (embedding_kmeans / SemDeDup's clustering stage): cluster
+  // count, Lloyd iteration count, and the fixed-point scale for centroid
+  // sums. All three are DESIGN constants — the centroid relation is K
+  // rows whatever the corpus size, and the iteration count is pinned (a
+  // convergence loop would make the plan depth data-dependent).
+  // 2^20 fixed point: embeddings are floats in [-2, 2], so |floor(x·2²⁰)|
+  // ≤ 2²¹ and even 2⁴² vectors per cluster cannot overflow the BIGINT
+  // component sum — while 20 fractional bits keep ~6 decimal digits,
+  // well past float32 input precision.
+  private[graft] val KmK = 8
+  private[graft] val KmIter = 3
+  private[graft] val KmScale = 1L << 20
   // IVF's cell count (nlist) is a DESIGN constant, not data — the
   // centroid/representative table is bounded by it however large the
   // corpus grows. limit(MaxCells) makes that bound STATIC (maxRows), so
@@ -125,7 +137,91 @@ object SimilarityQueries {
       .select(col("label").as("cell"), col("v").as("rv"))
   }
 
+  // ===== k-means (Lloyd's algorithm, the SemDeDup clustering stage) =====
+
+  /** Deterministic init: the [[KmK]] vectors with the smallest
+    * (md5(vec_id), vec_id) — a pseudo-random but reproducible sample,
+    * selected by TakeOrderedAndProject (top-k, never a global sort). The
+    * row_number window that assigns cluster ids runs over the K surviving
+    * rows only, so its unpartitioned frame is bounded by design.
+    */
+  private def kmInit(e: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("h"), col("vec_id"))
+    e.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(KmK)
+      .withColumn("cid", (row_number().over(w) - 1).cast("int"))
+      .select(col("cid"), col("v").as("c"))
+  }
+
+  /** One Lloyd assignment pass with ZERO shuffle on the corpus side: the
+    * K centroids collapse to a single collect_list row (bounded by
+    * [[KmK]]), broadcast, and the per-row argmin runs as an array HOF —
+    * array_sort on struct(d2, cid) is lexicographic, so ties on exact
+    * distance break toward the smaller cluster id, mirroring the
+    * oracle's `ORDER BY d2, cid`. The alternative (crossJoin + groupBy
+    * vec_id + join v back) costs two corpus-scale exchanges PER
+    * ITERATION; this costs none.
+    */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents.agg(collect_list(struct(col("cid"), col("c"))).as("cents"))
+    e.crossJoin(broadcast(centsRow))
+      .withColumn("best", element_at(array_sort(transform(col("cents"),
+        ct => struct(dist2(col("v"), ct.getField("c")).as("d2"),
+          ct.getField("cid").as("cid")))), 1))
+      .select(col("vec_id"), col("v"),
+        col("best").getField("cid").as("cluster"),
+        col("best").getField("d2").as("d2"))
+  }
+
+  /** Centroid update with EXACT fixed-point component sums: each element
+    * is floored to a [[KmScale]]-scaled BIGINT before aggregation, so the
+    * per-(cluster, dim) sum is integer-exact and ORDER-FREE — the mean of
+    * doubles would be partitioning-dependent (float addition does not
+    * commute), which breaks both the oracle compare and run-to-run
+    * reproducibility. The (cid, pos) exchange moves at most K·dim
+    * aggregated rows after map-side partial agg; the final division back
+    * to DOUBLE is one exactly-rounded op on identical operands in both
+    * engines. A cluster that loses all members disappears (standard
+    * Lloyd's; both engines agree because the arithmetic does).
+    */
+  private def kmUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster").as("cid"), posexplode(col("v")))
+      .groupBy("cid", "pos")
+      .agg(sum(floor(col("col") * KmScale).cast("long")).as("fsum"),
+        count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"),
+        (col("fsum").cast("double") / (col("n").cast("double") * KmScale.toDouble)).as("cv"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+      .select(col("cid"), transform(col("pcs"), p => p.getField("cv")).as("c"))
+
+  /** Final Lloyd assignment after [[KmIter]] update rounds — shared with
+    * dedup_semantic_kmeans (DedupQueries), which takes these clusters as
+    * its candidate cells. Total cost: KmIter+1 corpus scans, KmIter tiny
+    * (K·dim-row) exchanges, zero corpus-scale shuffles.
+    */
+  private[queries] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir).filter(col("v").isNotNull).select("vec_id", "v")
+    var cents = kmInit(e)
+    for (_ <- 1 to KmIter) cents = kmUpdate(kmAssign(e, cents))
+    kmAssign(e, cents)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- k-means cluster assignment over the embedding corpus ----
+    // The clustering stage of the SemDeDup recipe (Abbas et al.,
+    // arXiv:2303.03540 §3: k-means the embeddings, then dedup WITHIN
+    // clusters) as a first-class operator: 3 pinned Lloyd iterations from
+    // a hash-deterministic init, squared-L2 assignment (no norm, so zero
+    // vectors need no NULL degrade), exact fixed-point centroid sums.
+    // Emits the final assignment + its distance so downstream can both
+    // partition (cluster) and rank within a cluster (d2).
+    "embedding_kmeans" -> ((s, dir) =>
+      kmeansAssign(s, dir)
+        .select(col("vec_id"), col("cluster"), col("d2"))
+        .orderBy("vec_id")),
+
     // ---- brute-force top-k for a bounded query set (broadcast queries) ----
     // KEPT in the window-ranked form deliberately, as the physical contrast
     // to ann_topk_agg / ann_ivf: Window.partitionBy(qid) has at most
@@ -315,7 +411,54 @@ object SimilarityQueries {
 
   private val eSql = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
+  // ===== k-means oracle: the Lloyd loop unrolled into CTEs =====
+  // Same init rule (rn over (md5, vec_id)), same assignment tie-break
+  // (ORDER BY d2, cid — the lexicographic struct sort's mirror), same
+  // fixed-point update (floor to scaled BIGINT, exact integer sum, one
+  // double division). DuckDB's zipped unnest(v)/unnest(range(...)) is the
+  // posexplode mirror; `list(cv ORDER BY pos)` the sorted reassembly.
+
+  private def kmAssignSql(name: String, centRel: String): String =
+    s"""$name AS (SELECT vec_id, v, cluster, d2 FROM (
+       |  SELECT vec_id, v, cid AS cluster, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM (SELECT e.vec_id, e.v, c.cid, ${dist2Sql("e.v", "c.c")} AS d2
+       |        FROM e CROSS JOIN $centRel c)) WHERE rn = 1)""".stripMargin
+
+  private def kmUpdateSql(name: String, asgRel: String): String =
+    s"""$name AS (SELECT cid, list(cv ORDER BY pos) AS c FROM (
+       |  SELECT cid, pos, CAST(fsum AS DOUBLE) / (CAST(n AS DOUBLE) * $KmScale.0) AS cv FROM (
+       |    SELECT cluster AS cid, i AS pos,
+       |           sum(CAST(floor(x * $KmScale.0) AS BIGINT)) AS fsum, count(*) AS n
+       |    FROM (SELECT cluster, unnest(v) AS x, unnest(range(1, len(v)+1)) AS i FROM $asgRel)
+       |    GROUP BY 1, 2)) GROUP BY cid)""".stripMargin
+
+  /** The full CTE chain `e, c0, a1, c1, …, a{KmIter+1}` — shared with
+    * dedup_semantic_kmeans' oracle (DedupQueries), whose cells are
+    * a{KmIter+1}'s clusters.
+    */
+  private[queries] def kmeansCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         |c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, v AS c FROM (
+         |        SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |        FROM e) WHERE rn <= $KmK)""".stripMargin)
+    for (i <- 1 to KmIter + 1) {
+      sb.append(",\n").append(kmAssignSql(s"a$i", s"c${i - 1}"))
+      if (i <= KmIter) sb.append(",\n").append(kmUpdateSql(s"c$i", s"a$i"))
+    }
+    sb.toString
+  }
+
+  private[queries] val kmFinalAsg = s"a${KmIter + 1}"
+
   def oracles: Map[String, String] = Map(
+    "embedding_kmeans" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster, d2 FROM $kmFinalAsg ORDER BY vec_id""".stripMargin,
+
     "ann_bruteforce" ->
       s"""WITH e AS ($eSql),
          |scored AS (

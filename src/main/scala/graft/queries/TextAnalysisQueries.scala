@@ -27,6 +27,49 @@ object TextAnalysisQueries {
   private[queries] def stopCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
 
+  /** Winnowing window width: fingerprints are the min of every
+    * [[WinnowW]]-long run of consecutive 3-token-shingle hashes, so any
+    * shared token run of length ≥ WinnowW + 3 − 1 = 6 is GUARANTEED to
+    * surface a shared fingerprint (Schleimer et al. 2003 §2). Density is
+    * ~2/(W+1) of the shingle count — the storage/recall knob.
+    */
+  private[graft] val WinnowW = 4
+
+  /** The winnowed (doc_id, fp) postings relation — `doc_winnowing`'s body
+    * and `dedup_winnowing`'s candidate input (DedupQueries). Ties inside
+    * a window resolve by plain min (md5 collisions are the only tie
+    * source on distinct shingles, and both engines take the same
+    * lexicographic min, so the rule stays oracle-exact without the
+    * paper's rightmost-tie refinement).
+    */
+  private[queries] def winnowFps(s: SparkSession, dir: String): DataFrame = {
+    val w = WinnowW
+    Tables(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .withColumn("hs", transform(shingles3(tokens(col("text"))), t => md5(t)))
+      .withColumn("fps",
+        when(size(col("hs")) >= w,
+          array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
+            i => array_min(slice(col("hs"), i + 1, lit(w))))))
+          .when(size(col("hs")) > 0, array(array_min(col("hs"))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
+
+  /** DuckDB mirror of [[winnowFps]] (a full SELECT; nest as a subquery). */
+  private[queries] def winnowFpsSql: String = {
+    val w = WinnowW
+    s"""SELECT doc_id, unnest(fps) AS fp FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) >= $w THEN list_distinct(list_transform(
+       |           range(0, len(hs)-${w - 1}), i -> list_aggregate(hs[i+1:i+$w], 'min')))
+       |         WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+       |         ELSE CAST([] AS VARCHAR[]) END AS fps
+       |  FROM (SELECT doc_id, list_transform(${shinglesNSql("t", 3)}, s -> md5(s)) AS hs
+       |        FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents
+       |              WHERE doc_id IS NOT NULL)))""".stripMargin
+  }
+
   /** The text_quality score as a reusable expression over a raw text
     * column — also the ranking signal for [[CurationQueries]]. NULL for
     * tokenless docs (0/0); both consumers mirror that in their oracles.
@@ -508,6 +551,22 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- winnowing fingerprints (Schleimer et al. 2003, the MOSS rule) ----
+    // doc_fingerprint keeps ONE hash per doc (the global min); winnowing
+    // keeps the min of EVERY sliding window of [[WinnowW]] consecutive
+    // shingle hashes — the local-min selection that guarantees any shared
+    // run of ≥ W+k−1 tokens yields at least one shared fingerprint,
+    // however the run is positioned (the guarantee threshold, §2 of the
+    // paper). That positional robustness is what doc-level sketches lack
+    // and chunk hashing only approximates. Per-row O(n·W) array work,
+    // doc_chunks_cdc's accepted precedent — shuffle-free; distinct-ness
+    // is per-doc (array_distinct before the explode), so the output
+    // relation is the (doc, fingerprint) postings table dedup_winnowing
+    // pairs on. Shorter-than-W docs keep their single all-hash min
+    // (standard degenerate window); shingle-less docs drop out.
+    "doc_winnowing" -> ((s, dir) =>
+      winnowFps(s, dir).orderBy("doc_id", "fp")),
+
     // ---- Gopher document-quality gates (Rae et al. 2021, Table A1) ----
     // The doc-level heuristic battery the Gopher/MassiveText recipe runs
     // BEFORE any model-based scoring: word count in [50, 100k], mean word
@@ -848,6 +907,10 @@ object TextAnalysisQueries {
            |    unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            |  FROM (SELECT doc_id, $toksRaw AS t FROM documents))
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "doc_winnowing" ->
+        s"""$winnowFpsSql
+           |ORDER BY doc_id, fp""".stripMargin,
 
       "gopher_quality" -> {
         val inList = GopherStops.map(w => s"'$w'").mkString(",")

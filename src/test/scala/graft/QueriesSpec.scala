@@ -1523,4 +1523,85 @@ class QueriesSpec extends AnyFunSuite {
     assert(base.exceptAll(repart).count() == 0)
     assert(repart.exceptAll(base).count() == 0)
   }
+
+  test("embedding_kmeans separates two blobs; assignment is partitioning-invariant") {
+    import spark.implicits._
+    // two tight blobs on opposite axes. Lloyd's never MERGES two seeds
+    // that land inside one blob (each keeps its basin), so "one cluster
+    // per blob" is not a k-means property at K=8 — the separation
+    // property is that no cluster STRADDLES the blobs: every centroid
+    // ends inside one blob, so no vector can sit closer to a
+    // cross-blob centroid than to its own blob's.
+    def blobA(seed: Int): Array[Float] =
+      Array.tabulate(8)(d => (if (d == 0) 10.0f else 0.0f) + 0.01f * (seed + d))
+    def blobB(seed: Int): Array[Float] =
+      Array.tabulate(8)(d => (if (d == 1) -10.0f else 0.0f) - 0.01f * (seed + d))
+    val rows = (0 until 12).map(i => (i.toLong, blobA(i), 0)) ++
+      (12 until 24).map(i => (i.toLong, blobB(i), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans").toString
+    rows.toDF("vec_id", "embedding", "label").write.parquet(dir + "/embeddings.parquet")
+    val asg = SparkEntry.queries("embedding_kmeans")(spark, dir)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val aClusters = (0L until 12L).map(asg).toSet
+    val bClusters = (12L until 24L).map(asg).toSet
+    assert((aClusters & bClusters).isEmpty,
+      s"no cluster may straddle the blobs; got A=$aClusters B=$bClusters")
+
+    // order-free exact arithmetic: the fixed-point centroid sums make the
+    // assignment independent of input partitioning (a double mean would not be)
+    val base = SparkEntry.queries("embedding_kmeans")(spark, dir)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-kmeans2").toString
+    Tables(spark, dir, "embeddings").repartition(7)
+      .write.parquet(dir2 + "/embeddings.parquet")
+    val repart = SparkEntry.queries("embedding_kmeans")(spark, dir2)
+    assert(base.exceptAll(repart).count() == 0 && repart.exceptAll(base).count() == 0,
+      "kmeans assignment must be bit-identical under repartitioning")
+  }
+
+  test("dedup_semantic_kmeans pairs blob near-dups and elects the quality drop side") {
+    import spark.implicits._
+    // vectors 0/1 are IDENTICAL (equal distance to every centroid, same
+    // cid tie-break -> guaranteed same cluster whatever the init picks,
+    // even when both seed centroids); 2 points the opposite direction.
+    // Doc 0 is prose (high quality), doc 1 digit soup (low) -> the pair
+    // must be (0, 1) dropping 1, and no cross-blob pair may appear.
+    def vec(first: Float, seed: Int): Array[Float] =
+      Array.tabulate(8)(d => (if (d == 0) first else 0.0f) + 0.001f * (seed + d))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmsem").toString
+    Seq((0L, vec(10.0f, 1), 0), (1L, vec(10.0f, 1), 0), (2L, vec(-10.0f, 3), 1))
+      .toDF("vec_id", "embedding", "label").write.parquet(dir + "/embeddings.parquet")
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "en", "synth", 0L),
+      (1L, "7 3 9 1 4 4 2 8", "en", "synth", 0L),
+      (2L, "an unrelated but perfectly ordinary sentence about the weather", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("dedup_semantic_kmeans")(spark, dir)
+      .select("d1", "d2", "drop_id").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L, 1L)),
+      s"expected exactly the within-cluster pair dropping the digit-soup side; got $out")
+  }
+
+  test("winnowing guarantees a shared fingerprint for a shared run; doc_fingerprint misses it") {
+    import spark.implicits._
+    // two docs share one 14-token run inside otherwise-disjoint text: the
+    // winnowing guarantee (any shared run of >= WinnowW+2 = 6 tokens
+    // yields a shared local-min fingerprint) must surface the pair with
+    // n_shared >= MinSharedFp.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val d1 = s"completely different opening words here $shared and some unrelated trailing text follows"
+    val d2 = s"other prefix tokens entirely $shared with another distinct ending altogether now"
+    val filler = (0 until 6).map(i =>
+      (10L + i, s"filler document number $i with plain words repeated $i times over", "en", "synth", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    (Seq((1L, d1, "en", "synth", 0L), (2L, d2, "en", "synth", 0L)) ++ filler)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_winnowing")(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      s"the shared 14-token run must produce >= 2 shared fingerprints; got $pairs")
+    assert(!pairs.exists(p => p._1 == 1L && p._2 >= 10L),
+      s"d1 shares no 6-token run with any filler doc, so no such pair may fire; got $pairs")
+  }
 }
