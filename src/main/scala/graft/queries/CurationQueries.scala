@@ -94,6 +94,18 @@ object CurationQueries {
   // 4096 buckets EXACTLY — no modulo, the hash prefix IS the bucket.
   private val HashDim = 4096
 
+  // bm25_topk: the fixed keyword query (corpus-present, mid-frequency
+  // terms), result size, and the standard Okapi constants. k1/b parse to
+  // the same doubles in both engines; the idf is Robertson's ratio
+  // (N - df + 0.5)/(df + 0.5) WITHOUT the published ln() — the repo's
+  // log-free determinism rule (ln is libm-dependent), documented as a
+  // surrogate: per-term ranking is order-identical (ln is monotone),
+  // cross-term sums weight high-idf terms more than log-BM25 would.
+  private val Bm25Terms = Seq("join", "filter", "vector")
+  private val Bm25K = 20
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   // doc_chunks_cdc: rolling-window width for the content-defined
   // boundary test. One hex char of headroom: P(boundary) = 1/16.
   private val CdcW = 4
@@ -755,6 +767,48 @@ object CurationQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // ---- Okapi BM25 retrieval against a fixed keyword query ----
+    // The ranked-retrieval sibling of tfidf_topk: score every doc against
+    // [[Bm25Terms]] with the standard saturation (k1) and length
+    // normalization (b) — the quality/served-search shape a corpus front
+    // door needs. Plan: the term filter lands BEFORE the tf groupBy (only
+    // query-term rows survive the explode), so tf/df are query-sized
+    // relations however large the corpus; dl is one partial-aggregable
+    // count per doc; the corpus-level (total tokens, doc count) row is a
+    // broadcast crossJoin (the one-row precedent). The per-doc score sums
+    // a FIXED pivot of per-term scores in declared order — a float sum
+    // over an agg would be partition-order-dependent, the pivot is an
+    // exact expression tree — and the global top-k is
+    // TakeOrderedAndProject, never a full sort.
+    "bm25_topk" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val toks = d.select(col("doc_id"),
+        explode(tokens(cleanLine(col("text")))).as("term"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(sum(col("dl")).as("tot"), count(lit(1)).as("nd"))
+      val tf = toks.filter(col("term").isin(Bm25Terms.map(_.asInstanceOf[Any]): _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val tfD = col("tf").cast("double")
+      val dfD = col("df").cast("double")
+      val ndD = col("nd").cast("double")
+      val scored = tf.join(df, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("tot").cast("double") / col("nd").cast("double"))
+        .withColumn("sv",
+          ((ndD - dfD + 0.5) / (dfD + 0.5)) * (tfD * (lit(Bm25K1) + 1.0)) /
+            (tfD + lit(Bm25K1) *
+              ((lit(1.0) - Bm25B) + (lit(Bm25B) * col("dl").cast("double")) / col("avgdl"))))
+      val pivots = Bm25Terms.map(t =>
+        max(when(col("term") === t, col("sv"))).as(s"s_$t"))
+      scored.groupBy("doc_id")
+        .agg(pivots.head, pivots.tail: _*)
+        .select(col("doc_id"),
+          Bm25Terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduce(_ + _).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(Bm25K)
+    }),
+
     // ---- the whole curation pass as ONE composed query ----
     // What a user of the engine actually runs before training: the
     // training split, minus near/exact-duplicate shadows (dedup_canonical
@@ -1163,6 +1217,35 @@ object CurationQueries {
          |  FROM scored)
          |SELECT doc_id, rank, term, tf, df, score FROM ranked
          |WHERE rank <= $TfIdfK ORDER BY doc_id, rank""".stripMargin
+    },
+
+    "bm25_topk" -> {
+      val toks = tokensSql(cleanLineSql("text"))
+      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      // per-term pivot columns in Bm25Terms order; the final sum is the
+      // same left-associated expression tree as the Spark reduce
+      val pivots = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN sv END) AS s$i" }.mkString(",\n|         ")
+      val sumExpr = Bm25Terms.indices.map(i => s"COALESCE(s$i, 0.0)").reduce((a, b) => s"($a + $b)")
+      s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents
+         |              WHERE doc_id IS NOT NULL),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nd FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks WHERE term IN ($inList) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |         ((CAST(s.nd AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+         |           * (CAST(tf.tf AS DOUBLE) * ($Bm25K1 + 1.0))
+         |           / (CAST(tf.tf AS DOUBLE) + $Bm25K1 *
+         |              ((1.0 - $Bm25B) + ($Bm25B * CAST(dl.dl AS DOUBLE))
+         |                / (CAST(s.tot AS DOUBLE) / CAST(s.nd AS DOUBLE)))) AS sv
+         |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+         |pt AS (SELECT doc_id,
+         |         $pivots
+         |       FROM sc GROUP BY 1)
+         |SELECT doc_id, $sumExpr AS score
+         |FROM pt ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
     },
 
     "pipeline_curate" ->

@@ -708,6 +708,45 @@ object TextAnalysisQueries {
           (col("n_stop") / col("n_tokens")).as("stop_ratio"),
           (col("n_tokens") / col("n_docs")).as("mean_tokens"))
         .orderBy("source")
+    }),
+
+    // ---- per-source token-distribution drift vs the rest of the corpus ----
+    // The monitoring operator a mix decision and a crawl-health dashboard
+    // read: hash every token into a fixed 256-bucket space (2 md5 hex
+    // chars — cross-engine exact, quality_classifier's trick) and compare
+    // each source's bucket histogram against the REST of the corpus with
+    // the two-sample chi-square per-bucket contribution
+    // (nₛ·T_r − n_r·Tₛ)² / (Tₛ·T_r·(nₛ+n_r)). Counts are exact BIGINTs;
+    // the contribution is computed in DOUBLE per ROW (products overflow
+    // BIGINT at corpus scale) — emitted per (source, bucket) precisely so
+    // NO cross-row float sum exists anywhere (a total chi² would be
+    // partition-order-dependent; the consumer can rank buckets or sum at
+    // display time). Output is sources × ≤256 rows whatever the corpus
+    // size: the grid crossJoin multiplies two AGGREGATED bounded frames,
+    // the only corpus-scale stage is the one partial-aggregable
+    // (source, bucket) count.
+    "source_drift" -> ((s, dir) => {
+      val cnt = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull)
+        .select(col("source"), explode(tokens(cleanLine(col("text")))).as("term"))
+        .select(col("source"),
+          conv(substring(md5(col("term")), 1, 2), 16, 10).cast("int").as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+      val bTot = cnt.groupBy("bucket").agg(sum(col("n")).as("nb"))
+      val sTot = cnt.groupBy("source").agg(sum(col("n")).as("ts"))
+      val grand = cnt.agg(sum(col("n")).as("tall"))
+      val g = sTot.crossJoin(broadcast(bTot)).crossJoin(broadcast(grand))
+        .join(cnt, Seq("source", "bucket"), "left")
+        .withColumn("n_src", coalesce(col("n"), lit(0L)))
+        .withColumn("n_rest", col("nb") - col("n_src"))
+        .withColumn("t_rest", col("tall") - col("ts"))
+      val (nD, nrD) = (col("n_src").cast("double"), col("n_rest").cast("double"))
+      val (tsD, trD) = (col("ts").cast("double"), col("t_rest").cast("double"))
+      val diff = (nD * trD) - (nrD * tsD)
+      g.select(col("source"), col("bucket"), col("n_src"), col("n_rest"),
+          col("ts").as("t_src"), col("t_rest"),
+          ((diff * diff) / ((tsD * trD) * (nD + nrD))).as("contrib"))
+        .orderBy("source", "bucket")
     })
   )
 
@@ -1016,7 +1055,34 @@ object TextAnalysisQueries {
            |  CAST(SUM(nst) AS BIGINT) / CAST(SUM(ntok) AS BIGINT) AS stop_ratio,
            |  CAST(SUM(ntok) AS BIGINT) / CAST(count(*) AS BIGINT) AS mean_tokens
            |FROM pd GROUP BY source ORDER BY source""".stripMargin
-      }
+      },
+
+      "source_drift" ->
+        // bucket = '0x'-cast of 2 md5 hex chars (quality_classifier's
+        // digit-for-digit mirror); the per-row DOUBLE contribution copies
+        // the Spark expression tree operator for operator
+        s"""WITH cnt AS (SELECT source,
+           |               CAST(('0x' || substring(md5(term), 1, 2))::INT AS INT) AS bucket,
+           |               CAST(count(*) AS BIGINT) AS n
+           |             FROM (SELECT source, unnest($toksClean) AS term FROM documents
+           |                   WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+           |             GROUP BY 1, 2),
+           |bt AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS nb FROM cnt GROUP BY 1),
+           |st AS (SELECT source, CAST(sum(n) AS BIGINT) AS ts FROM cnt GROUP BY 1),
+           |gr AS (SELECT CAST(sum(n) AS BIGINT) AS tall FROM cnt),
+           |g AS (SELECT st.source, bt.bucket, st.ts, bt.nb, gr.tall,
+           |        COALESCE(cnt.n, 0) AS n_src
+           |      FROM st CROSS JOIN bt CROSS JOIN gr
+           |      LEFT JOIN cnt ON cnt.source = st.source AND cnt.bucket = bt.bucket)
+           |SELECT source, bucket, n_src, nb - n_src AS n_rest,
+           |  ts AS t_src, tall - ts AS t_rest,
+           |  ((CAST(n_src AS DOUBLE) * CAST(tall - ts AS DOUBLE)
+           |     - CAST(nb - n_src AS DOUBLE) * CAST(ts AS DOUBLE))
+           |   * (CAST(n_src AS DOUBLE) * CAST(tall - ts AS DOUBLE)
+           |     - CAST(nb - n_src AS DOUBLE) * CAST(ts AS DOUBLE)))
+           |  / ((CAST(ts AS DOUBLE) * CAST(tall - ts AS DOUBLE))
+           |     * (CAST(n_src AS DOUBLE) + CAST(nb - n_src AS DOUBLE))) AS contrib
+           |FROM g ORDER BY source, bucket""".stripMargin
     )
   }
 }

@@ -1604,4 +1604,49 @@ class QueriesSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 1L && p._2 >= 10L),
       s"d1 shares no 6-token run with any filler doc, so no such pair may fire; got $pairs")
   }
+
+  test("bm25_topk: only query-term docs rank; more matched terms beat fewer at equal length") {
+    import spark.implicits._
+    // docs 1/2 are the same length; doc 1 matches two query terms, doc 2
+    // one -> doc 1 must outrank doc 2. Doc 3 contains no query term and
+    // must be absent entirely.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    Seq(
+      (1L, "join filter alpha beta gamma delta", "en", "synth", 0L),
+      (2L, "join alpha beta gamma delta epsilon", "en", "synth", 0L),
+      (3L, "alpha beta gamma delta epsilon zeta", "en", "synth", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("bm25_topk")(spark, dir)
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSet == Set(1L, 2L),
+      s"only docs containing a query term may rank; got ${out.toSeq}")
+    val byDoc = out.toMap
+    assert(byDoc(1L) > byDoc(2L),
+      s"two matched terms must outscore one at equal doc length; got $byDoc")
+  }
+
+  test("source_drift: a source with a private vocabulary shows exact counts and positive drift") {
+    import spark.implicits._
+    // source A speaks only 'aaa', source B only 'bbb' (distinct md5
+    // prefixes): in A's rows, the bucket holding 'aaa' has n_rest = 0 and
+    // positive contrib; a bucket it never uses has n_src = 0. Counts are
+    // exact BIGINTs - asserted literally.
+    val rows = (0 until 4).map(i => (i.toLong, "aaa aaa aaa", "en", "srcA", 0L)) ++
+      (4 until 8).map(i => (i.toLong, "bbb bbb bbb", "en", "srcB", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("source_drift")(spark, dir)
+      .select("source", "bucket", "n_src", "n_rest", "contrib")
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(out.length == 4, s"2 sources x 2 occupied buckets; got ${out.toSeq}")
+    val aOwn = out.filter(r => r._1 == "srcA" && r._3 > 0)
+    assert(aOwn.length == 1 && aOwn.head._3 == 12L && aOwn.head._4 == 0L,
+      s"srcA's own bucket holds its 12 tokens and none of the rest; got ${aOwn.toSeq}")
+    assert(aOwn.head._5 > 0.0, "a fully private bucket must contribute positive drift")
+    val aForeign = out.filter(r => r._1 == "srcA" && r._3 == 0L)
+    assert(aForeign.length == 1 && aForeign.head._4 == 12L,
+      s"srcA shows 0 of srcB's 12-token bucket; got ${aForeign.toSeq}")
+  }
 }
