@@ -41,19 +41,28 @@ object TextAnalysisQueries {
     * source on distinct shingles, and both engines take the same
     * lexicographic min, so the rule stays oracle-exact without the
     * paper's rightmost-tie refinement).
+    *
+    * The hash array is BOUND once per row through the shingles3
+    * one-binding idiom (`element_at(transform(array(hs), hsv -> …), 1)`)
+    * before the window lambdas slice it: HOF lambdas are interpreted
+    * without subexpression elimination, so a naive
+    * `transform(seq, i -> array_min(slice(hsExpr, …)))` re-evaluates the
+    * ENTIRE per-doc md5 chain for every window — O(n²) hashing that
+    * measured 46 s at sf0.1 and, worse, poisoned every later bench query
+    * through heap/GC pressure; the bound form is the intended O(n·W).
     */
   private[queries] def winnowFps(s: SparkSession, dir: String): DataFrame = {
     val w = WinnowW
+    val hsExpr = transform(shingles3(tokens(col("text"))), t => md5(t))
+    val fpsExpr = element_at(transform(array(hsExpr), hsv =>
+      when(size(hsv) >= w,
+        array_distinct(transform(sequence(lit(0), size(hsv) - w),
+          i => array_min(slice(hsv, i + 1, lit(w))))))
+        .when(size(hsv) > 0, array(array_min(hsv)))
+        .otherwise(array().cast("array<string>"))), 1)
     Tables(s, dir, "documents")
       .filter(col("doc_id").isNotNull)
-      .withColumn("hs", transform(shingles3(tokens(col("text"))), t => md5(t)))
-      .withColumn("fps",
-        when(size(col("hs")) >= w,
-          array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
-            i => array_min(slice(col("hs"), i + 1, lit(w))))))
-          .when(size(col("hs")) > 0, array(array_min(col("hs"))))
-          .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .select(col("doc_id"), explode(fpsExpr).as("fp"))
   }
 
   /** DuckDB mirror of [[winnowFps]] (a full SELECT; nest as a subquery). */
