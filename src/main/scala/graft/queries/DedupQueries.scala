@@ -605,8 +605,17 @@ object DedupQueries {
     * drop), never the plan.
     */
   private[graft] def kmeansSemanticPairs(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (the dedup_clusters precedent): the assignment is
+    // KmIter+1 corpus scans deep, and this consumer reads it from FOUR
+    // plan positions (cap count branch, anti-join side, both self-join
+    // aliases). Whether Spark reuses the exchange across them is
+    // AQE-timing-dependent — the r9 sf10 chain measured the same HEAD at
+    // 199 s and 32 s run to run on exactly that coin flip. Materializing
+    // the (vec_id, v, cluster) frame once makes the floor the only
+    // behavior.
     val a = SimilarityQueries.kmeansAssign(s, dir)
       .select(col("vec_id"), col("v"), col("cluster"))
+      .localCheckpoint()
     val e = capBuckets(a, Seq("cluster"))
     val pairs = e.as("a").join(e.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
@@ -626,24 +635,56 @@ object DedupQueries {
           .otherwise(greatest(col("d1"), col("d2"))).as("drop_id"))
   }
 
+  /** `dedup_winnowing`'s pair relation WITHOUT its score join — also an
+    * edge source for [[multiSourceEdges]]. One definition, two consumers,
+    * so the catalog entry and the cluster map cannot drift.
+    */
+  private[graft] def winnowingPairs(s: SparkSession, dir: String): DataFrame = {
+    val f = TextAnalysisQueries.winnowFps(s, dir)
+    val cold = capBuckets(f, Seq("fp"))
+    cold.as("a").join(cold.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFp)
+  }
+
+  /** `dedup_containment`'s flagged pairs projected to the unordered edge:
+    * a pair qualifies when EITHER direction's containment clears
+    * [[MinContainment]] (the catalog entry emits both directions; as an
+    * edge the pair is one undirected fact). Shares
+    * [[rareShinglePairStats]] with the n-gram Jaccard relation — inside
+    * the multi-edge plan, one stats subplan feeds both.
+    */
+  private[graft] def containmentEdges(s: SparkSession, dir: String): DataFrame =
+    rareShinglePairStats(s, dir)
+      .filter(col("inter") / col("n1") >= MinContainment ||
+        col("inter") / col("n2") >= MinContainment)
+      .select("d1", "d2")
+
   /** The unioned (d1, d2) edge frame of `dedup_clusters_multi`: simhash
     * near-dup pairs with the exact (Hamming-0) star edges folded in, plus
     * chunk-minhash pairs projected to documents (same-doc repeated-
     * paragraph pairs are self-loops here and are dropped), n-gram Jaccard
-    * pairs, and both semantic pair forms. All five relations emit doc-id
-    * pairs from the same corpus id domain (embeddings' vec_id is the
-    * documents' id — both sides of the semantic pairs inner-join
-    * `documents` for the quality election, so no edge can mention an id
-    * outside the doc table). `distinct()` collapses pairs that several
-    * relations vote for before the CC loop checkpoints the edge frame.
+    * pairs, directional-containment pairs, winnowing pairs, and all
+    * three semantic pair forms (labeled, sign-LSH, k-means cells). Every
+    * relation emits doc-id pairs from the same corpus id domain
+    * (embeddings' vec_id is the documents' id — the semantic pair forms
+    * inner-join `documents` for the quality election, so no edge can
+    * mention an id outside the doc table). `distinct()` collapses pairs
+    * that several relations vote for before the CC loop checkpoints the
+    * edge frame.
     */
   private[graft] def multiSourceEdges(s: SparkSession, dir: String): DataFrame =
     simhashEdges(s, dir, includeExact = true)
       .union(chunkMinhashPairs(s, dir)
         .filter(col("d1") =!= col("d2")).select("d1", "d2"))
       .union(ngramJaccardPairs(s, dir).select("d1", "d2"))
+      .union(containmentEdges(s, dir))
+      .union(winnowingPairs(s, dir).select("d1", "d2"))
       .union(semanticPairs(s, dir, labeled = true).select("d1", "d2"))
       .union(semanticPairs(s, dir, labeled = false).select("d1", "d2"))
+      .union(kmeansSemanticPairs(s, dir).select("d1", "d2"))
       .distinct()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -812,14 +853,9 @@ object DedupQueries {
     // every candidate stage in this family; per-pair work after the join
     // is one partial-aggregable groupBy, never an all-pairs score.
     "dedup_winnowing" -> ((s, dir) => {
-      val f = TextAnalysisQueries.winnowFps(s, dir)
-      val cold = capBuckets(f, Seq("fp"))
-      val pairs = cold.as("a").join(cold.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("n_shared"))
-      val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-      pairs.filter(col("n_shared") >= MinSharedFp)
+      val cnt = TextAnalysisQueries.winnowFps(s, dir)
+        .groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      winnowingPairs(s, dir)
         .join(cnt.select(col("doc_id").as("d1"), col("nf").as("n1")), Seq("d1"))
         .join(cnt.select(col("doc_id").as("d2"), col("nf").as("n2")), Seq("d2"))
         .select(col("d1"), col("d2"), col("n_shared"),
@@ -955,9 +991,11 @@ object DedupQueries {
 
     // ---- ONE cluster map over EVERY pair relation the catalog emits ----
     // dedup_clusters consumes simhash pair edges alone, but the catalog
-    // produces four more near-duplicate evidence relations — chunk-level
-    // minhash (projected to documents), n-gram Jaccard, and both semantic
-    // forms — each catching duplicates the others are blind to (a shared
+    // produces seven more near-duplicate evidence relations — chunk-level
+    // minhash (projected to documents), n-gram Jaccard, directional
+    // containment, winnowing, and the three semantic forms (labeled,
+    // sign-LSH, k-means cells) — each catching duplicates the others are
+    // blind to (a shared
     // boilerplate paragraph is invisible to every doc-level sketch; a
     // paraphrase is invisible to every lexical one). A production dedup
     // pass publishes ONE canonical decision across all evidence: union
@@ -1155,6 +1193,54 @@ object DedupQueries {
     * containment oracles the way the Spark stage is): final CTE `st` has
     * (d1, d2, inter, n1, n2) with d1 < d2.
     */
+  /** `dedup_winnowing`'s pair relation (d1, d2, n_shared) — one SQL
+    * string for the catalog entry and the multi-edge union.
+    */
+  private def winnowingPairsSql: String =
+    s"""WITH f AS (${TextAnalysisQueries.winnowFpsSql}),
+       |hot AS (SELECT fp FROM f GROUP BY 1 HAVING count(*) > $MaxBucket),
+       |cold AS (SELECT * FROM f
+       |         WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.fp = f.fp)),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+       |      FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT d1, d2, n_shared FROM p WHERE n_shared >= $MinSharedFp""".stripMargin
+
+  /** [[containmentEdges]]' SQL twin: either direction over the shared
+    * rare-shingle stats clears [[MinContainment]].
+    */
+  private def containmentEdgesSql: String =
+    s"""WITH $rareShinglePairStatsSql
+       |SELECT d1, d2 FROM st
+       |WHERE inter / n1 >= $MinContainment OR inter / n2 >= $MinContainment""".stripMargin
+
+  /** dedup_semantic_kmeans' oracle — the k-means CTE chain
+    * (SimilarityQueries.kmeansCtes, one SQL string shared with
+    * embedding_kmeans' own oracle) feeding semanticPairsSql's capped-cell
+    * pair shape with cluster as the cell key. A val so the catalog entry
+    * and the multi-edge union nest the SAME string.
+    */
+  private lazy val kmSemanticPairsSql: String =
+    s"""WITH ${SimilarityQueries.kmeansCtes},
+       |ka AS (SELECT vec_id, v, cluster FROM ${SimilarityQueries.kmFinalAsg}),
+       |hot AS (SELECT cluster FROM ka GROUP BY 1 HAVING count(*) > $MaxBucket),
+       |ke AS (SELECT * FROM ka
+       |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.cluster = ka.cluster)),
+       |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |        ${cosineSql("a.v", "b.v")} AS sim
+       |      FROM ke a JOIN ke b
+       |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |q AS (SELECT doc_id,
+       |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
+       |      FROM documents)
+       |SELECT p.d1, p.d2, p.sim,
+       |  CASE WHEN x.q < y.q THEN p.d1
+       |       WHEN y.q < x.q THEN p.d2
+       |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
+       |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
+       |WHERE p.sim >= $SemTau
+       |ORDER BY d1, d2""".stripMargin
+
   private def rareShinglePairStatsSql: String =
     s"""sh0 AS ($shSqlRel),
        |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $MaxShingleDf),
@@ -1378,65 +1464,42 @@ object DedupQueries {
     "dedup_semantic_unlabeled" -> semanticPairsSql(labeled = false),
 
     "dedup_winnowing" ->
-      s"""WITH f AS (${TextAnalysisQueries.winnowFpsSql}),
-         |hot AS (SELECT fp FROM f GROUP BY 1 HAVING count(*) > $MaxBucket),
-         |cold AS (SELECT * FROM f
-         |         WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.fp = f.fp)),
-         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
-         |      FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2),
-         |cnt AS (SELECT doc_id, count(*) AS nf FROM f GROUP BY 1)
-         |SELECT p.d1, p.d2, p.n_shared,
-         |  p.n_shared / LEAST(x.nf, y.nf) AS overlap
-         |FROM p JOIN cnt x ON p.d1 = x.doc_id JOIN cnt y ON p.d2 = y.doc_id
-         |WHERE p.n_shared >= $MinSharedFp
+      s"""WITH wp AS ($winnowingPairsSql),
+         |f2 AS (${TextAnalysisQueries.winnowFpsSql}),
+         |cnt AS (SELECT doc_id, count(*) AS nf FROM f2 GROUP BY 1)
+         |SELECT wp.d1, wp.d2, wp.n_shared,
+         |  wp.n_shared / LEAST(x.nf, y.nf) AS overlap
+         |FROM wp JOIN cnt x ON wp.d1 = x.doc_id JOIN cnt y ON wp.d2 = y.doc_id
          |ORDER BY d1, d2""".stripMargin,
 
-    "dedup_semantic_kmeans" ->
-      // the k-means CTE chain (SimilarityQueries.kmeansCtes — one SQL
-      // string shared with embedding_kmeans' own oracle, so the mirrors
-      // cannot drift) feeding semanticPairsSql's capped-cell pair shape
-      // with cluster as the cell key.
-      s"""WITH ${SimilarityQueries.kmeansCtes},
-         |ka AS (SELECT vec_id, v, cluster FROM ${SimilarityQueries.kmFinalAsg}),
-         |hot AS (SELECT cluster FROM ka GROUP BY 1 HAVING count(*) > $MaxBucket),
-         |ke AS (SELECT * FROM ka
-         |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.cluster = ka.cluster)),
-         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
-         |        ${cosineSql("a.v", "b.v")} AS sim
-         |      FROM ke a JOIN ke b
-         |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-         |q AS (SELECT doc_id,
-         |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
-         |      FROM documents)
-         |SELECT p.d1, p.d2, p.sim,
-         |  CASE WHEN x.q < y.q THEN p.d1
-         |       WHEN y.q < x.q THEN p.d2
-         |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
-         |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
-         |WHERE p.sim >= $SemTau
-         |ORDER BY d1, d2""".stripMargin,
+    "dedup_semantic_kmeans" -> kmSemanticPairsSql,
 
     "dedup_clusters_multi" ->
       // the dedup_clusters recursive reachability closure over the UNION
       // of every pair relation: simhash pairs + Hamming-0 star edges
       // (canonicalCtes' sigdup), chunk-minhash pairs projected to
-      // documents, n-gram Jaccard pairs, and both semantic forms. Each
-      // edge source is the corresponding pair oracle nested VERBATIM as a
-      // subquery (DuckDB scopes their internal CTE names) — mirrors
-      // cannot drift because there is exactly one SQL string per pair
-      // relation, shared with its own catalog entry.
+      // documents, n-gram Jaccard pairs, directional containment,
+      // winnowing pairs, and all three semantic forms (labeled, sign-LSH,
+      // k-means cells). Each edge source is the corresponding pair oracle
+      // nested VERBATIM as a subquery (DuckDB scopes their internal CTE
+      // names) — mirrors cannot drift because there is exactly one SQL
+      // string per pair relation, shared with its own catalog entry.
       s"""WITH RECURSIVE $simhashPairCtes,
          |sigdup AS (SELECT d1, d2 FROM (
          |  SELECT MIN(doc_id) OVER (PARTITION BY simhash) AS d1, doc_id AS d2
          |  FROM sigs) WHERE d1 <> d2),
          |echunk AS (SELECT DISTINCT d1, d2 FROM ($chunkMinhashPairsSql) WHERE d1 <> d2),
          |engram AS (SELECT d1, d2 FROM ($ngramJaccardPairsSql)),
+         |econt AS (SELECT d1, d2 FROM ($containmentEdgesSql)),
+         |ewin AS (SELECT d1, d2 FROM ($winnowingPairsSql)),
          |esem AS (SELECT d1, d2 FROM (${semanticPairsSql(labeled = true)})),
          |esemu AS (SELECT d1, d2 FROM (${semanticPairsSql(labeled = false)})),
+         |ekm AS (SELECT d1, d2 FROM ($kmSemanticPairsSql)),
          |alledges AS (SELECT d1, d2 FROM pairs UNION SELECT d1, d2 FROM sigdup
          |  UNION SELECT d1, d2 FROM echunk UNION SELECT d1, d2 FROM engram
-         |  UNION SELECT d1, d2 FROM esem UNION SELECT d1, d2 FROM esemu),
+         |  UNION SELECT d1, d2 FROM econt UNION SELECT d1, d2 FROM ewin
+         |  UNION SELECT d1, d2 FROM esem UNION SELECT d1, d2 FROM esemu
+         |  UNION SELECT d1, d2 FROM ekm),
          |edges AS (SELECT d1 AS a, d2 AS b FROM alledges
          |          UNION ALL SELECT d2, d1 FROM alledges),
          |reach(id, r) AS (

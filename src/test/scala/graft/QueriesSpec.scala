@@ -1587,22 +1587,42 @@ class QueriesSpec extends AnyFunSuite {
     // two docs share one 14-token run inside otherwise-disjoint text: the
     // winnowing guarantee (any shared run of >= WinnowW+2 = 6 tokens
     // yields a shared local-min fingerprint) must surface the pair with
-    // n_shared >= MinSharedFp.
+    // n_shared >= MinSharedFp. The disjoint prefix/suffix are long enough
+    // (15 tokens each) that whole-doc Jaccard sits BELOW the n-gram pair
+    // threshold - the copied-paragraph case every whole-doc sketch
+    // dilutes away - and the same pair must still reach ONE cluster in
+    // dedup_clusters_multi through its winnowing edge.
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
-    val d1 = s"completely different opening words here $shared and some unrelated trailing text follows"
-    val d2 = s"other prefix tokens entirely $shared with another distinct ending altogether now"
+    val pre1 = "completely different opening words here arriving ahead of the quoted passage in this first document today"
+    val suf1 = "and some unrelated trailing text follows closing out the first document with its own distinct material entirely"
+    val pre2 = "other prefix tokens entirely unlike those above leading toward the quotation in the second document now"
+    val suf2 = "with another distinct ending altogether wrapping the second document in separate prose of its own kind"
+    val d1 = s"$pre1 $shared $suf1"
+    val d2 = s"$pre2 $shared $suf2"
     val filler = (0 until 6).map(i =>
       (10L + i, s"filler document number $i with plain words repeated $i times over", "en", "synth", 0L))
     val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
     (Seq((1L, d1, "en", "synth", 0L), (2L, d2, "en", "synth", 0L)) ++ filler)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(dir + "/documents.parquet")
+    // distinct well-separated embeddings so no semantic/kmeans edge fires
+    (1 to 8).map(i => (i.toLong,
+        Array.tabulate(8)(d => if (d == i - 1) 10.0f else 0.0f), i % 3))
+      .toDF("vec_id", "embedding", "label").write.parquet(dir + "/embeddings.parquet")
     val pairs = SparkEntry.queries("dedup_winnowing")(spark, dir)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)),
       s"the shared 14-token run must produce >= 2 shared fingerprints; got $pairs")
     assert(!pairs.exists(p => p._1 == 1L && p._2 >= 10L),
       s"d1 shares no 6-token run with any filler doc, so no such pair may fire; got $pairs")
+    val ngram = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(!ngram.contains((1L, 2L)),
+      s"whole-doc Jaccard must sit below the n-gram threshold here; got $ngram")
+    val labels = SparkEntry.queries("dedup_clusters_multi")(spark, dir)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(labels(1L) == labels(2L),
+      s"the winnowing edge alone must co-cluster the pair in the multi map; got $labels")
   }
 
   test("bm25_topk: only query-term docs rank; more matched terms beat fewer at equal length") {
