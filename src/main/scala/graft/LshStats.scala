@@ -107,6 +107,23 @@ object LshStats {
         s""","max_chunk_tokens":${agg.get(1)}}""")
     }
 
+    // ---- embedding_kmeans cell geometry (dedup_semantic_kmeans's cells) ----
+    // Composed from the operator's own kmeansAssign (no-desync rule):
+    // how the corpus spreads over the K learned cells, and how many
+    // cells the MaxBucket cap would drop — the measured form of the
+    // "K is the scale knob" claim (SCALE.md).
+    {
+      val asg = SQ.kmeansAssign(spark, sfDir).localCheckpoint()
+      val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val mx = sizes.agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+      val mn = sizes.agg(coalesce(min("n"), lit(0L))).head().getLong(0)
+      val hot = sizes.filter(col("n") > DQ.MaxBucket).count()
+      println(s"""{"query":"dedup_semantic_kmeans","sf":"$sfDir"""" +
+        s""","vectors":${asg.count()},"clusters":${sizes.count()}""" +
+        s""","max_cluster":$mx,"min_cluster":$mn,"hot_clusters":$hot}""")
+    }
+
     // ---- ann_lsh_multiprobe stages (the query's own machinery) ----
     {
       val probeKeys = Seq("tbl", "bucket")

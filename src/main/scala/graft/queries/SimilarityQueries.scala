@@ -201,7 +201,7 @@ object SimilarityQueries {
     * its candidate cells. Total cost: KmIter+1 corpus scans, KmIter tiny
     * (K·dim-row) exchanges, zero corpus-scale shuffles.
     */
-  private[queries] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir).filter(col("v").isNotNull).select("vec_id", "v")
     var cents = kmInit(e)
     for (_ <- 1 to KmIter) cents = kmUpdate(kmAssign(e, cents))

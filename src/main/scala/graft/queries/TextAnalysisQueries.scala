@@ -744,7 +744,15 @@ object TextAnalysisQueries {
       val bTot = cnt.groupBy("bucket").agg(sum(col("n")).as("nb"))
       val sTot = cnt.groupBy("source").agg(sum(col("n")).as("ts"))
       val grand = cnt.agg(sum(col("n")).as("tall"))
-      val g = sTot.crossJoin(broadcast(bTot)).crossJoin(broadcast(grand))
+      // the grid's bucket axis is spark.range(256) — the SAME fixed space
+      // the hash projects into, but STATICALLY bounded (maxRows visible
+      // to the no-unconditioned-join audit; bTot alone is bounded only by
+      // construction). The inner equi-join back to bTot keeps exactly the
+      // buckets present in the corpus, so the output is unchanged.
+      val buckets = s.range(256).select(col("id").cast("int").as("bucket"))
+      val g = sTot.crossJoin(broadcast(buckets))
+        .join(bTot, Seq("bucket"))
+        .crossJoin(broadcast(grand))
         .join(cnt, Seq("source", "bucket"), "left")
         .withColumn("n_src", coalesce(col("n"), lit(0L)))
         .withColumn("n_rest", col("nb") - col("n_src"))
