@@ -38,6 +38,10 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+      // this query's action is complete — release any checkpoints it
+      // retired, so block accumulation can't poison later queries' heap
+      // (the r9 driver-bench regression; Checkpoints scaladoc)
+      graft.operators.Checkpoints.drain()
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val qs = results

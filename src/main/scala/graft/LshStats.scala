@@ -51,6 +51,7 @@ object LshStats {
         s""","hot_buckets":${hot.count()},"cold_rows":${cold.count()}""" +
         s""","max_cold_bucket":$maxCold""" +
         s""","candidate_pairs":${cand.count()},"emitted_pairs":${pairs.count()}}""")
+      Seq(bands0, hotFull, cold).foreach(graft.operators.Checkpoints.free)
     }
 
     // ---- dedup_chunk_minhash stages (the query's own machinery) ----
@@ -83,6 +84,7 @@ object LshStats {
         s""","hot_buckets":${hot.count()},"cold_rows":${cold.count()}""" +
         s""","max_cold_bucket":$maxCold""" +
         s""","candidate_pairs":${cand.count()},"emitted_pairs":${pairs.count()}}""")
+      Seq(reps, bands0, hotFull, cold).foreach(graft.operators.Checkpoints.free)
     }
 
     // ---- CDC chunking stats (dedup_chunk_cdc's relation) ----
@@ -105,6 +107,7 @@ object LshStats {
         s""","fixed_disjoint_chunk_rows":$fixedRows,"cdc_chunk_rows":$rows""" +
         s""","distinct_chunks":$distinct,"sum_tokens":${agg.getLong(0)}""" +
         s""","max_chunk_tokens":${agg.get(1)}}""")
+      graft.operators.Checkpoints.free(cdc)
     }
 
     // ---- embedding_kmeans cell geometry (dedup_semantic_kmeans's cells) ----
@@ -122,6 +125,7 @@ object LshStats {
       println(s"""{"query":"dedup_semantic_kmeans","sf":"$sfDir"""" +
         s""","vectors":${asg.count()},"clusters":${sizes.count()}""" +
         s""","max_cluster":$mx,"min_cluster":$mn,"hot_clusters":$hot}""")
+      Seq(asg, sizes).foreach(graft.operators.Checkpoints.free)
     }
 
     // ---- ann_lsh_multiprobe stages (the query's own machinery) ----
@@ -143,6 +147,7 @@ object LshStats {
         s""","hot_buckets":${hot.count()},"cold_rows":${cold.count()}""" +
         s""","max_cold_bucket":$maxCold""" +
         s""","candidate_pairs":${cand.count()}}""")
+      Seq(tabs, hotFull, cold).foreach(graft.operators.Checkpoints.free)
     }
     spark.stop()
   }

@@ -27,6 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // build → execute → next is strictly sequential here, so the
+      // just-written query's retired checkpoints are safe to release
+      graft.operators.Checkpoints.drain()
     }
     val json = SparkEntry.oracleSql
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -30,6 +30,24 @@ object VectorFunctions {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Native nearest-centroid argmin ([[graft.expressions.ArgMinDist2]]):
+    * (v, cents: ARRAY<STRUCT<cid, c>>) → STRUCT<d2, cid>. Codegen'd — the
+    * Lloyd assignment hot loop once K is corpus-derived.
+    */
+  def argMinDist2(v: Column, cents: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.ArgMinDist2(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        org.apache.spark.sql.graft.ColumnBridge.expression(cents)))
+
+  /** The composed-builtin argmin (the pre-native spelling), kept as the
+    * semantic reference [[argMinDist2]] is spec-pinned bit-equal to.
+    */
+  def argMinDist2Hof(v: Column, cents: Column): Column =
+    element_at(array_sort(transform(cents,
+      ct => struct(dist2(v, ct.getField("c")).as("d2"),
+        ct.getField("cid").as("cid")))), 1)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

@@ -1,0 +1,78 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Lifecycle discipline for `localCheckpoint` block stores.
+  *
+  * `Dataset.localCheckpoint()` persists the materialized rows as RDD
+  * cache blocks (MEMORY_AND_DISK, deserialized, on-heap) and truncates
+  * lineage. `Dataset.unpersist()` does NOT free those blocks — it only
+  * talks to the SQL cache manager — so every checkpoint lives until the
+  * session dies. In a shared many-query session that is a slow heap
+  * poisoning: the r9 driver bench measured alphabetically-later queries
+  * at 5–15× their healthy floors purely from accumulated checkpoint
+  * blocks of earlier queries (VERDICT r9 "What's wrong #1"), while the
+  * same HEAD in per-query-fresh sessions ran flat.
+  *
+  * Two release points, matching the two lifetimes a checkpoint has here:
+  *
+  *  - [[free]] — the blocks are provably dead NOW (a superseded CC-loop
+  *    round, an edge frame after convergence, a foreachBatch frame whose
+  *    consumers were all actions inside the batch step). Lineage is
+  *    truncated, so a freed frame must never be scanned again; callers
+  *    free only frames they own and have finished with.
+  *  - [[retire]] + [[drain]] — the checkpoint backs a LAZY result frame
+  *    the caller is about to return (the final CC label map, a k-means
+  *    assignment feeding a returned join): blocks must survive until the
+  *    consumer has executed the query, which the library cannot observe.
+  *    Construction retires the frame; the EXECUTION harness (Bench,
+  *    Verify, Engine job completion — each runs build → execute → next
+  *    strictly in sequence) drains after each query's action completes.
+  *    A harness that never drains (a spec comparing two built frames)
+  *    just keeps today's accumulate-until-session-end behavior.
+  *
+  * The underlying RDD is recovered by pattern-matching the
+  * [[org.apache.spark.sql.execution.LogicalRDD]] leaf the checkpoint
+  * planted — public API surface in Spark 4.1 (same justified-private
+  * boundary class the bloom filter join already touches, documented and
+  * version-pinned there).
+  */
+object Checkpoints {
+  private val retired = mutable.Buffer.empty[RDD[_]]
+
+  private def rddsOf(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.logical.collect { case lr: LogicalRDD => lr.rdd }
+
+  /** Unpersist the checkpoint blocks behind `df` immediately (async).
+    * `df` must be the checkpointed frame itself (or a thin projection of
+    * exactly one checkpoint) and must never be executed again.
+    */
+  def free(df: DataFrame): Unit =
+    rddsOf(df).foreach(_.unpersist(blocking = false))
+
+  /** Register `df`'s checkpoint blocks to be released at the next
+    * [[drain]] — for checkpoints that back a lazily-returned result.
+    * Returns `df` so the call composes at the checkpoint site.
+    */
+  def retire(df: DataFrame): DataFrame = {
+    val rs = rddsOf(df)
+    retired.synchronized { retired ++= rs }
+    df
+  }
+
+  /** Release every retired checkpoint. Harness-called between queries,
+    * after the previous query's action has fully completed.
+    */
+  def drain(): Unit = {
+    val rs = retired.synchronized {
+      val snapshot = retired.toList
+      retired.clear()
+      snapshot
+    }
+    rs.foreach(_.unpersist(blocking = false))
+  }
+}

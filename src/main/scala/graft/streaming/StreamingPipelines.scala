@@ -267,6 +267,10 @@ object StreamingPipelines {
       val kept = b1.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
       graft.sources.Sinks.mergeIntoKeyedParquet(kept, "doc_id", outPath)
       graft.sources.Sinks.mergeIntoKeyedParquet(fresh, "sig", historyPath)
+      // both consumers above are actions — the batch's checkpoint blocks
+      // are dead; without this a long-lived stream pins one frame per
+      // micro-batch for its whole life
+      graft.operators.Checkpoints.free(fresh)
     }
     spark.readStream
       .schema(documentsRawSchema)
@@ -358,6 +362,9 @@ object StreamingPipelines {
       graft.sources.Sinks.mergeIntoKeyedParquet(kept, "doc_id", outPath)
       graft.sources.Sinks.mergeIntoKeyedParquet(novel.select("ch"), "ch",
         chunkHistoryPath)
+      // same per-batch release as incrementalDedupStream: both merge
+      // consumers are actions, the checkpoint is dead after the step
+      graft.operators.Checkpoints.free(novel)
     }
     spark.readStream
       .schema(documentsRawSchema)

@@ -686,4 +686,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_bottomk"),
       s"expected map-side partial bottom-k:\n$plan")
   }
+
+  test("derived-K semantic kmeans recovers recall above the fixed-K degeneracy point") {
+    import graft.queries.{DedupQueries, SimilarityQueries}
+    import spark.implicits._
+    // The provisioning rule itself: small corpora keep the r8 K=8 (so
+    // sf0.01/sf0.001 correctness behavior is IDENTICAL to the fixed-K
+    // rounds — the "old pairs ⊆ new pairs" recall statement holds as
+    // equality there), larger corpora grow K toward mean cells of
+    // MaxBucket/2, and the broadcast bound caps K at 4096.
+    assert(SimilarityQueries.kmeansK(20) == 8)
+    assert(SimilarityQueries.kmeansK(200) == 8)     // sf0.01: unchanged
+    assert(SimilarityQueries.kmeansK(2000) == 40)   // sf0.1: was 8, all-hot
+    assert(SimilarityQueries.kmeansK(100000000L) == 4096)
+
+    // A corpus ABOVE the fixed-K degeneracy threshold (K·MaxBucket = 800
+    // vectors): 600 distinct base directions × 2 exact copies each. Under
+    // the old K=8 every cell held ~150 > MaxBucket members, so the
+    // operator emitted ZERO pairs (the r9 measured no-op); with derived
+    // K = ceil(1200/50) = 24 typical cells clear the cap and the copy
+    // pairs (cosine 1.0) surface.
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmrecall").toString
+    val dim = 8
+    def base(i: Int): Seq[Float] =
+      (0 until dim).map(j => math.sin(1.0 + i * (j + 1)).toFloat)
+    (0 until 1200).map { id =>
+      (id.toLong, base(id % 600), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(dir + "/embeddings.parquet")
+    (0 until 1200).map(id => (id.toLong, s"synthetic doc $id", "en", "synth", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+
+    val pairs = DedupQueries.kmeansSemanticPairs(spark, dir)
+    assert(pairs.count() > 0,
+      "derived-K kmeans cells must emit the exact-copy pairs this corpus plants")
+  }
 }

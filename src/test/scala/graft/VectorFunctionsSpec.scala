@@ -64,6 +64,36 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT dot_product(array(1, 2), array(3, 4)) AS d").head().getDouble(0) == 11.0)
   }
 
+  test("native arg_min_dist2 is bit-identical to the HOF argmin over real vectors") {
+    import spark.implicits._
+    // centroid list: 7 real embeddings (odd count, distinct cids, cid
+    // order shuffled by the join) against every corpus vector
+    val e = Tables(spark, Sf0001, "embeddings")
+      .filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 7)
+      .select(((col("vec_id") * 3) % 7).cast("int").as("cid"), col("v").as("c"))
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cents"))
+    val mism = e.crossJoin(broadcast(cents))
+      .select(argMinDist2(col("v"), col("cents")).as("n"),
+        argMinDist2Hof(col("v"), col("cents")).as("h"))
+      .filter(not(col("n") <=> col("h")))
+    assert(mism.count() == 0)
+
+    // exact-tie break toward the smaller cid, degenerate inputs -> NULL
+    val dup = Seq((Seq(1.0, 2.0), Seq((3, Seq(0.0, 0.0)), (1, Seq(1.0, 2.0)), (2, Seq(1.0, 2.0)))))
+      .toDF("v", "cents")
+      .select(argMinDist2(col("v"),
+        col("cents").cast("array<struct<cid:int,c:array<double>>>")).as("b"))
+      .head().getStruct(0)
+    assert(dup.getDouble(0) == 0.0 && dup.getInt(1) == 1)
+    val empty = Seq((Seq(1.0), Seq.empty[(Int, Seq[Double])])).toDF("v", "cents")
+      .select(argMinDist2(col("v"),
+        col("cents").cast("array<struct<cid:int,c:array<double>>>")).as("b"))
+      .head()
+    assert(empty.isNullAt(0))
+  }
+
   test("cosine stays inside whole-stage codegen (no interpreted HOF in the plan)") {
     val e = Tables(spark, Sf0001, "embeddings")
       .select(col("embedding").cast("array<double>").as("v"))
