@@ -17,6 +17,13 @@ import org.apache.spark.sql.SparkSession
   *     keyed by the result's key column (`app.py:23-46` returns the KV
   *     store's `final-output` dict)
   *   - `GET  /lookup?term=x`     — PDF Part-2 "Streaming Search": one key
+  *   - `GET  /bm25?q=a+b[&k=20]` — ranked Okapi retrieval over the
+  *     server-configured tables directory (an ENGINE extension, not a
+  *     reference verb): the parameterized
+  *     [[graft.queries.CurationQueries.bm25TopkFor]], taking the user's
+  *     query the way `lookup` takes its term. The corpus dir is fixed at
+  *     server start (`tablesDir`) — never user-supplied, so no request
+  *     can point the scan at an arbitrary path.
   *
   * Serving-layer only: every handler reads the small, already-aggregated
   * final artifact (same deliberate `collect()` boundary as [[Main]]);
@@ -24,9 +31,12 @@ import org.apache.spark.sql.SparkSession
   */
 object HttpFrontEnd {
 
-  /** Start serving; `port = 0` binds an ephemeral port (tests). */
+  /** Start serving; `port = 0` binds an ephemeral port (tests).
+    * `tablesDir`: the parquet tables directory `/bm25` ranks against
+    * (None → the endpoint answers 400).
+    */
   def start(spark: SparkSession, bootConfig: Option[JobConfig],
-      port: Int): HttpServer = {
+      port: Int, tablesDir: Option[String] = None): HttpServer = {
     @volatile var current: Option[JobConfig] = bootConfig
     // one launch at a time: concurrent Engine.run calls for the same
     // output would race in the shared .inprogress staging directory
@@ -76,6 +86,27 @@ object HttpFrontEnd {
               java.net.URLDecoder.decode(kv.drop(5), "UTF-8")
           }.getOrElse(throw new IllegalArgumentException("missing ?term="))
         val rows = Engine.lookup(spark, cfg.outputPath, term).toJSON.collect()
+        (200, rows.mkString("[", ",", "]"))
+      })
+
+    server.createContext("/bm25", (x: HttpExchange) =>
+      handle(x, method = "GET") {
+        val dir = tablesDir.getOrElse(throw new IllegalArgumentException(
+          "bm25 serving is not configured (no tables directory)"))
+        val params = Option(x.getRequestURI.getQuery).getOrElse("")
+          .split("&").flatMap(_.split("=", 2) match {
+            case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+            case _ => None
+          }).toMap
+        val terms = params.getOrElse("q",
+            throw new IllegalArgumentException("missing ?q="))
+          .split("[,\\s]+").toSeq.filter(_.nonEmpty)
+        val k = math.min(100, math.max(1,
+          params.get("k").map(_.toInt).getOrElse(20)))
+        // small result (top-k rows) — the same deliberate collect()
+        // serving boundary as every handler here
+        val rows = graft.queries.CurationQueries
+          .bm25TopkFor(spark, dir, terms, k).toJSON.collect()
         (200, rows.mkString("[", ",", "]"))
       })
 

@@ -37,7 +37,9 @@ object Main {
       0
     case "serve" :: portStr :: rest if rest.length <= 1 && portStr.forall(_.isDigit) =>
       val boot = rest.headOption.map(p => JobConfig.fromJsonFile(spark, p))
-      val server = HttpFrontEnd.start(spark, boot, portStr.toInt)
+      // /bm25 ranks against the conventional tables-dir env var when set
+      val server = HttpFrontEnd.start(spark, boot, portStr.toInt,
+        sys.env.get("SPARK_GRAFT_SF_DIR"))
       println(s"""{"status":"serving","port":${server.getAddress.getPort}}""")
       while (true) synchronized { wait() } // serve until killed (wait() wakes spuriously)
       0

@@ -49,6 +49,18 @@ object TextFunctions {
     * of three regex traversals. Built directly from the Expression (no
     * function-registry dependence), so it resolves in any session.
     */
+  /** Driver-side single-token cleanup — the SAME kernel as [[cleanLine]]
+    * ([[graft.expressions.AsciiCleanUtil]]), for normalizing a handful
+    * of user-supplied query terms (the served BM25 path) so they match
+    * the indexed tokens. Whitespace inside the input would have split at
+    * tokenization, so it is collapsed out here too.
+    */
+  def cleanToken(s: String): String =
+    if (s == null) ""
+    else graft.expressions.AsciiCleanUtil
+      .clean(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      .toString.split(s"$WsClass+").mkString("")
+
   def cleanLine(c: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.AsciiClean(

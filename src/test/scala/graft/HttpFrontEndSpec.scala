@@ -82,4 +82,32 @@ class HttpFrontEndSpec extends AnyFunSuite {
       assert(hit.contains("beta") && hit.contains("1"), hit)
     } finally server.stop(0)
   }
+
+  test("GET /bm25?q=... serves parameterized ranked retrieval over the tables dir") {
+    val server = HttpFrontEnd.start(spark, None, port = 0,
+      tablesDir = Some(SparkTestBase.Sf0001))
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      // a corpus-present query term ranks documents; k bounds the result
+      val r = get(s"$base/bm25?q=join+filter&k=5")
+      assert(r.statusCode() == 200, r.body())
+      val body = r.body()
+      assert(body.trim.startsWith("[") && body.contains("\"score\""), body)
+      assert(body.split("\"doc_id\"").length - 1 <= 5, body)
+
+      // query terms are cleaned like indexed tokens: punctuation/case
+      // differences must not change the result
+      val clean = get(s"$base/bm25?q=JOIN!+filter&k=5").body()
+      assert(clean == body, s"normalized query diverged:\n$clean\nvs\n$body")
+
+      assert(get(s"$base/bm25").statusCode() == 400)          // missing q
+      assert(get(s"$base/bm25?q=%2C%2C").statusCode() == 400) // no valid terms
+
+      // unconfigured tables dir answers 400, not a crash
+      val bare = HttpFrontEnd.start(spark, None, port = 0)
+      try assert(get(s"http://localhost:${bare.getAddress.getPort}/bm25?q=x")
+        .statusCode() == 400)
+      finally bare.stop(0)
+    } finally server.stop(0)
+  }
 }

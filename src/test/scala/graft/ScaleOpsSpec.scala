@@ -687,6 +687,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected map-side partial bottom-k:\n$plan")
   }
 
+  test("native cdc_boundary_ends matches the HOF boundary filter bit-for-bit") {
+    import graft.queries.CurationQueries.CdcW
+    val w = CdcW
+    val tv = tokens(col("text"))
+    val native = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CdcBoundaryEnds(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tv), w))
+    // the pre-native HOF spelling, including its n < w empty-list guard
+    // (sequence(w, n) would run DESCENDING there)
+    val hof = when(size(tv) >= w,
+        filter(sequence(lit(w), size(tv)), i =>
+          substring(md5(concat_ws(" ", slice(tv, i - w + 1, lit(w)))), 1, 1) === "0"))
+      .otherwise(array().cast("array<int>"))
+    val docs = Tables(spark, Sf0001, "documents").filter(col("doc_id").isNotNull)
+    val mism = docs.select(native.as("n"), hof.as("h"))
+      .filter(not(col("n") <=> col("h")))
+    assert(mism.count() == 0)
+    // short docs (n < w) take the empty branch in both forms
+    import spark.implicits._
+    val short = Seq("a b c", "", "one").toDF("text")
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.CdcBoundaryEnds(
+          org.apache.spark.sql.graft.ColumnBridge.expression(tokens(col("text"))), w)).as("e"))
+      .collect()
+    assert(short.forall(_.getSeq[Int](0).isEmpty))
+  }
+
   test("derived-K semantic kmeans recovers recall above the fixed-K degeneracy point") {
     import graft.queries.{DedupQueries, SimilarityQueries}
     import spark.implicits._
