@@ -122,9 +122,14 @@ object LshStats {
       val mx = sizes.agg(coalesce(max("n"), lit(0L))).head().getLong(0)
       val mn = sizes.agg(coalesce(min("n"), lit(0L))).head().getLong(0)
       val hot = sizes.filter(col("n") > DQ.MaxBucket).count()
+      // emitted_pairs exercises the operator end-to-end: the r9 fixed-K
+      // geometry emitted ZERO pairs at sf0.1 (all cells hot) — the
+      // derived-K claim is only proven by a non-zero count here
+      val emitted = DQ.kmeansSemanticPairs(spark, sfDir).count()
       println(s"""{"query":"dedup_semantic_kmeans","sf":"$sfDir"""" +
         s""","vectors":${asg.count()},"clusters":${sizes.count()}""" +
-        s""","max_cluster":$mx,"min_cluster":$mn,"hot_clusters":$hot}""")
+        s""","max_cluster":$mx,"min_cluster":$mn,"hot_clusters":$hot""" +
+        s""","emitted_pairs":$emitted}""")
       Seq(asg, sizes).foreach(graft.operators.Checkpoints.free)
     }
 

@@ -29,16 +29,37 @@ case class MediaFeatures(
 object Multimodal {
 
   object MediaDecoder {
-    /** STUB — a real implementation would hand `payload` to an image codec
-      * (e.g. javax.imageio / ffmpeg) and return true dimensions. The fake is
-      * a pure function of the payload so tests and oracles are exact.
-      * Replace body with the codec call; signature is the contract.
+    /** Decode: REAL `javax.imageio` path for actual image payloads (PNG /
+      * JPEG / GIF / BMP by magic-byte sniff — the formats the JDK's
+      * built-in readers cover, no external codec), returning true
+      * (width, height, color components). Non-image payloads — the
+      * catalog's docs-as-media stand-ins — keep the deterministic
+      * length-derived fake, so the oracle mirrors stay exact while the
+      * decode seam itself is exercised for real (MultimodalSpec decodes
+      * a committed PNG fixture through this path). Audio/video codecs
+      * are still outside this container; they'd slot in behind the same
+      * sniff.
       */
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
-      // ??? real codec goes here; deterministic fake below.
-      val len = payload.length
-      ((len % 64) + 1, (len % 48) + 1, 3)
+      val img =
+        if (looksLikeImage(payload))
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        else null
+      if (img != null) (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+      else {
+        val len = payload.length
+        ((len % 64) + 1, (len % 48) + 1, 3)
+      }
     }
+
+    /** Magic-byte sniff for the JDK-decodable formats. */
+    private[graft] def looksLikeImage(b: Array[Byte]): Boolean =
+      b != null && b.length >= 8 && (
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+        (b(0) == 'B' && b(1) == 'M'))
   }
 
   /** Wrap the documents table as a media table: payload = UTF-8 bytes of

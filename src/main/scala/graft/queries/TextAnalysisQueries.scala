@@ -760,9 +760,13 @@ object TextAnalysisQueries {
       val (nD, nrD) = (col("n_src").cast("double"), col("n_rest").cast("double"))
       val (tsD, trD) = (col("ts").cast("double"), col("t_rest").cast("double"))
       val diff = (nD * trD) - (nrD * tsD)
+      // single-source corpus degrade (r9 advisory): t_rest = 0 makes the
+      // chi-square denominator 0 and the contribution 0/0 = NaN in BOTH
+      // engines — emit 0.0 (a lone source has nothing to drift from)
+      val contrib = when(col("t_rest") === 0, lit(0.0))
+        .otherwise((diff * diff) / ((tsD * trD) * (nD + nrD)))
       g.select(col("source"), col("bucket"), col("n_src"), col("n_rest"),
-          col("ts").as("t_src"), col("t_rest"),
-          ((diff * diff) / ((tsD * trD) * (nD + nrD))).as("contrib"))
+          col("ts").as("t_src"), col("t_rest"), contrib.as("contrib"))
         .orderBy("source", "bucket")
     })
   )
@@ -1093,12 +1097,13 @@ object TextAnalysisQueries {
            |      LEFT JOIN cnt ON cnt.source = st.source AND cnt.bucket = bt.bucket)
            |SELECT source, bucket, n_src, nb - n_src AS n_rest,
            |  ts AS t_src, tall - ts AS t_rest,
+           |  CASE WHEN tall - ts = 0 THEN 0.0 ELSE
            |  ((CAST(n_src AS DOUBLE) * CAST(tall - ts AS DOUBLE)
            |     - CAST(nb - n_src AS DOUBLE) * CAST(ts AS DOUBLE))
            |   * (CAST(n_src AS DOUBLE) * CAST(tall - ts AS DOUBLE)
            |     - CAST(nb - n_src AS DOUBLE) * CAST(ts AS DOUBLE)))
            |  / ((CAST(ts AS DOUBLE) * CAST(tall - ts AS DOUBLE))
-           |     * (CAST(n_src AS DOUBLE) + CAST(nb - n_src AS DOUBLE))) AS contrib
+           |     * (CAST(n_src AS DOUBLE) + CAST(nb - n_src AS DOUBLE))) END AS contrib
            |FROM g ORDER BY source, bucket""".stripMargin
     )
   }

@@ -82,7 +82,15 @@ object StreamingPipelines {
     * generation per directory, which is the testdata contract.
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val physical = spark.read.parquet(dir).schema("ts").dataType
+    // the footer sniff needs at least one parquet file; file streams
+    // commonly start on an EMPTY directory (files arrive later), which
+    // the pre-sniff static-schema version supported — fall back to the
+    // nanos-LONG generation there instead of failing construction
+    // (r9 advisory). Files arriving later must then match that physical
+    // type — one generation per directory, the testdata contract.
+    val physical =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case scala.util.control.NonFatal(_) => LongType }
     val raw = spark.readStream.schema(eventsRawSchema(physical)).parquet(dir)
     physical match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

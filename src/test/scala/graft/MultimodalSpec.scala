@@ -53,4 +53,34 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().sortBy(_.doc_id)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("real image payloads decode through javax.imageio (committed PNG fixture)") {
+    val png = {
+      val in = getClass.getResourceAsStream("/fixture_8x5.png")
+      try in.readAllBytes() finally in.close()
+    }
+    // direct kernel: true dimensions, not the length-derived fake
+    assert(Multimodal.MediaDecoder.looksLikeImage(png))
+    assert(Multimodal.MediaDecoder.decode(png) == ((8, 5, 3)))
+    // the fake would have said ((157 % 64) + 1, (157 % 48) + 1, 3)
+    assert(Multimodal.MediaDecoder.decode(png) != ((png.length % 64 + 1, png.length % 48 + 1, 3)))
+
+    // e2e through the mapPartitions seam: a real image row and a text
+    // stand-in row flow through ONE plan; each takes its own path
+    import spark.implicits._
+    val media = Seq(
+      (1L, png, "image/png"),
+      (2L, "not an image".getBytes("UTF-8"), "image/fake"))
+      .toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> ((f.width, f.height, f.channels))).toMap
+    assert(out(1L) == ((8, 5, 3)))
+    val fakeLen = "not an image".getBytes("UTF-8").length
+    assert(out(2L) == ((fakeLen % 64 + 1, fakeLen % 48 + 1, 3)))
+
+    // corrupt payload with an image magic falls back, never throws
+    val corrupt = png.take(12) ++ Array.fill[Byte](4)(0)
+    val cl = corrupt.length
+    assert(Multimodal.MediaDecoder.decode(corrupt) == ((cl % 64 + 1, cl % 48 + 1, 3)))
+  }
 }

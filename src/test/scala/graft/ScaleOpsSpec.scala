@@ -714,6 +714,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(short.forall(_.getSeq[Int](0).isEmpty))
   }
 
+  test("dedup_winnowing materializes the fingerprint chain once (no re-derivation in-plan)") {
+    // the fingerprint frame is localCheckpoint'd at build, so the
+    // executed plan must read RDD blocks — if the md5+window chain (or
+    // any documents scan) re-appears in the plan, the materialize-once
+    // fix has regressed and the chain is being re-evaluated per consumer
+    val plan = SparkEntry.queries("dedup_winnowing")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), s"expected checkpointed scan:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"fingerprint source re-derived from the table scan:\n$plan")
+    graft.operators.Checkpoints.drain()
+  }
+
   test("derived-K semantic kmeans recovers recall above the fixed-K degeneracy point") {
     import graft.queries.{DedupQueries, SimilarityQueries}
     import spark.implicits._
