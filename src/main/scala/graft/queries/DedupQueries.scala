@@ -209,7 +209,14 @@ object DedupQueries {
     * for the banding/cap/reuse rationale.
     */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    simhashPairsFrom(simhashTable(s, dir))
+    // materialize the signature aggregation ONCE: capBuckets' count
+    // branch, its anti-join side, and both self-join aliases otherwise
+    // re-run the tokenize+md5+64-bitsum chain ~4× — whether Catalyst
+    // reuses the exchange instead is an AQE coin flip (the kmeans
+    // precedent measured the same HEAD 6× apart on it). Retired blocks
+    // release at the harness drain.
+    simhashPairsFrom(graft.operators.Checkpoints.retire(
+      simhashTable(s, dir).localCheckpoint()))
 
   /** UNCAPPED MinHash-LSH band rows over a distinct (doc_id, <carry...>,
     * sh) shingle frame: per-doc k-min signatures h0..h{k-1}, then one row
@@ -568,8 +575,13 @@ object DedupQueries {
     * `dedup_clusters_multi`.
     */
   private[graft] def chunkMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = capBuckets(minhashBands(chunkRepShingles(s, dir),
-      Seq("chunk_id"), K), Seq("band", "bval"))
+    // one materialization of the chunk → shingle → k-min signature chain
+    // (the simhashPairs rationale; this was the catalog's #1 sf10 mover
+    // when the exchange-reuse coin landed wrong)
+    val bandRows = graft.operators.Checkpoints.retire(
+      minhashBands(chunkRepShingles(s, dir), Seq("chunk_id"), K)
+        .localCheckpoint())
+    val bands = capBuckets(bandRows, Seq("band", "bval"))
     minhashCandidateJoin(bands,
         col("a.doc_id") < col("b.doc_id") ||
           (col("a.doc_id") === col("b.doc_id") &&
@@ -801,8 +813,11 @@ object DedupQueries {
     // canonicalizes identically and the expensive signature aggregation is
     // computed once (ReusedExchange), not once per branch.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val bands = capBuckets(minhashBands(shingleTable(s, dir), Nil, K),
-        Seq("band", "bval"))
+      // one materialization of the shingle → k-min signature chain
+      // (the simhashPairs rationale)
+      val bandRows = graft.operators.Checkpoints.retire(
+        minhashBands(shingleTable(s, dir), Nil, K).localCheckpoint())
+      val bands = capBuckets(bandRows, Seq("band", "bval"))
       minhashCandidateJoin(bands, col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           estJaccard(K).as("est_jaccard"))
@@ -889,7 +904,13 @@ object DedupQueries {
     // each unordered candidate pair are tested; the union doubles rows
     // before a filter, never the join itself.
     "dedup_containment" -> ((s, dir) => {
-      val st = rareShinglePairStats(s, dir)
+      // materialize the stats ONCE: the two directional union branches
+      // below are two full evaluations of the rare-shingle self-join
+      // otherwise — measured ~100 s at sf1 vs ngram_jaccard's ~14 s over
+      // the SAME stats (the r9 sf1/sf10 "anomaly": it was this, not
+      // host noise)
+      val st = graft.operators.Checkpoints.retire(
+        rareShinglePairStats(s, dir).localCheckpoint())
       val d1in2 = st.select(col("d1").as("contained"), col("d2").as("container"),
         col("inter").as("n_shared"), col("n1").as("n_contained"))
       val d2in1 = st.select(col("d2").as("contained"), col("d1").as("container"),

@@ -317,7 +317,13 @@ object SimilarityQueries {
     // max(struct(...)); a pair colliding in several tables just feeds
     // the same (sim, nn) candidate to the max twice. ----
     "ann_lsh_multiprobe" -> ((s, dir) => {
-      val cold = capBuckets(signTables(vecs(s, dir)), Seq("tbl", "bucket"))
+      // one materialization of the 4-table sign projection: capBuckets'
+      // count/anti-join branches and both candidate-join aliases would
+      // otherwise re-run it ~4×, with reuse left to the AQE coin flip
+      // (the simhashPairs rationale)
+      val tabs = graft.operators.Checkpoints.retire(
+        signTables(vecs(s, dir)).localCheckpoint())
+      val cold = capBuckets(tabs, Seq("tbl", "bucket"))
       lshCandidateJoin(cold, Seq("tbl", "bucket"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
           cosine(col("a.v"), col("b.v")).as("sim"))
