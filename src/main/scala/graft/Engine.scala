@@ -119,6 +119,16 @@ object Engine {
       // reasoning as Main.runJob's count)
       Sinks.prettySingleObjectJson(fetchResult(spark, config.outputPath),
         result.columns.head, config.outputPath + "/_final_output.json")
+    // Job complete — the sink has fully executed, so any checkpoints a
+    // registered pipeline retired are releasable NOW. Without this a
+    // long-lived serving session that runs retiring operations
+    // accumulates blocks for the session's life (the r9 bench failure
+    // mode, one integration away — r10 VERDICT "What's missing #2").
+    // Callers composing further read the PUBLISHED artifact
+    // ([[fetchResult]], as Main does); re-executing `result` itself after
+    // the drain is unsupported for retiring pipelines (lineage is
+    // truncated at the checkpoint).
+    graft.operators.Checkpoints.drain()
     result
   }
 

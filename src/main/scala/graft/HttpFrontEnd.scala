@@ -155,6 +155,13 @@ object HttpFrontEnd {
           case e: IllegalArgumentException => (400, s"""{"error":${JsonUtil.escape(e.getMessage)}}""")
           case e: Exception => (500, s"""{"error":${JsonUtil.escape(String.valueOf(e.getMessage))}}""")
         }
+        finally
+          // every handler fully materializes its payload (collect/count)
+          // before reaching here, so checkpoints retired by the request's
+          // query are releasable — the serving session gets the same
+          // between-queries lifecycle as Bench/Verify instead of
+          // accumulating blocks until shutdown (r10 VERDICT missing #2)
+          graft.operators.Checkpoints.drain()
     respond(x, code, payload)
   }
 

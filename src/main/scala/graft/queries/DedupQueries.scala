@@ -214,9 +214,10 @@ object DedupQueries {
     // re-run the tokenize+md5+64-bitsum chain ~4× — whether Catalyst
     // reuses the exchange instead is an AQE coin flip (the kmeans
     // precedent measured the same HEAD 6× apart on it). Retired blocks
-    // release at the harness drain.
+    // release at the harness drain. Per-doc signature rows are
+    // corpus-proportional → serialized storage (Checkpoints scaladoc).
     simhashPairsFrom(graft.operators.Checkpoints.retire(
-      simhashTable(s, dir).localCheckpoint()))
+      graft.operators.Checkpoints.corpusScaled(simhashTable(s, dir))))
 
   /** UNCAPPED MinHash-LSH band rows over a distinct (doc_id, <carry...>,
     * sh) shingle frame: per-doc k-min signatures h0..h{k-1}, then one row
@@ -327,7 +328,7 @@ object DedupQueries {
     if (!includeExact) simhashPairs(s, dir).select("d1", "d2")
     else {
       val sigs = graft.operators.Checkpoints.retire(
-        simhashTable(s, dir).localCheckpoint())
+        graft.operators.Checkpoints.corpusScaled(simhashTable(s, dir)))
       // groupBy + join back, NOT a Window over sig: a doc mirrored
       // millions of times is one signature group, and a window would
       // funnel the whole group into a single task's sort — the
@@ -539,8 +540,10 @@ object DedupQueries {
     // lazily-returned stats frame, so they are retired, not freed
     // (r9 VERDICT "What's wrong #3": HOF-heavy subplans get no plan-level
     // reuse from Catalyst; materialization is the only floor).
+    // the FULL shingle table is the most corpus-expanded frame in the
+    // catalog (docs × shingles/doc) — serialized storage is mandatory
     val sh0 = graft.operators.Checkpoints.retire(
-      shingleTable(s, dir).localCheckpoint())
+      graft.operators.Checkpoints.corpusScaled(shingleTable(s, dir)))
     val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("sh")
     val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
@@ -579,8 +582,8 @@ object DedupQueries {
     // (the simhashPairs rationale; this was the catalog's #1 sf10 mover
     // when the exchange-reuse coin landed wrong)
     val bandRows = graft.operators.Checkpoints.retire(
-      minhashBands(chunkRepShingles(s, dir), Seq("chunk_id"), K)
-        .localCheckpoint())
+      graft.operators.Checkpoints.corpusScaled(
+        minhashBands(chunkRepShingles(s, dir), Seq("chunk_id"), K)))
     val bands = capBuckets(bandRows, Seq("band", "bval"))
     minhashCandidateJoin(bands,
         col("a.doc_id") < col("b.doc_id") ||
@@ -661,9 +664,9 @@ object DedupQueries {
     // the (vec_id, v, cluster) frame once makes the floor the only
     // behavior.
     val a = graft.operators.Checkpoints.retire(
-      SimilarityQueries.kmeansAssign(s, dir)
-        .select(col("vec_id"), col("v"), col("cluster"))
-        .localCheckpoint())
+      graft.operators.Checkpoints.corpusScaled(
+        SimilarityQueries.kmeansAssign(s, dir)
+          .select(col("vec_id"), col("v"), col("cluster"))))
     val e = capBuckets(a, Seq("cluster"))
     val pairs = e.as("a").join(e.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
@@ -693,7 +696,8 @@ object DedupQueries {
     */
   private[graft] def winnowingPairs(s: SparkSession, dir: String): DataFrame =
     winnowingPairsFrom(graft.operators.Checkpoints.retire(
-      TextAnalysisQueries.winnowFps(s, dir).localCheckpoint()))
+      graft.operators.Checkpoints.corpusScaled(
+        TextAnalysisQueries.winnowFps(s, dir))))
 
   /** [[winnowingPairs]] over a caller-supplied (pre-materialized)
     * fingerprint frame. The md5+sliding-window fingerprint chain is the
@@ -816,7 +820,8 @@ object DedupQueries {
       // one materialization of the shingle → k-min signature chain
       // (the simhashPairs rationale)
       val bandRows = graft.operators.Checkpoints.retire(
-        minhashBands(shingleTable(s, dir), Nil, K).localCheckpoint())
+        graft.operators.Checkpoints.corpusScaled(
+          minhashBands(shingleTable(s, dir), Nil, K)))
       val bands = capBuckets(bandRows, Seq("band", "bval"))
       minhashCandidateJoin(bands, col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -943,7 +948,8 @@ object DedupQueries {
       // the pair relation — previously `cnt` and winnowingPairs each
       // re-ran the full fingerprint chain
       val f = graft.operators.Checkpoints.retire(
-        TextAnalysisQueries.winnowFps(s, dir).localCheckpoint())
+        graft.operators.Checkpoints.corpusScaled(
+          TextAnalysisQueries.winnowFps(s, dir)))
       val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
       winnowingPairsFrom(f)
         .join(cnt.select(col("doc_id").as("d1"), col("nf").as("n1")), Seq("d1"))

@@ -322,7 +322,7 @@ object SimilarityQueries {
       // otherwise re-run it ~4×, with reuse left to the AQE coin flip
       // (the simhashPairs rationale)
       val tabs = graft.operators.Checkpoints.retire(
-        signTables(vecs(s, dir)).localCheckpoint())
+        graft.operators.Checkpoints.corpusScaled(signTables(vecs(s, dir))))
       val cold = capBuckets(tabs, Seq("tbl", "bucket"))
       lshCandidateJoin(cold, Seq("tbl", "bucket"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),

@@ -200,4 +200,39 @@ class EngineSpec extends AnyFunSuite {
     val r2 = Engine.run(spark, JobConfig("wordcount", corpus, o2, partitions = 7))
     assert(r1.collect().toSeq == r2.collect().toSeq)
   }
+
+  test("Engine.run drains retired checkpoints at job completion") {
+    // A pipeline that retires a checkpoint — the shape every dedup
+    // catalog query has. Engine.run must give the serving path the same
+    // between-queries lifecycle as Bench/Verify: after the job's sink
+    // completes, the retired blocks are GONE (blocking drain), so a
+    // long-lived session running retiring operations cannot accumulate
+    // blocks until shutdown (the r9 bench heap-poisoning failure mode).
+    OperationRegistry.register("retiring_wc", (corpus, _) => {
+      val counts = graft.operators.Checkpoints.retire(
+        corpus.select(explode(split(col("line"), "\\s+")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("count"))
+          .localCheckpoint())
+      counts.orderBy("word")
+    })
+    val corpus = tmpCorpus()
+    def cachedRddIds(): Set[Int] =
+      spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val before = cachedRddIds()
+    val o1 = Files.createTempDirectory("graft-out").toString + "/r1"
+    Engine.run(spark, JobConfig("retiring_wc", corpus, o1))
+    assert(graft.operators.Checkpoints.retiredCount == 0,
+      "run 1 left retired checkpoints undrained")
+    assert(cachedRddIds() == before,
+      "run 1's checkpoint blocks survived the job-completion drain")
+    // second run through the same session: still no accumulation
+    val o2 = Files.createTempDirectory("graft-out").toString + "/r2"
+    Engine.run(spark, JobConfig("retiring_wc", corpus, o2))
+    assert(graft.operators.Checkpoints.retiredCount == 0)
+    assert(cachedRddIds() == before,
+      "a second run accumulated blocks — the serving lifecycle leaks")
+    // and the published artifacts are intact after their blocks released
+    assert(Engine.fetchResult(spark, o2).count() > 0)
+  }
 }

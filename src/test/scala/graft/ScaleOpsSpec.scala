@@ -762,4 +762,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pairs.count() > 0,
       "derived-K kmeans cells must emit the exact-copy pairs this corpus plants")
   }
+
+  test("corpus-scaled checkpoints store serialized (MEMORY_AND_DISK_SER)") {
+    // the storage policy the 100-TB posture depends on: a corpus-scaled
+    // materialization must NOT sit on the executor heaps as deserialized
+    // java objects (r10 VERDICT "What's wrong #3") — pin the level so a
+    // refactor back to plain localCheckpoint() fails here
+    import spark.implicits._
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val df = graft.operators.Checkpoints.corpusScaled(
+      (1 to 100).toDF("n").select(col("n"), md5(col("n").cast("string")).as("h")))
+    assert(df.count() == 100)
+    val info = spark.sparkContext.getRDDStorageInfo
+      .filter(i => !before.contains(i.id) && i.numCachedPartitions > 0)
+    assert(info.nonEmpty, "corpusScaled produced no cached blocks")
+    info.foreach { i =>
+      assert(i.storageLevel.useMemory && i.storageLevel.useDisk &&
+        !i.storageLevel.deserialized,
+        s"expected MEMORY_AND_DISK_SER, got ${i.storageLevel} for RDD ${i.id}")
+    }
+    graft.operators.Checkpoints.free(df)
+  }
 }

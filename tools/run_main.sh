@@ -5,9 +5,15 @@
 # chains can run while the build tooling stays usable.
 #   tools/run_main.sh [-Xmx…] graft.Bench /root/testdata/sf0.1
 cd "$(dirname "$0")/.." || exit 1
-XMX="-Xmx96g"
+# Default heap mirrors build.sbt: 16g unless SPARK_DRIVER_MEM overrides,
+# with the -Xmx positional still winning (hosts with less RAM must not
+# fail to start just because a 96g default was baked in).
+XMX="-Xmx${SPARK_DRIVER_MEM:-16g}"
 if [[ "$1" == -Xmx* ]]; then XMX="$1"; shift; fi
-exec java $XMX \
+# ReservedCodeCacheSize matches build.sbt: the JVM default 240m code cache
+# fills during a 106-query chain and deopts later queries 2-5x — numbers
+# from this script must be comparable to `sbt runMain` numbers.
+exec java $XMX -XX:ReservedCodeCacheSize=1g \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
