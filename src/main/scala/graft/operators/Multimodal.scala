@@ -13,12 +13,32 @@ case class MediaFeatures(
     doc_id: Long, byte_len: Int, sha: String,
     width: Int, height: Int, channels: Int)
 
+/** Extracted per-object AUDIO features: PCM frame count, sample rate in
+  * Hz, channel count. `frames = -1` marks a stream whose length the
+  * header doesn't declare (unspecified `AudioSystem` frame length).
+  */
+case class AudioFeatures(
+    doc_id: Long, byte_len: Int, sha: String,
+    frames: Long, sample_rate: Int, channels: Int)
+
+/** Extracted per-object VIDEO container metadata: presentation size from
+  * the first visual `tkhd`, whole-movie duration in ms from `mvhd`, and
+  * the container's track count.
+  */
+case class VideoFeatures(
+    doc_id: Long, byte_len: Int, sha: String,
+    width: Int, height: Int, duration_ms: Long, tracks: Int)
+
 /** Multimodal column plumbing: image/audio/video as opaque `BINARY` columns
   * with typed metadata, features extracted partition-wise.
   *
-  * The actual codecs (image decode, resample, frame-sample) are NOT in this
-  * container — [[MediaDecoder.decode]] is a clearly-marked STUB with a
-  * deterministic fake. The split matters for the plan: everything a Catalyst
+  * Codec posture: image headers+pixels decode for REAL via `javax.imageio`
+  * (PNG/JPEG/GIF/BMP), audio headers via `javax.sound.sampled`
+  * (WAV/AIFF/AU), and video CONTAINER metadata via a hand-rolled ISO BMFF
+  * box walk (MP4 `moov`/`mvhd`/`tkhd`) — everything parseable without an
+  * external codec; compressed audio/video SAMPLE decode is NOT in this
+  * container, and non-decodable payloads fall back to a deterministic
+  * length-derived fake so the stand-in corpus stays oracle-exact. The split matters for the plan: everything a Catalyst
   * expression can compute (`sha2`, `octet_length`) is computed as a
   * codegen'd projection BEFORE the object boundary; only the codec call —
   * the one thing built-ins genuinely can't express — runs inside
@@ -60,6 +80,126 @@ object Multimodal {
         (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
         (b(0) == 'B' && b(1) == 'M'))
+
+    /** Audio decode: REAL `javax.sound.sampled` path for RIFF/WAVE (and
+      * AIFF/AU — the formats the JDK's built-in providers parse without
+      * external codecs), returning (frames, sampleRateHz, channels) from
+      * the parsed header. Non-audio / corrupt payloads get the same
+      * deterministic length-derived fake posture as the image seam, so
+      * the stand-in corpus stays oracle-exact while a real WAV exercises
+      * the true parse (MultimodalSpec e2e). Compressed codecs
+      * (MP3/AAC/Opus) and video remain honestly outside this container.
+      */
+    def decodeAudio(payload: Array[Byte]): (Long, Int, Int) = {
+      val parsed =
+        if (looksLikeAudio(payload))
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val f = in.getFormat
+              Some((in.getFrameLength, f.getSampleRate.round, f.getChannels))
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      parsed.getOrElse {
+        val len = if (payload == null) 0 else payload.length
+        ((len % 4096).toLong, 8000 + (len % 3) * 4000, 1 + (len % 2))
+      }
+    }
+
+    /** Magic-byte sniff for the JDK-parseable audio containers:
+      * RIFF....WAVE, FORM....AIFF, and .snd (AU).
+      */
+    private[graft] def looksLikeAudio(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 && (
+        (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+        (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+          b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F') ||
+        (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
+
+    /** Video CONTAINER metadata: a real MP4 / ISO BMFF box-structure walk
+      * (ISO/IEC 14496-12: size+fourcc boxes, `moov` → `mvhd` for
+      * timescale+duration, `moov/trak/tkhd` for presentation width ×
+      * height in 16.16 fixed point) — pure byte parsing, which is the
+      * part of "video decode" that needs NO codec. Returns (width,
+      * height, durationMs, trackCount). The compressed sample data
+      * (H.264 etc.) stays honestly outside this container — a real frame
+      * decode would slot in behind this same seam, after the parse has
+      * told it where the samples live. Non-MP4 / truncated payloads fall
+      * back to the deterministic length-derived fake, same posture as the
+      * image/audio seams, so the docs-as-media stand-in corpus stays
+      * oracle-exact.
+      */
+    def decodeVideo(payload: Array[Byte]): (Int, Int, Long, Int) =
+      (if (looksLikeMp4(payload)) parseMp4(payload) else None).getOrElse {
+        val len = if (payload == null) 0 else payload.length
+        (16 + len % 320, 16 + len % 240, (len % 3600000).toLong, 1 + len % 3)
+      }
+
+    /** ISO BMFF sniff: box 1 is `ftyp` (fourcc at offset 4). */
+    private[graft] def looksLikeMp4(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 &&
+        b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    private def parseMp4(b: Array[Byte]): Option[(Int, Int, Long, Int)] =
+      try {
+        val bb = java.nio.ByteBuffer.wrap(b) // BMFF is big-endian
+        def fourcc(off: Int): String =
+          new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        /** Walk the sibling boxes in [from, until); visit(type, payloadOff,
+          * payloadEnd). 64-bit `size==1` largesize and `size==0`
+          * (to-end-of-file) forms handled; a malformed size aborts the walk.
+          */
+        def boxes(from: Int, until: Int)(visit: (String, Int, Int) => Unit): Unit = {
+          var off = from
+          while (off + 8 <= until) {
+            val size32 = bb.getInt(off).toLong & 0xFFFFFFFFL
+            val typ = fourcc(off + 4)
+            val (payloadOff, size) =
+              if (size32 == 1 && off + 16 <= until) (off + 16, bb.getLong(off + 8))
+              else if (size32 == 0) (off + 8, (until - off).toLong)
+              else (off + 8, size32)
+            val end = off + size
+            if (size < 8 || end > until) return // malformed — stop, caller falls back
+            visit(typ, payloadOff, end.toInt)
+            off = end.toInt
+          }
+        }
+        var timescale = 0L; var duration = 0L
+        var width = 0; var height = 0; var tracks = 0
+        boxes(0, b.length) { (t0, p0, e0) =>
+          if (t0 == "moov") boxes(p0, e0) { (t1, p1, e1) =>
+            t1 match {
+              case "mvhd" =>
+                val v = b(p1) & 0xFF // fullbox version: v1 widens times to 64-bit
+                if (v == 1) { timescale = bb.getInt(p1 + 20).toLong & 0xFFFFFFFFL
+                              duration = bb.getLong(p1 + 24) }
+                else        { timescale = bb.getInt(p1 + 12).toLong & 0xFFFFFFFFL
+                              duration = bb.getInt(p1 + 16).toLong & 0xFFFFFFFFL }
+              case "trak" =>
+                tracks += 1
+                boxes(p1, e1) { (t2, p2, _) =>
+                  if (t2 == "tkhd" && width == 0) {
+                    val v = b(p2) & 0xFF
+                    // fullbox(4) + times/id/reserved/duration (v0: 20, v1: 32)
+                    // + reserved(8)+layer(2)+altgroup(2)+volume(2)+reserved(2)
+                    // + matrix(36) → width/height as 16.16 fixed
+                    val wOff = p2 + (if (v == 1) 32 else 20) + 4 + 16 + 36
+                    val w = bb.getInt(wOff) >>> 16 // integer part of 16.16
+                    val h = bb.getInt(wOff + 4) >>> 16
+                    if (w > 0 && h > 0) { width = w; height = h }
+                  }
+                }
+              case _ =>
+            }
+          }
+        }
+        if (timescale > 0 && width > 0)
+          Some((width, height, duration * 1000L / timescale, tracks))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Wrap the documents table as a media table: payload = UTF-8 bytes of
@@ -89,6 +229,43 @@ object Multimodal {
         records.map { r =>
           val (w, h, c) = MediaDecoder.decode(r.payload)
           MediaFeatures(r.doc_id, r.byte_len, r.sha, w, h, c)
+        }
+      }
+  }
+
+  /** Audio-feature extraction — the [[extractFeatures]] pattern with the
+    * audio decoder behind the same single object boundary: metadata as
+    * codegen'd projections, the header parse per-partition executor-side.
+    */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long").as("doc_id"), col("payload"),
+        octet_length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("sha"))
+      .as[MediaWithMeta]
+      .mapPartitions { records =>
+        records.map { r =>
+          val (frames, rate, ch) = MediaDecoder.decodeAudio(r.payload)
+          AudioFeatures(r.doc_id, r.byte_len, r.sha, frames, rate, ch)
+        }
+      }
+  }
+
+  /** Video container-metadata extraction — the [[extractFeatures]] pattern
+    * with the BMFF walk behind the same single object boundary.
+    */
+  def extractVideoFeatures(spark: SparkSession, media: DataFrame): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long").as("doc_id"), col("payload"),
+        octet_length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("sha"))
+      .as[MediaWithMeta]
+      .mapPartitions { records =>
+        records.map { r =>
+          val (w, h, ms, tr) = MediaDecoder.decodeVideo(r.payload)
+          VideoFeatures(r.doc_id, r.byte_len, r.sha, w, h, ms, tr)
         }
       }
   }

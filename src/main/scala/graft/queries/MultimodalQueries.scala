@@ -34,6 +34,23 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- audio/video metadata: the real decoders (javax.sound header
+    // parse, BMFF box walk) behind the same mapPartitions seam; on the
+    // docs-as-media stand-in corpus every payload takes the deterministic
+    // fallback, which the oracle mirrors in SQL — so the plumbing (binary
+    // encode, Dataset round-trip, partition-wise decode) is value-checked
+    // end-to-end while the REAL parse paths are spec-checked on committed
+    // fixtures (MultimodalSpec). ----
+    "multimodal_audio" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"))
+      Multimodal.extractAudioFeatures(s, media).toDF().orderBy("doc_id")
+    }),
+
+    "multimodal_video" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"))
+      Multimodal.extractVideoFeatures(s, media).toDF().orderBy("doc_id")
+    }),
+
     // ---- frame sampling: k evenly-spaced byte windows per binary payload
     // (the video-frame-sample shape: payload stands in for an encoded
     // stream, a real pipeline would decode at each offset). Pure
@@ -84,6 +101,25 @@ object MultimodalQueries {
         |      CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  sha256(text) AS sha,
+        |  CAST(octet_length(encode(text)) % 4096 AS BIGINT) AS frames,
+        |  CAST(8000 + (octet_length(encode(text)) % 3) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 + octet_length(encode(text)) % 2 AS INT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_video" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  sha256(text) AS sha,
+        |  CAST(16 + octet_length(encode(text)) % 320 AS INT) AS width,
+        |  CAST(16 + octet_length(encode(text)) % 240 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 3600000 AS BIGINT) AS duration_ms,
+        |  CAST(1 + octet_length(encode(text)) % 3 AS INT) AS tracks
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       s"""SELECT doc_id, CAST(i AS INT) AS frame_idx,

@@ -83,4 +83,129 @@ class MultimodalSpec extends AnyFunSuite {
     val cl = corrupt.length
     assert(Multimodal.MediaDecoder.decode(corrupt) == ((cl % 64 + 1, cl % 48 + 1, 3)))
   }
+
+  /** A minimal valid PCM WAV: 16-bit mono 8 kHz, `nFrames` zero samples.
+    * Hand-rolled bytes, so the javax.sound parse under test is verified
+    * against an INDEPENDENT spelling of the RIFF layout.
+    */
+  private def pcmWav(nFrames: Int): Array[Byte] = {
+    val dataSize = nFrames * 2 // 16-bit mono => blockAlign 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)            // PCM
+      .putShort(1)            // channels
+      .putInt(8000)           // sample rate
+      .putInt(8000 * 2)       // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array()
+  }
+
+  test("real WAV payloads decode through javax.sound.sampled") {
+    val wav = pcmWav(nFrames = 16)
+    assert(Multimodal.MediaDecoder.looksLikeAudio(wav))
+    // true header values, not the length-derived fake
+    assert(Multimodal.MediaDecoder.decodeAudio(wav) == ((16L, 8000, 1)))
+    val wl = wav.length
+    assert(Multimodal.MediaDecoder.decodeAudio(wav) !=
+      (((wl % 4096).toLong, 8000 + (wl % 3) * 4000, 1 + (wl % 2))))
+
+    // e2e through the mapPartitions seam: a real WAV row and a text
+    // stand-in row flow through ONE plan; each takes its own path
+    import spark.implicits._
+    val media = Seq(
+      (1L, wav, "audio/wav"),
+      (2L, "not audio bytes".getBytes("UTF-8"), "audio/fake"))
+      .toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.extractAudioFeatures(spark, media).collect()
+      .map(f => f.doc_id -> ((f.frames, f.sample_rate, f.channels))).toMap
+    assert(out(1L) == ((16L, 8000, 1)))
+    val fl = "not audio bytes".getBytes("UTF-8").length
+    assert(out(2L) == (((fl % 4096).toLong, 8000 + (fl % 3) * 4000, 1 + (fl % 2))))
+
+    // corrupt payload with a RIFF/WAVE magic falls back, never throws
+    val corrupt = wav.take(12)
+    assert(Multimodal.MediaDecoder.looksLikeAudio(corrupt))
+    val kl = corrupt.length
+    assert(Multimodal.MediaDecoder.decodeAudio(corrupt) ==
+      (((kl % 4096).toLong, 8000 + (kl % 3) * 4000, 1 + (kl % 2))))
+  }
+
+  /** A minimal valid ISO BMFF movie: ftyp + moov(mvhd + trak(tkhd)).
+    * Hand-rolled per ISO/IEC 14496-12 box layouts — an INDEPENDENT
+    * spelling of the structure the parser under test walks. `v1` uses the
+    * 64-bit (version 1) mvhd/tkhd forms to cover the widened-time path.
+    */
+  private def mp4(width: Int, height: Int, timescale: Int, duration: Long,
+      v1: Boolean = false): Array[Byte] = {
+    def box(typ: String, payload: java.nio.ByteBuffer): java.nio.ByteBuffer = {
+      val p = payload.flip().asInstanceOf[java.nio.ByteBuffer]
+      val bb = java.nio.ByteBuffer.allocate(8 + p.remaining())
+      bb.putInt(8 + p.remaining()).put(typ.getBytes("US-ASCII")).put(p)
+      bb
+    }
+    def bb(n: Int) = java.nio.ByteBuffer.allocate(n)
+    val ftyp = box("ftyp", bb(8).put("isom".getBytes("US-ASCII")).putInt(0))
+    val mvhd = {
+      val b = bb(120)
+      if (v1) b.putInt(0x01000000).putLong(0).putLong(0) // version 1, 64-bit times
+              .putInt(timescale).putLong(duration)
+      else    b.putInt(0).putInt(0).putInt(0)
+              .putInt(timescale).putInt(duration.toInt)
+      b.putInt(0x00010000).putShort(0x0100).put(new Array[Byte](10))
+        .put(new Array[Byte](36)) // matrix
+        .put(new Array[Byte](24)).putInt(2) // pre_defined + next_track_ID
+      box("mvhd", b)
+    }
+    val tkhd = {
+      val b = bb(104)
+      if (v1) b.putInt(0x01000007).putLong(0).putLong(0).putInt(1).putInt(0).putLong(duration)
+      else    b.putInt(7).putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration.toInt)
+      b.put(new Array[Byte](16)) // reserved/layer/alt_group/volume/reserved
+        .put(new Array[Byte](36)) // matrix
+        .putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      box("tkhd", b)
+    }
+    val trak = box("trak", bb(tkhd.flip().remaining()).put(tkhd))
+    val moov = {
+      val m = bb(mvhd.flip().remaining() + trak.flip().remaining()).put(mvhd).put(trak)
+      box("moov", m)
+    }
+    val out = java.nio.ByteBuffer.allocate(
+      ftyp.flip().remaining() + moov.flip().remaining())
+    out.put(ftyp).put(moov).array()
+  }
+
+  test("real MP4 containers parse through the BMFF box walk") {
+    val clip = mp4(width = 640, height = 360, timescale = 1000, duration = 5000)
+    assert(Multimodal.MediaDecoder.looksLikeMp4(clip))
+    assert(Multimodal.MediaDecoder.decodeVideo(clip) == ((640, 360, 5000L, 1)))
+    // version-1 (64-bit) mvhd/tkhd: 90 s at a 90 kHz timescale
+    val clipV1 = mp4(1920, 1080, 90000, 8100000L, v1 = true)
+    assert(Multimodal.MediaDecoder.decodeVideo(clipV1) == ((1920, 1080, 90000L, 1)))
+
+    // e2e through the mapPartitions seam: one real MP4 row, one text
+    // stand-in row, one plan — each takes its own path
+    import spark.implicits._
+    val media = Seq(
+      (1L, clip, "video/mp4"),
+      (2L, "not a movie".getBytes("UTF-8"), "video/fake"))
+      .toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.extractVideoFeatures(spark, media).collect()
+      .map(f => f.doc_id -> ((f.width, f.height, f.duration_ms, f.tracks))).toMap
+    assert(out(1L) == ((640, 360, 5000L, 1)))
+    val fl = "not a movie".getBytes("UTF-8").length
+    assert(out(2L) == ((16 + fl % 320, 16 + fl % 240, (fl % 3600000).toLong, 1 + fl % 3)))
+
+    // truncated payload with a valid ftyp magic falls back, never throws
+    val truncated = clip.take(40)
+    assert(Multimodal.MediaDecoder.looksLikeMp4(truncated))
+    val tl = truncated.length
+    assert(Multimodal.MediaDecoder.decodeVideo(truncated) ==
+      ((16 + tl % 320, 16 + tl % 240, (tl % 3600000).toLong, 1 + tl % 3)))
+  }
 }
