@@ -33,10 +33,10 @@ object LshStats {
     // ---- dedup_minhash_lsh stages (the query's own machinery) ----
     {
       val bands0 = DQ.minhashBands(DQ.shingleTable(spark, sfDir), Nil, DQ.K)
-        .localCheckpoint() // count the stages off ONE materialization
-      val hotFull = DQ.bucketCounts(bands0, bandKeys).localCheckpoint()
+        .transform(graft.operators.Checkpoints.fresh) // count the stages off ONE materialization
+      val hotFull = DQ.bucketCounts(bands0, bandKeys).transform(graft.operators.Checkpoints.fresh)
       val hot = DQ.hotBuckets(hotFull, bandKeys)
-      val cold = DQ.dropHot(bands0, hot, bandKeys).localCheckpoint()
+      val cold = DQ.dropHot(bands0, hot, bandKeys).transform(graft.operators.Checkpoints.fresh)
       val cand = DQ.minhashCandidateJoin(cold,
         col("a.doc_id") < col("b.doc_id"))
       val pairs = cand
@@ -60,12 +60,12 @@ object LshStats {
     {
       val chunkRows =
         graft.queries.CurationQueries.chunkTable(spark, sfDir).count()
-      val reps = DQ.chunkReps(spark, sfDir).localCheckpoint()
+      val reps = DQ.chunkReps(spark, sfDir).transform(graft.operators.Checkpoints.fresh)
       val sh = DQ.repShingles(reps)
-      val bands0 = DQ.minhashBands(sh, Seq("chunk_id"), DQ.K).localCheckpoint()
-      val hotFull = DQ.bucketCounts(bands0, bandKeys).localCheckpoint()
+      val bands0 = DQ.minhashBands(sh, Seq("chunk_id"), DQ.K).transform(graft.operators.Checkpoints.fresh)
+      val hotFull = DQ.bucketCounts(bands0, bandKeys).transform(graft.operators.Checkpoints.fresh)
       val hot = DQ.hotBuckets(hotFull, bandKeys)
-      val cold = DQ.dropHot(bands0, hot, bandKeys).localCheckpoint()
+      val cold = DQ.dropHot(bands0, hot, bandKeys).transform(graft.operators.Checkpoints.fresh)
       val cand = DQ.minhashCandidateJoin(cold,
         col("a.doc_id") < col("b.doc_id") ||
           (col("a.doc_id") === col("b.doc_id") &&
@@ -97,7 +97,7 @@ object LshStats {
       val fixedRows = graft.queries.CurationQueries.chunksOf(
         Tables(spark, sfDir, "documents")).count()
       val cdc = graft.queries.CurationQueries.cdcChunkRowsOf(
-        Tables(spark, sfDir, "documents")).localCheckpoint()
+        Tables(spark, sfDir, "documents")).transform(graft.operators.Checkpoints.fresh)
       val rows = cdc.count()
       val agg = cdc.agg(
         coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("sum_t"),
@@ -116,9 +116,9 @@ object LshStats {
     // cells the MaxBucket cap would drop — the measured form of the
     // "K is the scale knob" claim (SCALE.md).
     {
-      val asg = SQ.kmeansAssign(spark, sfDir).localCheckpoint()
+      val asg = SQ.kmeansAssign(spark, sfDir).transform(graft.operators.Checkpoints.fresh)
       val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.fresh)
       val mx = sizes.agg(coalesce(max("n"), lit(0L))).head().getLong(0)
       val mn = sizes.agg(coalesce(min("n"), lit(0L))).head().getLong(0)
       val hot = sizes.filter(col("n") > DQ.MaxBucket).count()
@@ -140,10 +140,10 @@ object LshStats {
         .filter(col("vec_id").isNotNull)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
-      val tabs = SQ.signTables(e).localCheckpoint()
-      val hotFull = SQ.bucketCounts(tabs, probeKeys).localCheckpoint()
+      val tabs = SQ.signTables(e).transform(graft.operators.Checkpoints.fresh)
+      val hotFull = SQ.bucketCounts(tabs, probeKeys).transform(graft.operators.Checkpoints.fresh)
       val hot = SQ.hotBuckets(hotFull, probeKeys)
-      val cold = SQ.dropHot(tabs, hot, probeKeys).localCheckpoint()
+      val cold = SQ.dropHot(tabs, hot, probeKeys).transform(graft.operators.Checkpoints.fresh)
       val cand = SQ.lshCandidateJoin(cold, probeKeys)
       val maxCold = hotFull.filter(col("n") <= SQ.MaxBucket)
         .agg(coalesce(max("n"), lit(0L))).head().getLong(0)

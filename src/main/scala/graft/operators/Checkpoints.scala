@@ -60,16 +60,32 @@ object Checkpoints {
     * survivable at 100 TB (r10 VERDICT "What's wrong #3"). This variant
     * checkpoints at `MEMORY_AND_DISK_SER`: Tungsten-row bytes, ~3-6×
     * denser than deserialized objects, spilling to local disk past the
-    * storage fraction instead of pressuring GC. The public
-    * `localCheckpoint(eager, storageLevel)` overload (Spark 4.0+,
-    * SPARK-45052 lineage-truncation family) makes this one call.
+    * storage fraction instead of pressuring GC. Goes through
+    * [[org.apache.spark.sql.graft.CheckpointBridge]] so the new leaf gets
+    * MEASURED stats, not the estimate carry-over (see [[fresh]]).
     *
     * Candidate/pair-bounded frames (CC labels, capped pair lists,
-    * per-pair stats) keep plain `localCheckpoint()` — they are small by
-    * construction (caps) and the deserialized form re-scans faster.
+    * per-pair stats) use [[fresh]] — they are small by construction
+    * (caps) and the deserialized form re-scans faster.
     */
   def corpusScaled(df: DataFrame): DataFrame =
-    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    org.apache.spark.sql.graft.CheckpointBridge
+      .localCheckpointMeasured(df, StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** Eager local checkpoint for candidate/pair-bounded frames —
+    * deserialized storage (fast re-scan), measured stats. Use this, NOT
+    * `df.localCheckpoint()`, anywhere a checkpoint can sit under a join:
+    * the stock path carries the ESTIMATED stats of the checkpointed plan
+    * into the new leaf, and Catalyst's size-only join estimator multiplies
+    * sizes — so iterative checkpoint-join-checkpoint chains (the CC loop)
+    * double the carried BigInt's digit count every round until the driver
+    * main thread is doing minutes of million-digit `BigInteger.multiply`
+    * while the executors idle (measured live, round-11 sf10 chain; full
+    * story in [[org.apache.spark.sql.graft.CheckpointBridge]]).
+    */
+  def fresh(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.CheckpointBridge
+      .localCheckpointMeasured(df, StorageLevel.MEMORY_AND_DISK)
 
   /** Unpersist the checkpoint blocks behind `df` immediately (async).
     * `df` must be the checkpointed frame itself (or a thin projection of

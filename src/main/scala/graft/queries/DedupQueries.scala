@@ -350,12 +350,12 @@ object DedupQueries {
     */
   private[graft] def clusterLabelsFromEdges(docs: DataFrame,
       pairs0: DataFrame): DataFrame = {
-    val pairs = pairs0.localCheckpoint()
+    val pairs = pairs0.transform(graft.operators.Checkpoints.fresh)
     // checkpointed PRE-PARTITIONED on the per-round join key: LogicalRDD
     // preserves outputPartitioning, so the edge side of every iteration's
     // join reuses this one exchange instead of re-shuffling per round
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .repartition(col("d2")).localCheckpoint()
+      .repartition(col("d2")).transform(graft.operators.Checkpoints.fresh)
     // `pairs` exists only so the edges union evaluates pairs0 once, not
     // twice; with `edges` materialized its blocks are dead — free now
     // (r9 driver bench: accumulated checkpoints poisoned the shared
@@ -366,7 +366,7 @@ object DedupQueries {
     // pair-graph vertex set, orders of magnitude smaller than the docs)
     var labels = edges.select(col("d1").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+      .transform(graft.operators.Checkpoints.fresh)
     // min-label is monotonically decreasing, so the integer label sum is
     // a convergence certificate — one agg per round, previous round's
     // value carried forward instead of recomputed. The sum is coalesced:
@@ -400,7 +400,7 @@ object DedupQueries {
       val jumpTo = labels.select(col("id").as("jid"), col("label").as("jlabel"))
       val next = stepped.join(jumpTo, stepped("label") === jumpTo("jid"), "left")
         .select(stepped("id"), coalesce(col("jlabel"), stepped("label")).as("label"))
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.fresh)
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -755,7 +755,7 @@ object DedupQueries {
     // frame is the pair-stats (post-cap, pair-bounded), small relative
     // to the shingle table it summarizes.
     val st = graft.operators.Checkpoints.retire(
-      rareShinglePairStats(s, dir).localCheckpoint())
+      rareShinglePairStats(s, dir).transform(graft.operators.Checkpoints.fresh))
     simhashEdges(s, dir, includeExact = true)
       .union(chunkMinhashPairs(s, dir)
         .filter(col("d1") =!= col("d2")).select("d1", "d2"))
@@ -915,7 +915,7 @@ object DedupQueries {
       // the SAME stats (the r9 sf1/sf10 "anomaly": it was this, not
       // host noise)
       val st = graft.operators.Checkpoints.retire(
-        rareShinglePairStats(s, dir).localCheckpoint())
+        rareShinglePairStats(s, dir).transform(graft.operators.Checkpoints.fresh))
       val d1in2 = st.select(col("d1").as("contained"), col("d2").as("container"),
         col("inter").as("n_shared"), col("n1").as("n_contained"))
       val d2in1 = st.select(col("d2").as("contained"), col("d1").as("container"),

@@ -373,7 +373,7 @@ object SimilarityQueries {
       // checkpointed broadcast-sized rep frame; eager driver-side
       // actions at build time are the dedup_clusters precedent)
       val repsAll = graft.operators.Checkpoints.retire(
-        cellReps(e).localCheckpoint())
+        cellReps(e).transform(graft.operators.Checkpoints.fresh))
       val nCells = repsAll.count()
       require(nCells <= MaxCells,
         s"ann_ivf_nprobe: $nCells cells exceed MaxCells=$MaxCells — " +

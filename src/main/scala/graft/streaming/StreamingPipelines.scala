@@ -271,7 +271,7 @@ object StreamingPipelines {
       }
       // materialize ONCE: both merges below consume `fresh`, and without
       // the checkpoint each would re-execute the history-sized probe
-      val fresh = fresh0.localCheckpoint()
+      val fresh = fresh0.transform(graft.operators.Checkpoints.fresh)
       val kept = b1.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
       graft.sources.Sinks.mergeIntoKeyedParquet(kept, "doc_id", outPath)
       graft.sources.Sinks.mergeIntoKeyedParquet(fresh, "sig", historyPath)
@@ -361,7 +361,7 @@ object StreamingPipelines {
       // checkpoint each would re-run the history-sized probe
       val novel = history.fold(canon)(h => canon.join(h, Seq("ch"), "left_anti"))
         .select(col("k.doc_id").as("doc_id"), col("ch"))
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.fresh)
       val survivors = novel.groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
       val nChunks = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
       val kept = b1.join(survivors, Seq("doc_id")).join(nChunks, Seq("doc_id"))

@@ -763,6 +763,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       "derived-K kmeans cells must emit the exact-copy pairs this corpus plants")
   }
 
+  test("checkpoints carry measured stats; digits stay bounded through an iterated join chain") {
+    // The round-11 driver-stall defect: stock localCheckpoint carries the
+    // ESTIMATED stats of the checkpointed plan into the new LogicalRDD
+    // leaf, and the size-only join estimator multiplies sizeInBytes — so
+    // a checkpoint-join-checkpoint loop doubles the carried BigInt's
+    // digit count per round until the driver main thread spends minutes
+    // in million-digit BigInteger.multiply (observed live at sf10:
+    // load ~1, all executors idle). Checkpoints.fresh must (a) expose
+    // MEASURED stats — block-store bytes and exact rowCount — and (b)
+    // therefore keep stats digits FLAT through the same loop shape.
+    import spark.implicits._
+    val base = graft.operators.Checkpoints.fresh(
+      (1 to 200).toDF("id").select(col("id"), (col("id") % 7).as("k")))
+    val stats0 = base.queryExecution.optimizedPlan.stats
+    assert(stats0.rowCount.contains(BigInt(200)), "rowCount must be the measured count")
+    assert(stats0.sizeInBytes > 0 && stats0.sizeInBytes < BigInt(10L * 1024 * 1024),
+      s"sizeInBytes must be measured block bytes, got ${stats0.sizeInBytes}")
+    var labels = base
+    (1 to 12).foreach { _ =>
+      val j = labels.as("a").join(labels.as("b"), col("a.k") === col("b.k"))
+        .groupBy(col("a.id").as("id")).agg(min(col("b.k")).as("k"))
+      val next = graft.operators.Checkpoints.fresh(j)
+      graft.operators.Checkpoints.free(labels)
+      labels = next
+    }
+    val statsN = labels.queryExecution.optimizedPlan.stats
+    // stock carry-over after 12 self-join rounds reaches ~2^12× the
+    // starting digit count; measured stats stay at true block size
+    assert(statsN.sizeInBytes < BigInt(10L * 1024 * 1024),
+      s"stats grew through the checkpoint chain: ${statsN.sizeInBytes.toString.length} digits")
+    assert(statsN.rowCount.exists(_ > 0))
+    graft.operators.Checkpoints.free(labels)
+  }
+
   test("corpus-scaled checkpoints store serialized (MEMORY_AND_DISK_SER)") {
     // the storage policy the 100-TB posture depends on: a corpus-scaled
     // materialization must NOT sit on the executor heaps as deserialized
