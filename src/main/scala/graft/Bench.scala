@@ -76,7 +76,14 @@ object Bench {
       Rep(wallNs / 1e9, (gcMillis() - gc0) / 1e3, cpuRatio, ok)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the chain to named queries —
+    // the single-query reproduction harness (a failed query in a 108-query
+    // chain needs a 30 s rerun, not a 30 min one)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val rs = (1 to reps).map(_ => once(fn, name))
       val best = rs.minBy(_.sec)
       (name, best.copy(ok = rs.forall(_.ok)))

@@ -89,8 +89,32 @@ object ScaleData {
                 .otherwise(x)))))
 
     out.foreach { case (name, df) =>
-      df.coalesce(4).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
-      println(s"wrote $name")
+      // File-count policy: ~2 MiB of source bytes per output file. The
+      // original coalesce(4) wrote each table as 4 single-row-group files,
+      // and parquet splits at ROW-GROUP granularity — so every scan of the
+      // replica was pinned to 4 tasks no matter the cluster width. A 51 MiB
+      // embeddings table is small in BYTES but feeds compute-amplified
+      // operators (the K·dim k-means assignment), where 4-way parallelism
+      // on a 32-core host is an 8× wall-clock tax (measured: sf10
+      // embedding_kmeans 171 s at cpu/wall 3.8). Real lakes have the same
+      // hazard in reverse — many row groups per file — so the replica
+      // should look like a real table: enough row groups to occupy the
+      // host, bounded file count so the dimension tables stay compact.
+      val srcBytes = tableBytes(s"$srcDir/$name.parquet")
+      val estBytes = srcBytes * (if (name == "region" || name == "nation") 1 else factor)
+      val parts = math.max(4L, math.min(128L, estBytes / (2L << 20))).toInt
+      df.repartition(parts)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+      println(s"wrote $name ($parts files)")
     }
+  }
+
+  /** Size of a source table — a single parquet file or a directory of
+    * part files (replica-of-replica builds read the latter).
+    */
+  private def tableBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.length).sum
+    else f.length
   }
 }

@@ -293,20 +293,21 @@ object DedupQueries {
     * keep/drop decision on top of it).
     *
     * The end-product of dedup at scale is not a pair list but a cluster
-    * id per document. Components are computed by iterative min-label
-    * propagation over the simhash pair edges: each round every doc takes
-    * the min label among itself and its neighbors, then FOLLOWS the label
-    * one hop (pointer jumping), so propagation distance doubles per
-    * round; a fixpoint is a connected component labeled by its smallest
-    * doc_id. The driver loop runs on CHECKPOINTED iterations
-    * (localCheckpoint truncates the logical plan — without it the plan
-    * doubles per round and re-executes the whole simhash pipeline each
-    * join) and converges in O(log diameter) rounds (measured 12 -> 9 at
-    * sf0.1), so the 32-round loud-failure bound covers chain diameters up
-    * to 2^32 — adversarial chain-shaped near-dup graphs (incremental
-    * crawls) cannot outgrow it. Labels are integers, so the fixpoint is
-    * exactly reproducible by the oracle's recursive reachability closure
-    * (no float order sensitivity).
+    * id per document. Components are computed by HOOK-and-CONTRACT
+    * min-label rounds over the simhash pair edges: each round every doc
+    * takes the min label among itself and its neighbors (hook), then the
+    * label map is jumped label → label(label) to IDEMPOTENCE (contract),
+    * so labels are component-root ids entering every round and one hook
+    * merges whole root trees; a fixpoint is a connected component
+    * labeled by its smallest doc_id. The driver loop runs on
+    * CHECKPOINTED iterations (localCheckpoint truncates the logical
+    * plan — without it the plan doubles per round and re-executes the
+    * whole simhash pipeline each join) and converges in O(log n) outer
+    * rounds — measured 6 rounds at sf10 where the previous
+    * single-composition spelling took 43, at the identical fixpoint sum
+    * (see the loop comment in [[clusterLabelsFromEdges]]). Labels are integers, so the fixpoint
+    * is exactly reproducible by the oracle's recursive reachability
+    * closure (no float order sensitivity).
     */
   private def clusterLabels(s: SparkSession, dir: String,
       includeExact: Boolean = false): DataFrame =
@@ -375,40 +376,83 @@ object DedupQueries {
     // instead of throwing on the null.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    // CONTRACT the label map to idempotence: jump label → label(label)
+    // until a fixpoint. The label frame is vertex-set-sized — far smaller
+    // than the edge frame — so inner jumps are cheap, and with the map
+    // idempotent entering every hook round, label values are component-
+    // ROOT ids: one hook merges whole trees, and outer rounds track the
+    // logarithm of how root groups merge, not path length. The sum is
+    // the certificate at this level too: contraction is pointwise
+    // non-increasing, so a sum that ever RISES can only mean a
+    // nondeterministic label source — fail loudly, never loop on it.
+    // Frames this helper supersedes are freed here; the returned frame
+    // (possibly its own input, when already idempotent) is the caller's.
+    def contracted(l0: DataFrame, s0: Long): (DataFrame, Long) = {
+      var l = l0
+      var s = s0
+      var done = false
+      while (!done) {
+        val j = l.select(col("id").as("jid"), col("label").as("jlabel"))
+        val nxt = l.join(j, l("label") === j("jid"), "left")
+          .select(l("id"), coalesce(col("jlabel"), l("label")).as("label"))
+          .transform(graft.operators.Checkpoints.fresh)
+        val s2 = labelSum(nxt)
+        require(s2 <= s, s"label certificate rose during contraction: $s -> $s2")
+        done = s2 == s
+        if (done) graft.operators.Checkpoints.free(nxt)
+        else { graft.operators.Checkpoints.free(l); l = nxt; s = s2 }
+      }
+      (l, s)
+    }
     var prevSum = labelSum(labels)
     var converged = labels.isEmpty
     var rounds = 0
-    while (!converged && rounds < 32) {
+    // HOOK-and-contract rounds: hook every vertex to the min label over
+    // its closed neighborhood (one edge join), then contract to
+    // idempotence. The previous spelling — a single jump through the
+    // previous round's map — measured 9 / 19 / 43 rounds at
+    // sf0.1 / sf1 / sf10 on the ×N replica corpus: super-logarithmic
+    // (each decade of corpus roughly doubled the rounds), because one
+    // composition per round leaves the map non-idempotent and root-merge
+    // chains drain one hop per round. To-idempotence is the textbook
+    // O(log n) hybrid, so the 64-round loud-failure bound is structural
+    // headroom (2^64 root-merge depth), not a corpus-size bet — and the
+    // monotone-sum requires catch the only real non-termination risk
+    // (a nondeterministic edge source) on the round it happens.
+    while (!converged && rounds < 64) {
+      // per-vertex min over the neighbors' labels (one edge join) ...
       val neighborMin = edges.join(labels, edges("d2") === labels("id"))
         .groupBy(col("d1")).agg(min(col("label")).as("nmin"))
-      val stepped = labels.join(neighborMin, labels("id") === neighborMin("d1"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // pointer jumping: follow the stepped label one hop through the
-      // PREVIOUS round's (checkpointed) label map before committing the
-      // round. Jumping through `labels` rather than `stepped` keeps the
-      // un-checkpointed step subplan single-execution (a stepped
-      // self-join would re-run the neighbor-min join twice per round)
-      // at the same acceleration: labels already encodes this many
-      // rounds of propagation, so composing it with the step doubles
-      // distance per round — O(log diameter) rounds instead of
-      // O(diameter), measured 12 -> 9 at sf0.1. Every label value is
-      // the id of a same-component vertex with a <= id and labels(y)
-      // <= y, so the jump stays inside the component and min-label
-      // monotonicity — the sum certificate and the fixpoint — is
-      // preserved (sum-stable ⇒ jump changed nothing ⇒ step changed
-      // nothing ⇒ true step fixpoint).
-      val jumpTo = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-      val next = stepped.join(jumpTo, stepped("label") === jumpTo("jid"), "left")
-        .select(stepped("id"), coalesce(col("jlabel"), stepped("label")).as("label"))
+      // ... LIFTED to the tree root: every root hooks to the min
+      // neighbor-root seen by ANY member of its tree. Hooking at the
+      // vertex level (the previous spelling) moves the min one graph
+      // hop per round — a frontier crawl that measured 36 rounds at
+      // sf10 even with contraction, because a bridge edge updates one
+      // member while its root stays put. Root-level hooks form
+      // root→root pointer CHAINS that the contraction collapses in one
+      // pass, so a merged tree's whole edge surface works for it next
+      // round — tree reach doubles per round (Shiloach–Vishkin), and
+      // the same corpus measures 6 rounds.
+      val rootMin = labels.join(neighborMin, labels("id") === neighborMin("d1"), "left")
+        .groupBy(col("label"))
+        .agg(min(coalesce(col("nmin"), col("label"))).as("rmin"))
+      val hooked = labels.join(rootMin, Seq("label"))
+        .select(col("id"), least(col("label"), col("rmin")).as("label"))
         .transform(graft.operators.Checkpoints.fresh)
-      val nextSum = labelSum(next)
+      val (next, nextSum) = contracted(hooked, labelSum(hooked))
+      require(nextSum <= prevSum,
+        s"label certificate rose across a hook round: $prevSum -> $nextSum")
       converged = nextSum == prevSum
+      if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+        System.err.println(s"[dedup_clusters] round=$rounds sum=$nextSum delta=${prevSum - nextSum}")
       prevSum = nextSum
-      // `next` is materialized (eager checkpoint + the sum action), so
-      // the PREVIOUS round's label blocks are superseded — free them
-      // now instead of pinning every round's map for the session's life
-      graft.operators.Checkpoints.free(labels)
-      labels = next
+      // the superseded frame's blocks are dead — free them now instead
+      // of pinning every round's map for the session's life. Sum-equal ⇒
+      // pointwise-equal (updates are pointwise non-increasing), so on
+      // the converged round the OLD frame is kept and the identical new
+      // one is released.
+      if (converged) graft.operators.Checkpoints.free(next)
+      else { graft.operators.Checkpoints.free(labels); labels = next }
       rounds += 1
     }
     require(converged, s"cluster labeling failed to converge in $rounds rounds")

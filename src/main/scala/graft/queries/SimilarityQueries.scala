@@ -223,7 +223,20 @@ object SimilarityQueries {
     * (K·dim-row) exchanges, zero corpus-scale shuffles.
     */
   private[graft] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    // The assignment pass is compute-AMPLIFIED: K·dim multiply-adds per
+    // row, with K corpus-derived — so a compact-in-bytes embeddings table
+    // (51 MiB at sf10) does K≈4000-centroid argmins over however few
+    // row groups the files happen to hold. Parquet splits at row-group
+    // granularity, so the scan's task count is LAYOUT-bound, not
+    // size-bound (measured: 4 single-row-group files pinned all four
+    // Lloyd passes to cpu/wall ≈ 4 on a 32-core host — 171 s where the
+    // compute spread wide costs ~20 s). One round-robin shuffle of the
+    // corpus bytes before the loop is negligible against KmIter+1
+    // compute passes and buys full-width occupancy on any layout; the
+    // fixed-point centroid sums are order-free, so the shuffle cannot
+    // perturb results.
     val e = vecs(s, dir).filter(col("v").isNotNull).select("vec_id", "v")
+      .repartition(s.sparkContext.defaultParallelism)
     // K from the corpus count — one eager build-time action (the
     // dedup_clusters precedent); deterministic, and the oracle's SQL
     // derives the identical K from the identical COUNT(*)
