@@ -797,6 +797,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     graft.operators.Checkpoints.free(labels)
   }
 
+  test("cluster labeling stays logarithmic on a bridge-chain graph (Shiloach-Vishkin)") {
+    // The round-11 sf10 regression in miniature: a CHAIN of cliques
+    // joined by single bridge edges. Vertex-level min-label hooks move
+    // the global min one bridge per round (frontier crawl — the
+    // pre-rewrite loop measured 43 rounds at sf10 and blew its 32-round
+    // bound); root-level hooks + contraction merge whole trees, so this
+    // 256-clique chain labels in ~log2(256) outer rounds. If the loop
+    // ever regresses to frontier behavior, the 64-round loud-failure
+    // require fires here — a test failure, not an sf10 bench surprise.
+    import spark.implicits._
+    val cliques = 256
+    val m = 4 // members per clique; vertex ids 1-based
+    val intra = for {
+      c <- 0 until cliques; a <- 0 until m; b <- a + 1 until m
+    } yield ((c * m + a + 1).toLong, (c * m + b + 1).toLong)
+    val bridges = (0 until cliques - 1)
+      .map(c => ((c * m + m).toLong, ((c + 1) * m + 1).toLong))
+    val edges = (intra ++ bridges).toDF("d1", "d2")
+    val docs = (1 to cliques * m).map(_.toLong).toDF("doc_id")
+    val labeled = queries.DedupQueries.clusterLabelsFromEdges(docs, edges)
+      .collect()
+    assert(labeled.length == cliques * m)
+    assert(labeled.forall(_.getLong(1) == 1L),
+      "every vertex of the single chain component must label to the min id")
+    assert(labeled.forall(_.getLong(2) == (cliques * m).toLong))
+    graft.operators.Checkpoints.drain()
+  }
+
   test("corpus-scaled checkpoints store serialized (MEMORY_AND_DISK_SER)") {
     // the storage policy the 100-TB posture depends on: a corpus-scaled
     // materialization must NOT sit on the executor heaps as deserialized
