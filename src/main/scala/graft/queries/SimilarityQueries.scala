@@ -232,7 +232,9 @@ object SimilarityQueries {
     // Lloyd passes to cpu/wall ≈ 4 on a 32-core host — 171 s where the
     // compute spread wide costs ~20 s). One round-robin shuffle of the
     // corpus bytes before the loop is negligible against KmIter+1
-    // compute passes and buys full-width occupancy on any layout; the
+    // compute passes and buys full-width occupancy on any layout (the
+    // executed plan reuses the exchange across the Lloyd passes —
+    // ReusedExchange, one instance per projection shape); the
     // fixed-point centroid sums are order-free, so the shuffle cannot
     // perturb results.
     val e = vecs(s, dir).filter(col("v").isNotNull).select("vec_id", "v")
