@@ -180,6 +180,38 @@ class MultimodalSpec extends AnyFunSuite {
     out.put(ftyp).put(moov).array()
   }
 
+  test("expression-built WAV/MP4 corpora take the REAL parse path, not the fallback") {
+    import graft.queries.MultimodalQueries
+    val docs = Tables(spark, SparkTestBase.Sf0001, "documents")
+
+    // Every constructed WAV must sniff as audio and parse; if the parser
+    // had silently fallen back, frames would equal byte_len % 4096 — count
+    // how many rows a fallback could even coincidentally explain.
+    val wavRows = graft.operators.Multimodal
+      .extractAudioFeatures(spark, MultimodalQueries.wavMedia(docs)).collect()
+    assert(wavRows.nonEmpty)
+    val wavFallbackAlike = wavRows.count { f =>
+      f.frames == (f.byte_len % 4096).toLong &&
+        f.sample_rate == 8000 + (f.byte_len % 3) * 4000 &&
+        f.channels == 1 + f.byte_len % 2
+    }
+    assert(wavFallbackAlike < wavRows.length / 10,
+      s"$wavFallbackAlike of ${wavRows.length} WAV rows are fallback-indistinguishable")
+
+    // MP4s are a constant 232 bytes, so the fallback would emit ONE
+    // constant (width, height, duration) triple; the parsed output must
+    // vary with the source doc and never equal that constant.
+    val mp4Rows = graft.operators.Multimodal
+      .extractVideoFeatures(spark, MultimodalQueries.mp4Media(docs)).collect()
+    assert(mp4Rows.nonEmpty)
+    assert(mp4Rows.forall(_.byte_len == 232))
+    val fallbackTriple = (16 + 232 % 320, 16 + 232 % 240, (232 % 3600000).toLong)
+    val mp4FallbackAlike = mp4Rows.count(f => (f.width, f.height, f.duration_ms) == fallbackTriple)
+    assert(mp4FallbackAlike < mp4Rows.length / 10,
+      s"$mp4FallbackAlike of ${mp4Rows.length} MP4 rows are fallback-indistinguishable")
+    assert(mp4Rows.map(f => (f.width, f.height)).distinct.length > 1)
+  }
+
   test("real MP4 containers parse through the BMFF box walk") {
     val clip = mp4(width = 640, height = 360, timescale = 1000, duration = 5000)
     assert(Multimodal.MediaDecoder.looksLikeMp4(clip))
