@@ -209,15 +209,21 @@ object DedupQueries {
     * for the banding/cap/reuse rationale.
     */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    // materialize the signature aggregation ONCE: capBuckets' count
-    // branch, its anti-join side, and both self-join aliases otherwise
-    // re-run the tokenize+md5+64-bitsum chain ~4× — whether Catalyst
-    // reuses the exchange instead is an AQE coin flip (the kmeans
-    // precedent measured the same HEAD 6× apart on it). Retired blocks
-    // release at the harness drain. Per-doc signature rows are
+    // session-cached (pair-bounded): consumed by dedup_simhash_pairs AND
+    // dedup_clusters' edge source — one banding/self-join per session.
+    // Inside the build, the signature aggregation materializes ONCE:
+    // capBuckets' count branch, its anti-join side, and both self-join
+    // aliases otherwise re-run the tokenize+md5+64-bitsum chain ~4× —
+    // whether Catalyst reuses the exchange instead is an AQE coin flip
+    // (the kmeans precedent measured the same HEAD 6× apart on it).
+    // Retired sig blocks release at the harness drain; the cached pair
+    // frame is already materialized by then. Per-doc signature rows are
     // corpus-proportional → serialized storage (Checkpoints scaladoc).
-    simhashPairsFrom(graft.operators.Checkpoints.retire(
-      graft.operators.Checkpoints.corpusScaled(simhashTable(s, dir))))
+    graft.operators.SessionCache.frame(s, dir, "simhash-pairs") {
+      graft.operators.Checkpoints.fresh(
+        simhashPairsFrom(graft.operators.Checkpoints.retire(
+          graft.operators.Checkpoints.corpusScaled(simhashTable(s, dir)))))
+    }
 
   /** UNCAPPED MinHash-LSH band rows over a distinct (doc_id, <carry...>,
     * sh) shingle frame: per-doc k-min signatures h0..h{k-1}, then one row
@@ -311,8 +317,19 @@ object DedupQueries {
     */
   private def clusterLabels(s: SparkSession, dir: String,
       includeExact: Boolean = false): DataFrame =
-    clusterLabelsFromEdges(Tables(s, dir, "documents").select(col("doc_id")),
-      simhashEdges(s, dir, includeExact))
+    if (!includeExact)
+      clusterLabelsFromEdges(Tables(s, dir, "documents").select(col("doc_id")),
+        simhashEdges(s, dir, includeExact = false))
+    else graft.operators.SessionCache.frame(s, dir, "cluster-map-exact") {
+      // session-cached (doc-rows-bounded, three longs per row): the
+      // KEEP/DROP-grade map is consumed by dedup_canonical AND all three
+      // pipeline_curate forms — the CC loop, the catalog's most expensive
+      // shared step, runs once per session instead of once per consumer
+      // (the in-session analog of publishClusterMap's snapshot)
+      graft.operators.Checkpoints.corpusScaled(
+        clusterLabelsFromEdges(Tables(s, dir, "documents").select(col("doc_id")),
+          simhashEdges(s, dir, includeExact = true)))
+    }
 
   /** The simhash near-dup pair edges (d1, d2) of [[clusterLabels]].
     * `includeExact` additionally connects same-signature (Hamming-0)
@@ -327,7 +344,7 @@ object DedupQueries {
   private def simhashEdges(s: SparkSession, dir: String,
       includeExact: Boolean): DataFrame =
     if (!includeExact) simhashPairs(s, dir).select("d1", "d2")
-    else {
+    else graft.operators.SessionCache.frame(s, dir, "simhash-edges-exact") {
       val sigs = graft.operators.Checkpoints.retire(
         graft.operators.Checkpoints.corpusScaled(simhashTable(s, dir)))
       // groupBy + join back, NOT a Window over sig: a doc mirrored
@@ -339,7 +356,11 @@ object DedupQueries {
       val sigDup = sigs.join(sigMin, Seq("sig"))
         .filter(col("doc_id") =!= col("m"))
         .select(col("m").as("d1"), col("doc_id").as("d2"))
-      simhashPairsFrom(sigs).select("d1", "d2").union(sigDup)
+      // session-cached (pair+star-edge-bounded): dedup_canonical's CC
+      // loop and dedup_clusters_multi's edge union both consume this —
+      // one signature aggregation + banding per session, not one each
+      graft.operators.Checkpoints.fresh(
+        simhashPairsFrom(sigs).select("d1", "d2").union(sigDup))
     }
 
   /** The connected-components label loop over a caller-supplied undirected
@@ -439,7 +460,15 @@ object DedupQueries {
       val hooked = labels.join(rootMin, Seq("label"))
         .select(col("id"), least(col("label"), col("rmin")).as("label"))
         .transform(graft.operators.Checkpoints.fresh)
-      val (next, nextSum) = contracted(hooked, labelSum(hooked))
+      // a hook round whose sum did not move changed nothing (hooks are
+      // pointwise non-increasing, so sum-equal ⇒ pointwise-equal), and
+      // the map entering the round is already idempotent — the
+      // contraction pass would be a no-op re-materialization; skip it on
+      // the converged round (the r11 advisory)
+      val hookedSum = labelSum(hooked)
+      val (next, nextSum) =
+        if (hookedSum == prevSum) (hooked, hookedSum)
+        else contracted(hooked, hookedSum)
       require(nextSum <= prevSum,
         s"label certificate rose across a hook round: $prevSum -> $nextSum")
       converged = nextSum == prevSum
@@ -576,30 +605,35 @@ object DedupQueries {
     * (symmetric Jaccard) and `dedup_containment` (directional
     * containment). One SQL twin: [[rareShinglePairStatsSql]].
     */
-  private[graft] def rareShinglePairStats(s: SparkSession, dir: String): DataFrame = {
-    // materialize the shingle HOF chain ONCE: without the checkpoint this
-    // one stats plan evaluates shingleTable ~4× (hot-df groupBy, the
-    // anti-join's left side, and both self-join aliases) — tokenize +
-    // shingle + md5 over the whole corpus each time. The blocks back the
-    // lazily-returned stats frame, so they are retired, not freed
-    // (r9 VERDICT "What's wrong #3": HOF-heavy subplans get no plan-level
-    // reuse from Catalyst; materialization is the only floor).
-    // the FULL shingle table is the most corpus-expanded frame in the
-    // catalog (docs × shingles/doc) — serialized storage is mandatory
-    val sh0 = graft.operators.Checkpoints.retire(
-      graft.operators.Checkpoints.corpusScaled(shingleTable(s, dir)))
-    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf).select("sh")
-    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-  }
+  private[graft] def rareShinglePairStats(s: SparkSession, dir: String): DataFrame =
+    // session-cached (pair-bounded post-cap): three consumers —
+    // dedup_ngram_jaccard, dedup_containment, and dedup_clusters_multi's
+    // edge union — each previously paid the full shingle self-join.
+    graft.operators.SessionCache.frame(s, dir, "rare-shingle-pair-stats") {
+      // materialize the shingle HOF chain ONCE: without the checkpoint this
+      // one stats plan evaluates shingleTable ~4× (hot-df groupBy, the
+      // anti-join's left side, and both self-join aliases) — tokenize +
+      // shingle + md5 over the whole corpus each time (r9 VERDICT "What's
+      // wrong #3": HOF-heavy subplans get no plan-level reuse from
+      // Catalyst; materialization is the only floor). The FULL shingle
+      // table is the most corpus-expanded frame in the catalog (docs ×
+      // shingles/doc) — serialized storage is mandatory, and it stays on
+      // the retire-at-drain lifecycle (only the pair-bounded STATS output
+      // is admitted to the session cache).
+      val sh0 = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(shingleTable(s, dir)))
+      val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDf).select("sh")
+      val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      graft.operators.Checkpoints.fresh(inter
+        .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2"))
+    }
 
   /** `dedup_ngram_jaccard`'s pair frame (d1, d2, jaccard), unordered —
     * also an edge source of `dedup_clusters_multi`.
@@ -621,24 +655,28 @@ object DedupQueries {
     * unordered — projected to (d1, d2) it is an edge source of
     * `dedup_clusters_multi`.
     */
-  private[graft] def chunkMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // one materialization of the chunk → shingle → k-min signature chain
-    // (the simhashPairs rationale; this was the catalog's #1 sf10 mover
-    // when the exchange-reuse coin landed wrong)
-    val bandRows = graft.operators.Checkpoints.retire(
-      graft.operators.Checkpoints.corpusScaled(
-        minhashBands(chunkRepShingles(s, dir), Seq("chunk_id"), K)))
-    val bands = capBuckets(bandRows, Seq("band", "bval"))
-    minhashCandidateJoin(bands,
-        col("a.doc_id") < col("b.doc_id") ||
-          (col("a.doc_id") === col("b.doc_id") &&
-            col("a.chunk_id") < col("b.chunk_id")))
-      .select(col("a.doc_id").as("d1"), col("a.chunk_id").as("c1"),
-        col("b.doc_id").as("d2"), col("b.chunk_id").as("c2"),
-        estJaccard(K).as("est_jaccard"))
-      .filter(col("est_jaccard") >= MinEstJaccard)
-      .dropDuplicates("d1", "c1", "d2", "c2")
-  }
+  private[graft] def chunkMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    // session-cached (pair-bounded): dedup_chunk_minhash and
+    // dedup_clusters_multi's edge union both consume this — one chunk
+    // shingle/banding pass per session
+    graft.operators.SessionCache.frame(s, dir, "chunk-minhash-pairs") {
+      // one materialization of the chunk → shingle → k-min signature chain
+      // (the simhashPairs rationale; this was the catalog's #1 sf10 mover
+      // when the exchange-reuse coin landed wrong)
+      val bandRows = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(
+          minhashBands(chunkRepShingles(s, dir), Seq("chunk_id"), K)))
+      val bands = capBuckets(bandRows, Seq("band", "bval"))
+      graft.operators.Checkpoints.fresh(minhashCandidateJoin(bands,
+          col("a.doc_id") < col("b.doc_id") ||
+            (col("a.doc_id") === col("b.doc_id") &&
+              col("a.chunk_id") < col("b.chunk_id")))
+        .select(col("a.doc_id").as("d1"), col("a.chunk_id").as("c1"),
+          col("b.doc_id").as("d2"), col("b.chunk_id").as("c2"),
+          estJaccard(K).as("est_jaccard"))
+        .filter(col("est_jaccard") >= MinEstJaccard)
+        .dropDuplicates("d1", "c1", "d2", "c2"))
+    }
 
   /** `dedup_semantic` (labeled = true) / `dedup_semantic_unlabeled`
     * (labeled = false) pair frame (d1, d2, sim, drop_id), unordered.
@@ -648,6 +686,14 @@ object DedupQueries {
     * subset-relation spec relies on.
     */
   private[graft] def semanticPairs(s: SparkSession, dir: String,
+      labeled: Boolean): DataFrame =
+    // session-cached (pair-bounded): each form feeds its standalone
+    // catalog entry and dedup_clusters_multi's edge union
+    graft.operators.SessionCache.frame(s, dir, s"semantic-pairs-$labeled") {
+      graft.operators.Checkpoints.fresh(semanticPairsBuild(s, dir, labeled))
+    }
+
+  private def semanticPairsBuild(s: SparkSession, dir: String,
       labeled: Boolean): DataFrame = {
     val idFilter =
       if (labeled) col("vec_id").isNotNull && col("label").isNotNull
@@ -698,7 +744,15 @@ object DedupQueries {
     * set to — an under-provisioned K degrades recall (dense clusters
     * drop), never the plan.
     */
-  private[graft] def kmeansSemanticPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def kmeansSemanticPairs(s: SparkSession, dir: String): DataFrame =
+    // session-cached (pair-bounded): dedup_semantic_kmeans and
+    // dedup_clusters_multi's edge union both consume this — the
+    // clustering + capped within-cell join runs once per session
+    graft.operators.SessionCache.frame(s, dir, "semantic-kmeans-pairs") {
+      graft.operators.Checkpoints.fresh(kmeansSemanticPairsBuild(s, dir))
+    }
+
+  private def kmeansSemanticPairsBuild(s: SparkSession, dir: String): DataFrame = {
     // localCheckpoint (the dedup_clusters precedent): the assignment is
     // KmIter+1 corpus scans deep, and this consumer reads it from FOUR
     // plan positions (cap count branch, anti-join side, both self-join
@@ -739,9 +793,34 @@ object DedupQueries {
     * so the catalog entry and the cluster map cannot drift.
     */
   private[graft] def winnowingPairs(s: SparkSession, dir: String): DataFrame =
-    winnowingPairsFrom(graft.operators.Checkpoints.retire(
-      graft.operators.Checkpoints.corpusScaled(
-        TextAnalysisQueries.winnowFps(s, dir))))
+    winnowingShared(s, dir)._1
+
+  /** The winnowing pair relation AND the per-doc fingerprint counts,
+    * both session-cached, built from ONE fingerprint materialization
+    * when either is cold: whichever consumer arrives first
+    * (dedup_winnowing needs both; dedup_clusters_multi's edge union
+    * needs only the pairs) pays the md5+sliding-window chain once, the
+    * other finds both entries warm. The corpus-expanded fingerprint
+    * postings themselves stay retire-at-drain — only the pair-bounded
+    * and doc-rows-bounded outputs enter the cache.
+    */
+  private[graft] def winnowingShared(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    var fps: Option[DataFrame] = None
+    def f(): DataFrame = fps.getOrElse {
+      val m = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(
+          TextAnalysisQueries.winnowFps(s, dir)))
+      fps = Some(m); m
+    }
+    val pairs = graft.operators.SessionCache.frame(s, dir, "winnowing-pairs") {
+      graft.operators.Checkpoints.fresh(winnowingPairsFrom(f()))
+    }
+    val cnt = graft.operators.SessionCache.frame(s, dir, "winnow-fp-counts") {
+      graft.operators.Checkpoints.fresh(
+        f().groupBy("doc_id").agg(count(lit(1)).as("nf")))
+    }
+    (pairs, cnt)
+  }
 
   /** [[winnowingPairs]] over a caller-supplied (pre-materialized)
     * fingerprint frame. The md5+sliding-window fingerprint chain is the
@@ -795,11 +874,10 @@ object DedupQueries {
     // containment relations: the r9 comment claimed Catalyst would share
     // the stats subplan between the two union branches, but plan-level
     // common-subplan reuse does not exist for separate invocations — each
-    // branch carried its own full shingle self-join. The checkpointed
-    // frame is the pair-stats (post-cap, pair-bounded), small relative
-    // to the shingle table it summarizes.
-    val st = graft.operators.Checkpoints.retire(
-      rareShinglePairStats(s, dir).transform(graft.operators.Checkpoints.fresh))
+    // branch carried its own full shingle self-join. The stats arrive as
+    // a session-cached checkpoint (pair-bounded post-cap), shared with
+    // the standalone dedup_ngram_jaccard / dedup_containment entries.
+    val st = rareShinglePairStats(s, dir)
     simhashEdges(s, dir, includeExact = true)
       .union(chunkMinhashPairs(s, dir)
         .filter(col("d1") =!= col("d2")).select("d1", "d2"))
@@ -953,13 +1031,13 @@ object DedupQueries {
     // each unordered candidate pair are tested; the union doubles rows
     // before a filter, never the join itself.
     "dedup_containment" -> ((s, dir) => {
-      // materialize the stats ONCE: the two directional union branches
-      // below are two full evaluations of the rare-shingle self-join
-      // otherwise — measured ~100 s at sf1 vs ngram_jaccard's ~14 s over
-      // the SAME stats (the r9 sf1/sf10 "anomaly": it was this, not
-      // host noise)
-      val st = graft.operators.Checkpoints.retire(
-        rareShinglePairStats(s, dir).transform(graft.operators.Checkpoints.fresh))
+      // the stats come back as a session-cached checkpoint, so the two
+      // directional union branches below scan blocks instead of running
+      // two full rare-shingle self-joins — measured ~100 s at sf1 vs
+      // ngram_jaccard's ~14 s over the SAME stats before the
+      // materialization existed (the r9 sf1/sf10 "anomaly": it was this,
+      // not host noise)
+      val st = rareShinglePairStats(s, dir)
       val d1in2 = st.select(col("d1").as("contained"), col("d2").as("container"),
         col("inter").as("n_shared"), col("n1").as("n_contained"))
       val d2in1 = st.select(col("d2").as("contained"), col("d1").as("container"),
@@ -989,13 +1067,10 @@ object DedupQueries {
     // is one partial-aggregable groupBy, never an all-pairs score.
     "dedup_winnowing" -> ((s, dir) => {
       // one fingerprint materialization for BOTH the per-doc counts and
-      // the pair relation — previously `cnt` and winnowingPairs each
-      // re-ran the full fingerprint chain
-      val f = graft.operators.Checkpoints.retire(
-        graft.operators.Checkpoints.corpusScaled(
-          TextAnalysisQueries.winnowFps(s, dir)))
-      val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-      winnowingPairsFrom(f)
+      // the pair relation, session-cached so dedup_clusters_multi's edge
+      // union and this entry share it ([[winnowingShared]])
+      val (pairs, cnt) = winnowingShared(s, dir)
+      pairs
         .join(cnt.select(col("doc_id").as("d1"), col("nf").as("n1")), Seq("d1"))
         .join(cnt.select(col("doc_id").as("d2"), col("nf").as("n2")), Seq("d2"))
         .select(col("d1"), col("d2"), col("n_shared"),
