@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Scale-floor benchmark for the INCREMENTAL dedup streams — the
+  * delta-proportional-publish claim, measured instead of argued.
+  *
+  * Replays the documents table of SPARK_GRAFT_SF_DIR (or the dir given
+  * as the first argument) through [[graft.streaming.StreamingPipelines
+  * .incrementalDedupStream]] (doc-granular, Hamming-3 probe) and
+  * [[graft.streaming.StreamingPipelines.incrementalChunkDedupStream]]
+  * (chunk-granular) as SPARK_GRAFT_STREAM_BATCHES (default 8) arriving
+  * crawl batches: slice i = doc_id % N == i, written as one parquet file
+  * into the watched dir, then `processAllAvailable()` — so each measured
+  * interval is exactly one micro-batch's sign → probe → upsert cycle
+  * against the history accumulated by batches 0..i-1.
+  *
+  * What "flat" must mean here: per-batch wall time may carry a
+  * history-proportional TERM (the anti-join probe scans the published
+  * signature table — at steady state that read is the floor of any
+  * dedup-against-history design), but must not grow SUPER-linearly in
+  * the history (a quadratic re-publish, an unbounded state store, a
+  * checkpoint leak). The artifact records every batch's seconds plus the
+  * final history/output row counts, so the curve is machine-checkable.
+  *
+  * Output: the [[Bench]] convention — full JSON line first, then a
+  * compact final summary line that survives any log-tail capture.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nBatches = math.max(2,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt)
+    val spark = EngineSession.local(cpus, "graft-stream-bench")
+
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
+    def runStream(
+        start: (String, String, String, String) => org.apache.spark.sql.streaming.StreamingQuery,
+        outKeyed: String => Long): (Seq[Double], Seq[Long], Long) = {
+      val work = Files.createTempDirectory("graft-streambench").toString
+      val in = s"$work/in"; val hist = s"$work/history"
+      val out = s"$work/out"; val ckpt = s"$work/ckpt"
+      Files.createDirectories(java.nio.file.Paths.get(in))
+      val q = start(in, hist, out, ckpt)
+      val times = Seq.newBuilder[Double]
+      val rows = Seq.newBuilder[Long]
+      for (i <- 0 until nBatches) {
+        val slice = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+        // one file per slice → one trigger per processAllAvailable (the
+        // source's maxFilesPerTrigger=16 never splits it)
+        slice.repartition(1).write.mode("append").parquet(in)
+        rows += slice.count()
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        times += (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      val published = outKeyed(out)
+      // the work dir is throwaway; historySize read before deletion
+      (times.result(), rows.result(), published)
+    }
+
+    val (docTimes, docRows, docOut) = runStream(
+      (in, hist, out, ckpt) => graft.streaming.StreamingPipelines
+        .incrementalDedupStream(spark, in, hist, out, ckpt, hamming = 3),
+      out => graft.sources.Sinks.readKeyedParquet(spark, out).count())
+
+    val (chTimes, chRows, chOut) = runStream(
+      (in, hist, out, ckpt) => graft.streaming.StreamingPipelines
+        .incrementalChunkDedupStream(spark, in, hist, out, ckpt),
+      out => graft.sources.Sinks.readKeyedParquet(spark, out).count())
+
+    def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    def arrL(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+    val full =
+      s"""{"metric":"stream_dedup","sf":"$sfDir","batches":$nBatches,""" +
+      s""""doc_sec":${arr(docTimes)},"doc_rows":${arrL(docRows)},"doc_published":$docOut,""" +
+      s""""chunk_sec":${arr(chTimes)},"chunk_rows":${arrL(chRows)},"chunk_published":$chOut}"""
+    println(full)
+    // compact final line (Bench's truncation-proof convention): totals +
+    // the first/last-batch ratio, the single number the flatness claim
+    // rides on
+    def ratio(xs: Seq[Double]): Double = xs.last / math.max(xs.head, 1e-9)
+    println(f"""{"metric":"stream_total","doc_sec_total":${docTimes.sum}%.3f,"chunk_sec_total":${chTimes.sum}%.3f,"doc_last_over_first":${ratio(docTimes)}%.2f,"chunk_last_over_first":${ratio(chTimes)}%.2f,"batches":$nBatches,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
