@@ -187,7 +187,7 @@ object Engine {
     val result = graft.streaming.StreamingPipelines.operationStream(
       spark, config.inputPath, config.operation, config.faithful)
     val unsorted = stripTopSort(result.queryExecution.logical)
-      .map(org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, _))
+      .map(graft.bridge.SparkInternals.ofRows(spark, _))
       .getOrElse(result)
     val key = unsorted.columns.head
     unsorted.writeStream

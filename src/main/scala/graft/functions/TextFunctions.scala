@@ -62,9 +62,9 @@ object TextFunctions {
       .toString.split(s"$WsClass+").mkString("")
 
   def cleanLine(c: Column): Column =
-    org.apache.spark.sql.graft.ColumnBridge.column(
+    graft.bridge.SparkInternals.column(
       graft.expressions.AsciiClean(
-        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+        graft.bridge.SparkInternals.expression(c)))
 
   /** The same chain as composed built-ins — the reference implementation
     * [[cleanLine]] is property-tested against (and the shape SURVEY §2.2
@@ -78,9 +78,9 @@ object TextFunctions {
     * see its scaladoc for the parity argument vs the substring form.
     */
   def hexMsbMask(c: Column): Column =
-    org.apache.spark.sql.graft.ColumnBridge.column(
+    graft.bridge.SparkInternals.column(
       graft.expressions.HexMsbMask(
-        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+        graft.bridge.SparkInternals.expression(c)))
 
   /** Whitespace tokenize matching Python `str.split()`: runs of whitespace,
     * empty tokens dropped.

@@ -19,10 +19,10 @@ object VectorFunctions {
     * composed-builtin form as the semantic reference.
     */
   def dot(a: Column, b: Column): Column =
-    org.apache.spark.sql.graft.ColumnBridge.column(
+    graft.bridge.SparkInternals.column(
       graft.expressions.DotProduct(
-        org.apache.spark.sql.graft.ColumnBridge.expression(a),
-        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+        graft.bridge.SparkInternals.expression(a),
+        graft.bridge.SparkInternals.expression(b)))
 
   /** The same fold as composed built-ins (zip_with + aggregate), which
     * [[dot]] is tested bit-identical against.
@@ -35,10 +35,10 @@ object VectorFunctions {
     * Lloyd assignment hot loop once K is corpus-derived.
     */
   def argMinDist2(v: Column, cents: Column): Column =
-    org.apache.spark.sql.graft.ColumnBridge.column(
+    graft.bridge.SparkInternals.column(
       graft.expressions.ArgMinDist2(
-        org.apache.spark.sql.graft.ColumnBridge.expression(v),
-        org.apache.spark.sql.graft.ColumnBridge.expression(cents)))
+        graft.bridge.SparkInternals.expression(v),
+        graft.bridge.SparkInternals.expression(cents)))
 
   /** The composed-builtin argmin (the pre-native spelling), kept as the
     * semantic reference [[argMinDist2]] is spec-pinned bit-equal to.

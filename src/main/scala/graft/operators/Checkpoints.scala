@@ -69,7 +69,7 @@ object Checkpoints {
     * (caps) and the deserialized form re-scans faster.
     */
   def corpusScaled(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graft.CheckpointBridge
+    graft.bridge.SparkInternals
       .localCheckpointMeasured(df, StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Eager local checkpoint for candidate/pair-bounded frames —
@@ -84,7 +84,7 @@ object Checkpoints {
     * story in [[org.apache.spark.sql.graft.CheckpointBridge]]).
     */
   def fresh(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graft.CheckpointBridge
+    graft.bridge.SparkInternals
       .localCheckpointMeasured(df, StorageLevel.MEMORY_AND_DISK)
 
   /** Unpersist the checkpoint blocks behind `df` immediately (async).

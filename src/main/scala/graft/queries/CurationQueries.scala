@@ -129,9 +129,9 @@ object CurationQueries {
     * [[ColumnBridge]] like the other native expressions.
     */
   private def bloomOf(values: DataFrame, value: Column): DataFrame =
-    values.agg(org.apache.spark.sql.graft.ColumnBridge.column(
+    values.agg(graft.bridge.SparkInternals.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        org.apache.spark.sql.graft.ColumnBridge.expression(xxhash64(value)),
+        graft.bridge.SparkInternals.expression(xxhash64(value)),
         org.apache.spark.sql.catalyst.expressions.Literal(BloomEstItems),
         org.apache.spark.sql.catalyst.expressions.Literal(BloomNumBits))
         .toAggregateExpression()).as("bf"))
@@ -144,11 +144,11 @@ object CurationQueries {
     * constant).
     */
   private def mightContain(bloomDf: DataFrame, value: Column): Column =
-    org.apache.spark.sql.graft.ColumnBridge.column(
+    graft.bridge.SparkInternals.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
           bloomDf.queryExecution.analyzed),
-        org.apache.spark.sql.graft.ColumnBridge.expression(xxhash64(value))))
+        graft.bridge.SparkInternals.expression(xxhash64(value))))
 
   /** The `decontaminate` flag frame (doc_id, n_shared, contaminated) over
     * the TRAIN split, unordered — also a gate of [[queries pipeline_curate]].
@@ -249,9 +249,9 @@ object CurationQueries {
       // catalog's #2 sf10 cost. Same positions, bit-for-bit (the kernel
       // hashes the identical joined bytes; n < CdcW → empty, the old
       // otherwise branch).
-      val he = org.apache.spark.sql.graft.ColumnBridge.column(
+      val he = graft.bridge.SparkInternals.column(
         graft.expressions.CdcBoundaryEnds(
-          org.apache.spark.sql.graft.ColumnBridge.expression(tv), CdcW))
+          graft.bridge.SparkInternals.expression(tv), CdcW))
       element_at(transform(array(
           when(n === 0, emptyInts)
             .when(get(he, size(he) - 1) === n, he)

@@ -33,10 +33,15 @@ import org.apache.spark.storage.StorageLevel
   * runaway product chain is structurally broken: every checkpoint resets
   * stats to ground truth.
   *
+  * Graft code reaches this ONLY via [[graft.bridge.SparkInternals]] (and
+  * its lifecycle wrapper [[graft.operators.Checkpoints]]); SparkBridgeSpec
+  * fences the version pin with an upgrade-checklist failure message.
+  *
   * VERSION PIN: `LogicalRDD`'s constructor and `Dataset.ofRows` are
   * Spark-internal API, validated against the build's Spark 4.1.2 jars
-  * (same posture as [[ColumnBridge]]). Constructor drift on upgrade
-  * surfaces as a compile failure in this one file.
+  * ([[graft.bridge.SparkInternals.PinnedSparkVersion]], same posture as
+  * [[ColumnBridge]]). Constructor drift on upgrade surfaces as a compile
+  * failure in this one file.
   */
 object CheckpointBridge {
 

@@ -10,8 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * Keep this file to these forwarders; all graft logic lives in the
   * `graft` packages.
   *
+  * Graft code reaches this ONLY via [[graft.bridge.SparkInternals]] — the
+  * one-facade audit point — and SparkBridgeSpec fences the version pin
+  * with an upgrade-checklist failure message.
+  *
   * VERSION PIN: everything reached through this bridge is Spark-internal
-  * API, validated against the build's Spark 4.1.2 jars. The most
+  * API, validated against the build's Spark 4.1.2 jars
+  * ([[graft.bridge.SparkInternals.PinnedSparkVersion]]). The most
   * upgrade-fragile consumers are CurationQueries' `bloomOf`/`mightContain`
   * (`BloomFilterAggregate` constructor arity, `BloomFilterMightContain`'s
   * scalar-subquery type-check rule) and `ofRows` below — on a Spark

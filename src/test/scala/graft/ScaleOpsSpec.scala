@@ -691,9 +691,9 @@ class ScaleOpsSpec extends AnyFunSuite {
     import graft.queries.CurationQueries.CdcW
     val w = CdcW
     val tv = tokens(col("text"))
-    val native = org.apache.spark.sql.graft.ColumnBridge.column(
+    val native = graft.bridge.SparkInternals.column(
       graft.expressions.CdcBoundaryEnds(
-        org.apache.spark.sql.graft.ColumnBridge.expression(tv), w))
+        graft.bridge.SparkInternals.expression(tv), w))
     // the pre-native HOF spelling, including its n < w empty-list guard
     // (sequence(w, n) would run DESCENDING there)
     val hof = when(size(tv) >= w,
@@ -707,9 +707,9 @@ class ScaleOpsSpec extends AnyFunSuite {
     // short docs (n < w) take the empty branch in both forms
     import spark.implicits._
     val short = Seq("a b c", "", "one").toDF("text")
-      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+      .select(graft.bridge.SparkInternals.column(
         graft.expressions.CdcBoundaryEnds(
-          org.apache.spark.sql.graft.ColumnBridge.expression(tokens(col("text"))), w)).as("e"))
+          graft.bridge.SparkInternals.expression(tokens(col("text"))), w)).as("e"))
       .collect()
     assert(short.forall(_.getSeq[Int](0).isEmpty))
   }
