@@ -41,6 +41,7 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    val harnessT0 = System.nanoTime()
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -108,10 +109,17 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2.sec).sum
     val gcTotal = results.map(_._2.gcSec).sum
+    // `value` is the sum of per-query MIN reps — the floor estimate. With
+    // the session cache, a later rep of a cached query measures the WARM
+    // steady state, so under reps>1 the cold build cost would vanish from
+    // `value` entirely; `wall` is the true harness elapsed time (warmup +
+    // every rep + drains), so the artifact carries both numbers and
+    // cannot overstate health.
+    val wall = (System.nanoTime() - harnessT0) / 1e9
     val onlyField = only.fold("")(n =>
       ",\"only\":" + n.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc":$gc,"cpu":$cpu,"reps":$reps,"failed":$failed$onlyField,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","wall":$wall%.3f,"queries":$qs,"gc":$gc,"cpu":$cpu,"reps":$reps,"failed":$failed$onlyField,"sf":"$sfDir"}"""
     // The driver only keeps the LAST ~2 KB of the captured log, and the
     // full self-diagnosing line (queries + gc + cpu maps, ~7.5 KB) outgrew
     // that window in r11 — the official artifact lost its per-query
@@ -134,7 +142,7 @@ object Bench {
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     println(fullLine)
     println(s"""{"metric":"queries","unit":"sec","queries":$qs}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_total":$gcTotal%.3f,"reps":$reps,"failed":$failed$onlyField,"sf":"$sfDir","full":"$fullPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","wall":$wall%.3f,"gc_total":$gcTotal%.3f,"reps":$reps,"failed":$failed$onlyField,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

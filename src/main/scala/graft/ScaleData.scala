@@ -114,7 +114,15 @@ object ScaleData {
     */
   private def tableBytes(path: String): Long = {
     val f = new java.io.File(path)
-    if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.length).sum
-    else f.length
+    if (f.isDirectory) {
+      // listFiles() is null on races/permission errors; and only the
+      // data files count — _SUCCESS/.crc sidecars would inflate the
+      // estimate (r11 advisory)
+      val files = Option(f.listFiles()).getOrElse(
+        sys.error(s"cannot list source table directory: $path"))
+      files.filter(p => p.isFile && p.getName.endsWith(".parquet"))
+        .map(_.length).sum
+    } else if (f.isFile) f.length
+    else sys.error(s"source table not found: $path")
   }
 }
