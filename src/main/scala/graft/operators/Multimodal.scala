@@ -81,6 +81,40 @@ object Multimodal {
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
         (b(0) == 'B' && b(1) == 'M'))
 
+    /** The installed [[javax.sound.sampled.spi.AudioFileReader]]s, resolved
+      * ONCE per JVM. `AudioSystem.getAudioInputStream` re-runs the whole
+      * ServiceLoader provider scan on EVERY call (the JDK dropped the sound
+      * registry cache in 9+ — `JDK13Services.getProviders` builds a fresh
+      * loader each time), and each scan walks `META-INF/services` across
+      * the full Spark classpath (hundreds of jars) — milliseconds per call,
+      * which multiplied into ~100 s of the sf10 `multimodal_audio_real`
+      * floor at 500k rows. Same provider ORDER as `AudioSystem` (first
+      * successful reader wins), same public SPI contract; the JDK's
+      * built-in readers are stateless, so sharing across executor threads
+      * is safe.
+      */
+    private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      val loaded =
+        java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator().asScala.toList
+      // Container-header readers FIRST. The JDK's service order puts
+      // `SoftMidiAudioFileReader` ahead of the WAV reader, and that
+      // reader's every PROBE re-enters `MidiSystem.getMidiFileReaders` →
+      // the synchronized per-call provider rescan — measured 2 ms/call
+      // wall at 32 threads (1,201 of 1,280 stack samples BLOCKED in
+      // `JSSecurityManager.getProviders`) vs 53 µs single-threaded. The
+      // [[looksLikeAudio]] gate admits only RIFF/AIFF/AU payloads, so a
+      // front-loaded container reader matches first and the MIDI probe
+      // never runs on the hot path; non-container readers stay as tail
+      // fallbacks for completeness.
+      val (container, other) = loaded.partition { r =>
+        val n = r.getClass.getSimpleName.toLowerCase
+        n.startsWith("wave") || n.startsWith("aiff") || n.startsWith("au")
+      }
+      container ++ other
+    }
+
     /** Audio decode: REAL `javax.sound.sampled` path for RIFF/WAVE (and
       * AIFF/AU — the formats the JDK's built-in providers parse without
       * external codecs), returning (frames, sampleRateHz, channels) from
@@ -92,20 +126,32 @@ object Multimodal {
       */
     def decodeAudio(payload: Array[Byte]): (Long, Int, Int) = {
       val parsed =
-        if (looksLikeAudio(payload))
-          try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(payload))
-            try {
-              val f = in.getFormat
-              Some((in.getFrameLength, f.getSampleRate.round, f.getChannels))
-            } finally in.close()
-          } catch { case scala.util.control.NonFatal(_) => None }
+        if (looksLikeAudio(payload)) parseAudio(payload)
         else None
       parsed.getOrElse {
         val len = if (payload == null) 0 else payload.length
         ((len % 4096).toLong, 8000 + (len % 3) * 4000, 1 + (len % 2))
       }
+    }
+
+    /** First reader that accepts the payload wins — `AudioSystem`'s own
+      * dispatch rule, minus its per-call provider rescan. A fresh
+      * `ByteArrayInputStream` per attempt wraps the same array (no copy)
+      * and trivially satisfies the SPI's mark/reset requirement.
+      */
+    private def parseAudio(payload: Array[Byte]): Option[(Long, Int, Int)] = {
+      val it = audioReaders.iterator
+      while (it.hasNext) {
+        val reader = it.next()
+        try {
+          val in = reader.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+          try {
+            val f = in.getFormat
+            return Some((in.getFrameLength, f.getSampleRate.round, f.getChannels))
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => /* next reader */ }
+      }
+      None
     }
 
     /** Magic-byte sniff for the JDK-parseable audio containers:

@@ -501,10 +501,18 @@ object TextAnalysisQueries {
     // per-doc reassembly bounded by the doc's own token count.
     "text_dedup_token_spans" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id").isNotNull)
-      val spans = d
-        .select(col("doc_id"), posexplode(shinglesN(tokens(col("text")), SpanW)))
-        .select(col("doc_id"), col("pos").cast("int").as("pos"),
-          md5(col("col")).as("sh"))
+      // The span-hash table is consumed TWICE (the duplicate-group
+      // aggregation and the canon-elimination join) and — like the full
+      // shingle table in dedup_ngram_jaccard — its HOF-heavy generator
+      // (tokenize + shinglesN + md5 per position) gets no plan-level
+      // reuse from Catalyst, so without a floor the corpus is tokenized
+      // and hashed twice. Corpus-proportional (one row per token
+      // position) ⇒ serialized storage, retire-at-drain lifecycle.
+      val spans = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(d
+          .select(col("doc_id"), posexplode(shinglesN(tokens(col("text")), SpanW)))
+          .select(col("doc_id"), col("pos").cast("int").as("pos"),
+            md5(col("col")).as("sh"))))
       val dup = spans.groupBy("sh")
         .agg(count(lit(1)).as("n"),
           min(struct(col("doc_id"), col("pos"))).as("c"))
