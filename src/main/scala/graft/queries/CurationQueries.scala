@@ -379,18 +379,21 @@ object CurationQueries {
     * token runs — original whitespace is not reconstructed, same as the
     * chunk relation itself). Tokenless docs have no chunks and are
     * absent, exactly as in `doc_chunks`. Shapes: the md5 group is hot by
-    * construction → partial-aggregable groupBy min(struct) + equi-join
+    * construction → partial-aggregable groupBy min + equi-join
     * back (no Window funnel); reassembly groups by doc_id with
     * collect_list bounded by the doc's own chunk count.
     */
   private def scrubbedDocs(s: SparkSession, dir: String): DataFrame = {
     val c = chunkTableWith(s, dir, ChunkSize)
       .withColumn("ch", md5(col("chunk")))
+    // Canon packed into one long (doc_id·2²⁴ + chunk_id): min(struct)
+    // plans a corpus-scale SortAggregate; the packed min is a codegen'd
+    // HashAggregate. Identical order while chunk_id < 2²⁴.
+    val chunkKey = shiftleft(col("doc_id"), 24) + col("chunk_id")
     val canon = c.groupBy("ch")
-      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"))
+      .agg(min(chunkKey).as("ck"))
     c.join(canon, Seq("ch"))
-      .withColumn("keep",
-        col("k.doc_id") === col("doc_id") && col("k.chunk_id") === col("chunk_id"))
+      .withColumn("keep", chunkKey === col("ck"))
       .groupBy("doc_id")
       .agg(
         array_join(transform(

@@ -1087,7 +1087,7 @@ object DedupQueries {
     // md5 group. Deliberately NOT dedup_exact's Window shape: a boilerplate
     // chunk is hot BY CONSTRUCTION (a navbar in millions of documents is
     // one hash group), and Window.partitionBy(chunk_hash) would funnel the
-    // whole group into a single task's sort — the groupBy min(struct)/count
+    // whole group into a single task's sort — the groupBy min/count
     // spelling is partial-aggregable (each task prunes to one candidate
     // per hash map-side) and the join back is a plain shuffle join with
     // AQE skew splitting available. The canon is the lexicographic min
@@ -1095,13 +1095,18 @@ object DedupQueries {
     "dedup_chunk_exact" -> ((s, dir) => {
       val c = CurationQueries.chunkTable(s, dir)
         .select(col("doc_id"), col("chunk_id"), md5(col("chunk")).as("chunk_hash"))
+      // Canon packed into one long (doc_id·2²⁴ + chunk_id): min(struct)
+      // plans a SortAggregate (no mutable codegen buffer for structs) that
+      // sorts the corpus-scale chunk table; the packed min is a codegen'd
+      // HashAggregate. Unpacked on output; identical while chunk_id < 2²⁴.
       val groups = c.groupBy("chunk_hash")
-        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("canon"),
+        .agg(min(shiftleft(col("doc_id"), 24) + col("chunk_id")).as("ck"),
           count(lit(1)).as("n_copies"))
       c.join(groups, Seq("chunk_hash"))
         .select(col("doc_id"), col("chunk_id"), col("chunk_hash"),
-          col("canon.doc_id").as("canon_doc"),
-          col("canon.chunk_id").as("canon_chunk"), col("n_copies"))
+          shiftright(col("ck"), 24).as("canon_doc"),
+          col("ck").bitwiseAND(lit((1L << 24) - 1)).cast("int").as("canon_chunk"),
+          col("n_copies"))
         .orderBy("doc_id", "chunk_id")
     }),
 
@@ -1119,13 +1124,16 @@ object DedupQueries {
     "dedup_chunk_cdc" -> ((s, dir) => {
       val c = CurationQueries.cdcChunkRowsOf(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("chunk_id"), md5(col("chunk")).as("chunk_hash"))
+      // Same packed-long canon as dedup_chunk_exact (HashAggregate, not
+      // a corpus-scale SortAggregate).
       val groups = c.groupBy("chunk_hash")
-        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("canon"),
+        .agg(min(shiftleft(col("doc_id"), 24) + col("chunk_id")).as("ck"),
           count(lit(1)).as("n_copies"))
       c.join(groups, Seq("chunk_hash"))
         .select(col("doc_id"), col("chunk_id"), col("chunk_hash"),
-          col("canon.doc_id").as("canon_doc"),
-          col("canon.chunk_id").as("canon_chunk"), col("n_copies"))
+          shiftright(col("ck"), 24).as("canon_doc"),
+          col("ck").bitwiseAND(lit((1L << 24) - 1)).cast("int").as("canon_chunk"),
+          col("n_copies"))
         .orderBy("doc_id", "chunk_id")
     }),
 

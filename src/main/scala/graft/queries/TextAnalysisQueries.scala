@@ -443,7 +443,7 @@ object TextAnalysisQueries {
     // Blank lines are paragraph structure, not boilerplate: always kept.
     // Shape: the span unit's hash group is hot BY CONSTRUCTION (a
     // license block in millions of docs is one md5 group), so the canon
-    // election is the partial-aggregable groupBy min(struct) + join-back
+    // election is the partial-aggregable groupBy min + join-back
     // — never a Window funnel — and the join back on the line hash is a
     // plain shuffle join with AQE skew splitting available. Reassembly
     // groups by doc_id: collect_list is bounded by the document's own
@@ -456,14 +456,18 @@ object TextAnalysisQueries {
         .select(col("doc_id"), col("pos").cast("int").as("line_id"),
           col("col").as("line"))
         .withColumn("lh", md5(col("line")))
+      // Canon packed into one long (doc_id·2²⁴ + line_id) — min(struct)
+      // has no mutable codegen buffer and plans a SortAggregate that
+      // sorts the corpus-scale line table; the packed long min is a
+      // codegen'd HashAggregate. Identical order while line_id < 2²⁴
+      // (a 16M-line document breaks single-row handling first).
+      val lineKey = shiftleft(col("doc_id"), 24) + col("line_id")
       val canon = l.filter(length(col("line")) > 0)
         .groupBy("lh")
-        .agg(min(struct(col("doc_id"), col("line_id"))).as("c"))
+        .agg(min(lineKey).as("ck"))
       val flagged = l.join(canon, Seq("lh"), "left")
         .withColumn("keep",
-          length(col("line")) === 0 ||
-            (col("c.doc_id") === col("doc_id") &&
-              col("c.line_id") === col("line_id")))
+          length(col("line")) === 0 || (lineKey === col("ck")))
       flagged.groupBy("doc_id")
         .agg(
           array_join(transform(
@@ -496,7 +500,7 @@ object TextAnalysisQueries {
     // Scale posture: span rows = token rows (each position starts one
     // span) — linear; the duplicated-span group is hot BY CONSTRUCTION
     // (a license block in millions of docs is ONE hash group), so the
-    // canon election is the partial-aggregable groupBy min(struct) —
+    // canon election is the partial-aggregable groupBy min —
     // never a Window — and the mask explode is a fixed ×SpanW, with the
     // per-doc reassembly bounded by the doc's own token count.
     "text_dedup_token_spans" -> ((s, dir) => {
@@ -513,14 +517,20 @@ object TextAnalysisQueries {
           .select(col("doc_id"), posexplode(shinglesN(tokens(col("text")), SpanW)))
           .select(col("doc_id"), col("pos").cast("int").as("pos"),
             md5(col("col")).as("sh"))))
+      // The canon is packed into ONE long — doc_id·2²⁴ + pos — instead of
+      // min(struct(doc_id, pos)): struct min has no mutable codegen buffer
+      // so Catalyst plans a SortAggregate, which SORTS the corpus-scale
+      // span table per partition before the partial agg; the packed long
+      // min is a plain HashAggregate (codegen'd, map-side partial, no
+      // sort). Lexicographically identical while 0 ≤ pos < 2²⁴ — a 16M-
+      // token document breaks single-row handling long before this bound.
+      val spanKey = shiftleft(col("doc_id"), 24) + col("pos")
       val dup = spans.groupBy("sh")
-        .agg(count(lit(1)).as("n"),
-          min(struct(col("doc_id"), col("pos"))).as("c"))
+        .agg(count(lit(1)).as("n"), min(spanKey).as("ck"))
         .filter(col("n") > 1)
-        .select("sh", "c")
+        .select("sh", "ck")
       val bad = spans.join(dup, Seq("sh"))
-        .filter(!(col("c.doc_id") === col("doc_id") &&
-          col("c.pos") === col("pos")))
+        .filter(spanKey =!= col("ck"))
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + lit(SpanW - 1))).as("tpos"))
         .distinct()
