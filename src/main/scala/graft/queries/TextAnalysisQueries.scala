@@ -272,15 +272,35 @@ object TextAnalysisQueries {
     // a corpus-derived side; AQE splits hot-bigram skew). The one float
     // division per doc happens after all gating.
     "quality_perplexity" -> ((s, dir) => {
-      val b = bigramRows(Tables(s, dir, "documents"))
-      val c2 = b.groupBy("bg").agg(count(lit(1)).as("c2"))
+      // The bigram-instance generator (tokenize + 2-shingles per doc) is
+      // consumed twice — the LM count and the score join — with no
+      // plan-level reuse (HOF generators are outside codegen subexpression
+      // elimination), so it is materialized once; corpus-proportional ⇒
+      // serialized storage, retire-at-drain lifecycle.
+      val b = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(
+          bigramRows(Tables(s, dir, "documents"))))
+      // Rarity is a property of the DISTINCT bigram alone (32·C(bg) <
+      // C(w1·)), so it is decided entirely on the vocabulary-scale
+      // tables: c2 ⋈ c1 joins on w1 at distinct-bigram size and the
+      // corpus-scale instance table joins ONCE on bg carrying a single
+      // boolean. The former shape joined every instance row to c1 on w1
+      // — a full extra corpus-scale shuffle on a hot-keyed column. c2 is
+      // checkpointed (vocab-scale, deserialized) because both c1 and the
+      // flag derive from it.
+      val c2 = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.fresh(
+          b.groupBy("bg").agg(count(lit(1)).as("c2"))))
       val c1 = c2.select(substring_index(col("bg"), " ", 1).as("w1"), col("c2"))
         .groupBy("w1").agg(sum("c2").as("c1"))
-      b.join(c2, "bg")
+      val flag = c2
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
         .join(c1, "w1")
+        .select(col("bg"), (col("c2") * RareDen < col("c1")).as("is_rare"))
+      b.join(flag, "bg")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("c2") * RareDen < col("c1"), 1L).otherwise(0L)).as("n_rare"))
+          sum(when(col("is_rare"), 1L).otherwise(0L)).as("n_rare"))
         .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
           (col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"),
           (col("n_rare") * KeepDen <= col("n_bigrams") * KeepNum).as("keep"))
@@ -659,16 +679,21 @@ object TextAnalysisQueries {
       def grams(n: Int) =
         tt.select(col("doc_id"), explode(shinglesN(col("t"), n)).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      // top-n concentration: max(struct(c, len)) = the largest count,
-      // tie-broken to the longest gram — only (c, len) reaches the
-      // output, so any same-(c, len) tie is immaterial; the oracle
-      // spells the same election as its max-c-then-max-len two-step
+      // top-n concentration: the largest count, tie-broken to the longest
+      // gram — only (c, len) reaches the output, so any same-(c, len) tie
+      // is immaterial; the oracle spells the same election as its
+      // max-c-then-max-len two-step. The election is packed into one long
+      // (c·2²⁴ + len; both bounded by doc size ≪ 2²⁴) instead of
+      // max(struct): struct max has no mutable codegen buffer and plans a
+      // SortAggregate that sorts the (doc, gram)-scale table — the packed
+      // max is a codegen'd HashAggregate.
       def top(n: Int) =
         grams(n).groupBy("doc_id").agg(
           sum(col("c") * length(col("g"))).as(s"all$n"),
-          max(struct(col("c").as("c"), length(col("g")).as("l"))).as("m"))
+          max(shiftleft(col("c"), 24) + length(col("g"))).as("m"))
           .select(col("doc_id"), col(s"all$n"),
-            (col("m.c") * col("m.l")).as(s"top${n}_chars"))
+            (shiftright(col("m"), 24) *
+              col("m").bitwiseAND(lit((1L << 24) - 1))).as(s"top${n}_chars"))
       def dup(n: Int) =
         grams(n).groupBy("doc_id").agg(
           sum(col("c") * length(col("g"))).as(s"alld$n"),
