@@ -291,11 +291,19 @@ object RelationalQueries {
     // `approx_percentile` is the 100-TB path; exact percentile sorts per
     // group and is the oracle-comparable form.)
     "agg_quantiles" -> ((s, dir) => {
+      // ONE percentile aggregate with an array of percentages, not three
+      // scalar ones: each scalar percentile instance builds its own
+      // value-counts map over every group (3× the update and merge work);
+      // the array form computes all three points from a single map with
+      // identical sorted-position interpolation, so the doubles are
+      // unchanged.
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
-          expr("percentile(l_extendedprice, 0.5)").as("median"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D))").as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("median"),
+          element_at(col("ps"), 3).as("p95"))
         .orderBy("l_returnflag")
     }),
 

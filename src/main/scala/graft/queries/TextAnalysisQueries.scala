@@ -173,6 +173,13 @@ object TextAnalysisQueries {
       length(l) === 0 ||
         (length(l) > 10 && nAlpha > 0 && nOf(l, "[^A-Z]") * 2 <= nAlpha)
     }
+    // NOTE (measured, sf10): binding lv/kept once via nested one-binding
+    // transforms REGRESSES this query 22.7 → 30.4 s — the binding drags
+    // split/array_join/size into interpreted lambda evaluation, which
+    // costs more than the duplicate (but codegen-resident) filter pass.
+    // The unbound spelling is the right one here; shinglesN's binding
+    // rule applies to generators CONSUMED by HOFs, not to flat
+    // projections.
     val lv = split(col("text"), "\n")
     val kept = filter(lv, keepLine)
     Tables(s, dir, "documents")
