@@ -38,6 +38,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"hex_msb_mask expects exactly 1 argument, got ${children.size}")
       }))
+    // the two windowed kernels take a plan-time-constant width: the SQL
+    // form requires a foldable INT second argument (matching how the
+    // DataFrame callers pass a Scala constant)
+    def constWidth(name: String)(mk: (Expression, Int) => Expression)
+        : Seq[Expression] => Expression = {
+      case Seq(c, w) if w.foldable &&
+          w.dataType == org.apache.spark.sql.types.IntegerType =>
+        mk(c, w.eval(null).asInstanceOf[Int])
+      case children => throw new IllegalArgumentException(
+        s"$name expects (ARRAY<STRING>, constant INT), got ${children.size} args")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_boundary_ends"),
+      new ExpressionInfo(classOf[CdcBoundaryEnds].getName, "cdc_boundary_ends"),
+      constWidth("cdc_boundary_ends")(CdcBoundaryEnds.apply)))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      constWidth("winnow_fps")(WinnowFps.apply)))
     // upgrade hand-composed regex cleanup chains to the native expression
     ext.injectOptimizerRule(_ => graft.plans.CleanupChainRule)
   }

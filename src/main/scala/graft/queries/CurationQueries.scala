@@ -159,7 +159,17 @@ object CurationQueries {
     * corpus stream) normalizes the same way — the two detectors must
     * agree on what counts as overlap.
     */
-  private def decontaminationFlags(s: SparkSession, dir: String): DataFrame = {
+  private def decontaminationFlags(s: SparkSession, dir: String): DataFrame =
+    // session-cached (doc-rows-bounded: three narrow columns per train-
+    // split doc): the flags gate `decontaminate` AND all three
+    // pipeline_curate forms — four consumers, each of which would
+    // otherwise re-run the corpus-scale 8-gram explode + distinct +
+    // bucket join that produces them
+    graft.operators.SessionCache.frame(s, dir, "decontamination-flags") {
+      graft.operators.Checkpoints.fresh(decontaminationFlagsPlan(s, dir))
+    }
+
+  private[graft] def decontaminationFlagsPlan(s: SparkSession, dir: String): DataFrame = {
     val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
     val sh = Tables(s, dir, "documents")
       .filter(col("doc_id").isNotNull)
@@ -360,8 +370,19 @@ object CurationQueries {
     */
   private def qualityKept(s: SparkSession, dir: String): DataFrame = {
     val scored = scoredDocs(s, dir)
-    val med = scored.groupBy("lang")
-      .agg(expr("percentile(quality, 0.5)").as("med"))
+    // The per-language exact median is session-cached (language-bounded:
+    // one row per lang): exact `percentile` buffers every group's values
+    // through a corpus-scale sort-aggregate, and the four consumers
+    // (quality_filter + the three pipeline_curate forms) would each
+    // re-pay it; the scored projection itself stays inline (linear, one
+    // pass). At data scale the sketch form (quality_filter_approx) is
+    // the production gate — this cache only de-duplicates the exact
+    // oracle-comparable spelling inside one session.
+    val med = graft.operators.SessionCache.frame(s, dir, "quality-median-by-lang") {
+      graft.operators.Checkpoints.fresh(
+        scoredDocs(s, dir).groupBy("lang")
+          .agg(expr("percentile(quality, 0.5)").as("med")))
+    }
     scored.join(med, Seq("lang"))
       .filter(col("quality") >= col("med"))
       .select(col("doc_id"), col("lang"), col("quality"), col("med"))

@@ -1007,6 +1007,24 @@ object DedupQueries {
     "dedup_canonical" -> ((s, dir) =>
       canonicalDecision(s, dir).orderBy("doc_id")),
 
+    // ---- cluster-size histogram: the dedup report a curator reads ----
+    // One row per duplicate-class size over the KEEP/DROP-grade map
+    // (exact + near duplicates, the dedup_canonical class definition):
+    // how many classes of that size exist and how many documents they
+    // hold — the "what fraction of the corpus is duplicated, and in how
+    // big a clump" summary that decides whether dedup is worth a
+    // re-crawl. Free at the margin: the map is the session-cached CC
+    // fixpoint both dedup_canonical and the pipeline_curate family
+    // already share, and the roll-up is two cluster-scale hash
+    // aggregations on top (cluster_size is constant within a cluster, so
+    // counting distinct cluster ids per size never concentrates).
+    "dedup_cluster_stats" -> ((s, dir) =>
+      clusterLabels(s, dir, includeExact = true)
+        .groupBy(col("cluster_size"))
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("cluster_size")),
+
     // ---- n-gram Jaccard near-dup pairs (shingle-bucket candidates) ----
     // Hot shingles (document frequency > MaxShingleDf) are dropped BEFORE
     // the self-join via a broadcast anti-join: the hot set is tiny by
@@ -1633,6 +1651,18 @@ object DedupQueries {
          |SELECT d.doc_id, d.cluster_id, c.canon_id,
          |       d.doc_id = c.canon_id AS keep
          |FROM d JOIN canon c USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      // the canonical (exact-inclusive) closure's label relation, rolled
+      // up to per-size counts: sz is one row per cluster, so n_docs per
+      // size bucket is sum(cluster_size) = n_clusters × size
+      s"""WITH RECURSIVE $canonicalCtes,
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY 1)
+         |SELECT cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardPairsSql,
 

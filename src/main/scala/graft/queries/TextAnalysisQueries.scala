@@ -52,14 +52,18 @@ object TextAnalysisQueries {
     * through heap/GC pressure; the bound form is the intended O(n·W).
     */
   private[queries] def winnowFps(s: SparkSession, dir: String): DataFrame = {
-    val w = WinnowW
-    val hsExpr = transform(shingles3(tokens(col("text"))), t => md5(t))
-    val fpsExpr = element_at(transform(array(hsExpr), hsv =>
-      when(size(hsv) >= w,
-        array_distinct(transform(sequence(lit(0), size(hsv) - w),
-          i => array_min(slice(hsv, i + 1, lit(w))))))
-        .when(size(hsv) > 0, array(array_min(hsv)))
-        .otherwise(array().cast("array<string>"))), 1)
+    // native one-pass kernel (WinnowFps): the HOF spelling —
+    // `array_distinct(transform(sequence(0, m-w), i ->
+    // array_min(slice(hs, i+1, w))))` over `hs = transform(shingles3(
+    // tokens(text)), t -> md5(t))` — built the shingle string and its md5
+    // hex through three interpreted lambda layers per position and
+    // re-scanned w hashes per window; the kernel hashes the identical
+    // joined bytes and keeps window minima with a monotonic deque, so the
+    // emitted fingerprints are bit-for-bit the HOF's (parity-spec'd on
+    // the corpus in ScaleOpsSpec) and [[winnowFpsSql]] is unchanged.
+    val fpsExpr = graft.bridge.SparkInternals.column(
+      graft.expressions.WinnowFps(
+        graft.bridge.SparkInternals.expression(tokens(col("text"))), WinnowW))
     Tables(s, dir, "documents")
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(fpsExpr).as("fp"))
@@ -532,18 +536,31 @@ object TextAnalysisQueries {
     // per-doc reassembly bounded by the doc's own token count.
     "text_dedup_token_spans" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id").isNotNull)
-      // The span-hash table is consumed TWICE (the duplicate-group
-      // aggregation and the canon-elimination join) and — like the full
-      // shingle table in dedup_ngram_jaccard — its HOF-heavy generator
-      // (tokenize + shinglesN + md5 per position) gets no plan-level
-      // reuse from Catalyst, so without a floor the corpus is tokenized
-      // and hashed twice. Corpus-proportional (one row per token
-      // position) ⇒ serialized storage, retire-at-drain lifecycle.
+      // The BPE tokenization (a regexp_extract_all pass over every byte
+      // of the corpus) feeds THREE consumers — the span generator, the
+      // surviving-token reassembly, and the n_tokens output column — and
+      // Catalyst gives separate invocations no subplan reuse, so without
+      // a floor the corpus is tokenized three times. Materialize the
+      // token arrays once (corpus-proportional ⇒ serialized storage,
+      // retire-at-drain lifecycle).
+      val toks = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(
+          d.select(col("doc_id"), tokens(col("text")).as("t"))))
+      // The span-hash table is consumed twice (the duplicate-group
+      // aggregation and the canon-elimination join) — BOTH keyed on
+      // `sh`, so the checkpoint is written PRE-PARTITIONED on `sh`:
+      // LogicalRDD preserves outputPartitioning (the CC-loop edge-frame
+      // trick), so the groupBy needs no exchange and the join's span
+      // side arrives co-partitioned — one corpus-scale shuffle where
+      // the un-partitioned spelling paid three (checkpoint scan →
+      // agg exchange + join exchange). Corpus-proportional (one row per
+      // token position) ⇒ serialized storage.
       val spans = graft.operators.Checkpoints.retire(
-        graft.operators.Checkpoints.corpusScaled(d
-          .select(col("doc_id"), posexplode(shinglesN(tokens(col("text")), SpanW)))
+        graft.operators.Checkpoints.corpusScaled(toks
+          .select(col("doc_id"), posexplode(shinglesN(col("t"), SpanW)))
           .select(col("doc_id"), col("pos").cast("int").as("pos"),
-            md5(col("col")).as("sh"))))
+            md5(col("col")).as("sh"))
+          .repartition(col("sh"))))
       // The canon is packed into ONE long — doc_id·2²⁴ + pos — instead of
       // min(struct(doc_id, pos)): struct min has no mutable codegen buffer
       // so Catalyst plans a SortAggregate, which SORTS the corpus-scale
@@ -561,8 +578,8 @@ object TextAnalysisQueries {
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + lit(SpanW - 1))).as("tpos"))
         .distinct()
-      val kept = d
-        .select(col("doc_id"), posexplode(tokens(col("text"))))
+      val kept = toks
+        .select(col("doc_id"), posexplode(col("t")))
         .select(col("doc_id"), col("pos").cast("int").as("tpos"),
           col("col").as("tok"))
         .join(bad, Seq("doc_id", "tpos"), "left_anti")
@@ -571,8 +588,8 @@ object TextAnalysisQueries {
           array_sort(collect_list(struct(col("tpos"), col("tok")))),
           x => x.getField("tok")), " ").as("scrubbed"),
           count(lit(1)).cast("int").as("n_kept"))
-      d.select(col("doc_id"),
-          size(tokens(col("text"))).cast("int").as("n_tokens"))
+      toks.select(col("doc_id"),
+          size(col("t")).cast("int").as("n_tokens"))
         .join(kept, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("scrubbed"), lit("")).as("text_dedup"),
@@ -675,17 +692,41 @@ object TextAnalysisQueries {
     // simplification that keeps every fraction a ratio of two exact
     // BIGINT sums (and both mirrors trivially identical). The keep gate
     // cross-multiplies the paper's thresholds (0.30/0.20/0.20/0.18/0.16/
-    // 0.15/0.10) on the integer sums — no float decides. Scale: each
-    // n-gram pipeline is the doc_fingerprint two-stage partial agg
-    // (per-doc keys, hot only as hot as one doc); the joins are 1:1 on
-    // doc_id; docs with < 10 tokens have no 10-gram row and drop from
-    // the battery (unscorable), mirrored by the oracle's inner joins.
+    // 0.15/0.10) on the integer sums — no float decides. Scale: the gram
+    // battery is the doc_fingerprint two-stage partial agg (per-doc
+    // keys, hot only as hot as one doc); docs with < 10 tokens have no
+    // 10-gram row and drop from the battery (unscorable), mirrored by
+    // the oracle's inner joins.
     "gopher_repetition" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id").isNotNull)
-      val tt = d.select(col("doc_id"), tokens(col("text")).as("t"))
-      def grams(n: Int) =
-        tt.select(col("doc_id"), explode(shinglesN(col("t"), n)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      // ONE token pass, ONE corpus-scale exchange: the five gram widths
+      // (2, 3, 4, 5, 10) previously ran five independent pipelines, each
+      // re-reading parquet, re-tokenizing the corpus (the expensive
+      // regexp pass), and paying its own (doc, gram) exchange, stitched
+      // back by a five-join chain. All five widths now ride a single
+      // exploded (doc_id, n, gram) frame — tokenize once, shuffle once
+      // (same total gram bytes, one stage instead of five) — and the
+      // per-width aggregates come back to one row per doc by a
+      // conditional pivot (max(when(n = k, …))) on the doc-scale frame
+      // instead of joins. The inner-join semantics of the old chain
+      // ("docs with < 10 tokens have no 10-gram row and drop out") are
+      // preserved by requiring every width's aggregate to be non-null.
+      // The token arrays are CHECKPOINTED, not just projected: the five
+      // shingle branches live in one projection, HOFs are excluded from
+      // codegen subexpression elimination, and CollapseProject would
+      // inline a plain `.select(tokens(…))` right back into all five
+      // consumers (the r2 doc_fingerprint regression) — so without a
+      // materialization barrier the corpus is regex-tokenized five times.
+      val Ns = Seq(2, 3, 4, 5, 10)
+      val tt = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(
+          d.select(col("doc_id"), tokens(col("text")).as("t"))))
+      val grams = tt
+        .select(col("doc_id"), explode(flatten(array(Ns.map(n =>
+          transform(shinglesN(col("t"), n),
+            g => struct(lit(n).as("n"), g.as("g")))): _*))).as("ng"))
+        .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
+        .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
       // top-n concentration: the largest count, tie-broken to the longest
       // gram — only (c, len) reaches the output, so any same-(c, len) tie
       // is immaterial; the oracle spells the same election as its
@@ -694,18 +735,25 @@ object TextAnalysisQueries {
       // max(struct): struct max has no mutable codegen buffer and plans a
       // SortAggregate that sorts the (doc, gram)-scale table — the packed
       // max is a codegen'd HashAggregate.
-      def top(n: Int) =
-        grams(n).groupBy("doc_id").agg(
-          sum(col("c") * length(col("g"))).as(s"all$n"),
-          max(shiftleft(col("c"), 24) + length(col("g"))).as("m"))
-          .select(col("doc_id"), col(s"all$n"),
-            (shiftright(col("m"), 24) *
-              col("m").bitwiseAND(lit((1L << 24) - 1))).as(s"top${n}_chars"))
-      def dup(n: Int) =
-        grams(n).groupBy("doc_id").agg(
-          sum(col("c") * length(col("g"))).as(s"alld$n"),
-          sum(when(col("c") >= 2, col("c") * length(col("g")))
-            .otherwise(0L)).as(s"dup${n}_chars"))
+      val byN = grams.groupBy("doc_id", "n").agg(
+        sum(col("c") * length(col("g"))).as("all"),
+        max(shiftleft(col("c"), 24) + length(col("g"))).as("m"),
+        sum(when(col("c") >= 2, col("c") * length(col("g")))
+          .otherwise(0L)).as("dup"))
+      def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
+      def topChars(n: Int) = {
+        val m = pick(n, "m")
+        shiftright(m, 24) * m.bitwiseAND(lit((1L << 24) - 1))
+      }
+      val piv = byN.groupBy("doc_id").agg(
+        pick(2, "all").as("all2"), topChars(2).as("top2_chars"),
+        pick(3, "all").as("all3"), topChars(3).as("top3_chars"),
+        pick(4, "all").as("all4"), topChars(4).as("top4_chars"),
+        pick(5, "all").as("alld5"), pick(5, "dup").as("dup5_chars"),
+        pick(10, "all").as("alld10"), pick(10, "dup").as("dup10_chars"))
+        .filter(col("all2").isNotNull && col("all3").isNotNull &&
+          col("all4").isNotNull && col("alld5").isNotNull &&
+          col("alld10").isNotNull)
       val ls = d
         .select(col("doc_id"), explode(split(col("text"), "\n")).as("l"))
         .filter(length(col("l")) > 0)
@@ -716,8 +764,7 @@ object TextAnalysisQueries {
           sum(col("c") * length(col("l"))).as("line_chars"),
           sum(when(col("c") >= 2, (col("c") - 1) * length(col("l")))
             .otherwise(0L)).as("dup_line_chars"))
-      ls.join(top(2), "doc_id").join(top(3), "doc_id").join(top(4), "doc_id")
-        .join(dup(5), "doc_id").join(dup(10), "doc_id")
+      ls.join(piv, "doc_id")
         .select(col("doc_id"), col("n_lines"),
           (col("n_dup_lines") / col("n_lines")).as("dup_line_frac"),
           (col("dup_line_chars") / col("line_chars")).as("dup_line_char_frac"),

@@ -518,9 +518,13 @@ class QueriesSpec extends AnyFunSuite {
     // the probe join is unhinted (a broadcast() hint would ship the
     // held-out slice even when corpus-sized); with a benchmark-sized
     // held-out side AQE's runtime size check must turn it into a
-    // broadcast probe on its own — read the ADAPTIVE plan of the driven
-    // DataFrame (count()/fresh plans stay isFinalPlan=false)
-    val plan = df.queryExecution.executedPlan.toString
+    // broadcast probe on its own. The published query scans the
+    // session-cached flags checkpoint (its visible plan is a block
+    // scan), so the join-shape assertion drives the GENERATOR plan —
+    // collected, because count()/fresh plans stay isFinalPlan=false
+    val gen = graft.queries.CurationQueries.decontaminationFlagsPlan(spark, dir)
+    gen.collect()
+    val plan = gen.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"AQE should broadcast the benchmark-sized held-out shingles:\n$plan")
   }

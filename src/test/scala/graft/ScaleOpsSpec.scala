@@ -714,6 +714,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(short.forall(_.getSeq[Int](0).isEmpty))
   }
 
+  test("native winnow_fps matches the HOF sliding-min fingerprints bit-for-bit") {
+    import graft.queries.TextAnalysisQueries.WinnowW
+    val w = WinnowW
+    val tv = tokens(col("text"))
+    val native = graft.bridge.SparkInternals.column(
+      graft.expressions.WinnowFps(
+        graft.bridge.SparkInternals.expression(tv), w))
+    // the pre-native HOF spelling, including both degenerate branches
+    // (0 < m < w → single global min; m = 0 → empty list)
+    val hsExpr = transform(shingles3(tv), t => md5(t))
+    val hof = element_at(transform(array(hsExpr), hsv =>
+      when(size(hsv) >= w,
+        array_distinct(transform(sequence(lit(0), size(hsv) - w),
+          i => array_min(slice(hsv, i + 1, lit(w))))))
+        .when(size(hsv) > 0, array(array_min(hsv)))
+        .otherwise(array().cast("array<string>"))), 1)
+    val docs = Tables(spark, Sf0001, "documents").filter(col("doc_id").isNotNull)
+    val mism = docs.select(native.as("n"), hof.as("h"))
+      .filter(not(col("n") <=> col("h")))
+    assert(mism.count() == 0)
+    // degenerate branches: < 3 tokens → no shingles → empty; 3..w+1
+    // tokens → fewer shingles than the window → exactly one fingerprint
+    import spark.implicits._
+    val tiny = Seq("", "one", "a b", "a b c", "a b c d e")
+      .toDF("text")
+      .select(graft.bridge.SparkInternals.column(
+        graft.expressions.WinnowFps(
+          graft.bridge.SparkInternals.expression(tokens(col("text"))), w)).as("f"))
+      .collect()
+    assert(tiny.take(3).forall(_.getSeq[String](0).isEmpty))
+    assert(tiny.drop(3).forall(_.getSeq[String](0).size == 1))
+  }
+
   test("dedup_winnowing materializes the fingerprint chain once (no re-derivation in-plan)") {
     // the fingerprint frame is localCheckpoint'd at build, so the
     // executed plan must read RDD blocks — if the md5+window chain (or
