@@ -50,6 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name expects (ARRAY<STRING>, constant INT), got ${children.size} args")
     }
     ext.injectFunction((
+      new FunctionIdentifier("line_filter_stats"),
+      new ExpressionInfo(classOf[LineFilterStats].getName, "line_filter_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => LineFilterStats(c)
+        case _ => throw new IllegalArgumentException(
+          s"line_filter_stats expects exactly 1 argument, got ${children.size}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("cdc_boundary_ends"),
       new ExpressionInfo(classOf[CdcBoundaryEnds].getName, "cdc_boundary_ends"),
       constWidth("cdc_boundary_ends")(CdcBoundaryEnds.apply)))

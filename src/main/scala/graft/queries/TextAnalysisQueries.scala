@@ -170,28 +170,26 @@ object TextAnalysisQueries {
     * line corrections removed > 5% of the doc's lines ⇒ drop the doc).
     */
   private[queries] def lineFilterFrame(s: SparkSession, dir: String): DataFrame = {
-    def nOf(l: Column, keepClass: String): Column =
-      length(regexp_replace(l, keepClass, "")).cast("long")
-    val keepLine = (l: Column) => {
-      val nAlpha = nOf(l, "[^A-Za-z]")
-      length(l) === 0 ||
-        (length(l) > 10 && nAlpha > 0 && nOf(l, "[^A-Z]") * 2 <= nAlpha)
-    }
-    // NOTE (measured, sf10): binding lv/kept once via nested one-binding
-    // transforms REGRESSES this query 22.7 → 30.4 s — the binding drags
-    // split/array_join/size into interpreted lambda evaluation, which
-    // costs more than the duplicate (but codegen-resident) filter pass.
-    // The unbound spelling is the right one here; shinglesN's binding
-    // rule applies to generators CONSUMED by HOFs, not to flat
-    // projections.
-    val lv = split(col("text"), "\n")
-    val kept = filter(lv, keepLine)
+    // Native one-pass kernel ([[graft.expressions.LineFilterStats]]):
+    // the declarative spelling — `filter(split(text, "\n"), l -> …)`
+    // with two regexp_replace char-class strips per line plus an
+    // array_join — was the catalog's #2 sf10 query (37.9 s) on
+    // interpreted-lambda + regex-allocation constant factor alone (an
+    // earlier attempt to bind lv/kept once via nested transforms
+    // REGRESSED it 22.7 → 30.4 s — the binding dragged split/array_join
+    // into interpreted evaluation). The kernel walks the UTF-8 bytes
+    // once; the three field reads below share one evaluation via
+    // codegen subexpression elimination (same expression instance).
+    val f = graft.bridge.SparkInternals.column(
+      graft.expressions.LineFilterStats(
+        graft.bridge.SparkInternals.expression(col("text"))))
     Tables(s, dir, "documents")
       .select(col("doc_id"),
-        array_join(kept, "\n").as("text_filtered"),
-        size(lv).as("n_lines"), size(kept).as("n_kept"),
-        ((size(lv) - size(kept)).cast("long") * 20 <=
-          size(lv).cast("long")).as("doc_kept"))
+        f.getField("text_filtered").as("text_filtered"),
+        f.getField("n_lines").as("n_lines"),
+        f.getField("n_kept").as("n_kept"),
+        ((f.getField("n_lines") - f.getField("n_kept")).cast("long") * 20 <=
+          f.getField("n_lines").cast("long")).as("doc_kept"))
   }
 
   /** line_filter's oracle — ONE string, shared by its own entry and (as

@@ -114,11 +114,23 @@ object Sinks {
   /** The generation manifest a keyed parquet result publishes through.
     * Line-based (`k=v`), one file per generation under `_graft_log/`,
     * committed by an atomic single-file rename — never edited in place.
+    *
+    * Each bucket maps to an ordered LIST of level directories (oldest →
+    * newest, comma-separated on the wire): a merge appends its delta as
+    * a new level instead of rewriting the bucket, and the tiering rule
+    * in [[mergeIntoKeyedParquet]] keeps the list logarithmic in the
+    * bucket's accumulated size. Within a bucket a key may appear in
+    * several levels after an upsert; the NEWEST level's row wins —
+    * level recency is recoverable from the `b<k>-g<gen>[c]` directory
+    * name, which is how [[readKeyedParquet]] and compaction resolve.
+    * Pre-level manifests (one dir per bucket) parse as one-element
+    * lists, so existing tables upgrade in place.
     */
   private[graft] case class Manifest(gen: Long, buckets: Int,
-      dirs: Map[Int, String], retired: Seq[String]) {
+      dirs: Map[Int, Seq[String]], retired: Seq[String]) {
     def render: String = {
-      val b = dirs.toSeq.sortBy(_._1).map { case (k, d) => s"bucket:$k=$d" }
+      val b = dirs.toSeq.sortBy(_._1).map { case (k, ds) =>
+        s"bucket:$k=${ds.mkString(",")}" }
       (Seq(s"gen=$gen", s"buckets=$buckets") ++ b :+
         s"retired=${retired.mkString(",")}").mkString("", "\n", "\n")
     }
@@ -135,7 +147,7 @@ object Sinks {
         gen = kv.collectFirst { case ("gen", v) => v.toLong }.get,
         buckets = kv.collectFirst { case ("buckets", v) => v.toInt }.get,
         dirs = kv.collect { case (k, v) if k.startsWith("bucket:") =>
-          k.stripPrefix("bucket:").toInt -> v }.toMap,
+          k.stripPrefix("bucket:").toInt -> v.split(",").toSeq }.toMap,
         retired = kv.collectFirst { case ("retired", v) if v.nonEmpty =>
           v.split(",").toSeq }.getOrElse(Nil))
     }
@@ -213,6 +225,48 @@ object Sinks {
     * turn it into silent row loss, so this reader refuses to run under it.
     */
   def readKeyedParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val (m, df) = readKeyedLevels(spark, path)
+    if (m.dirs.values.forall(_.size <= 1)) df
+    else {
+      // multi-level buckets: an upserted key may appear in several
+      // levels — resolve newest-generation-wins per key. The level a row
+      // came from is recoverable from its file path (`b<k>-g<gen>[c]`),
+      // so no schema column is needed and pre-level tables read
+      // unchanged through the single-level fast path above.
+      import org.apache.spark.sql.functions._
+      val key = readKeyColumn(spark, path).getOrElse(throw new IllegalStateException(
+        s"multi-level keyed table $path has no _graft_key sidecar — cannot " +
+          "resolve upserted keys without the key column"))
+      // the generation is PROJECTED before the aggregate: input_file_name()
+      // is non-deterministic and the analyzer (correctly) rejects it inside
+      // an aggregate function — materialized as a column it is evaluated
+      // once per row in the scan projection, exactly where the file path
+      // is still known
+      val withGen = df.withColumn("_graft_gen",
+        regexp_extract(input_file_name(), "b\\d+-g(\\d+)c?/", 1).cast("long"))
+      val others = df.columns.filterNot(_ == key)
+      withGen.groupBy(col(key))
+        .agg(max(struct(col("_graft_gen") +: others.map(col): _*)).as("_r"))
+        .select(df.columns.map(c =>
+          if (c == key) col(key) else col(s"_r.$c").as(c)).toIndexedSeq: _*)
+    }
+  }
+
+  /** Key-SET read of a keyed table: every level of every bucket, with NO
+    * newest-wins resolution — superseded versions of an upserted key are
+    * still present, so only the key column's value set is trustworthy.
+    * This is the per-trigger history probe of the incremental dedup
+    * streams: their histories are insert-only (every arriving key is
+    * anti-joined against the table before it is ever written), so the
+    * key set equals the resolved table's and the resolution aggregation
+    * [[readKeyedParquet]] would pay per trigger is a corpus-scale no-op.
+    */
+  def readKeyedParquetKeySet(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    readKeyedLevels(spark, path)._2
+
+  private def readKeyedLevels(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Manifest, DataFrame) = {
     // read the boolean Spark itself parsed (trim + case handling included)
     // instead of re-implementing string parsing on the raw conf value —
     // any variant that enables the conf must also trip the guard
@@ -223,39 +277,55 @@ object Sinks {
     val fs = fileSystem(spark, path)
     val m = Manifest.latest(fs, path).getOrElse(
       throw new java.io.FileNotFoundException(s"no manifest under $path"))
-    spark.read.parquet(m.dirs.values.toSeq.sorted.map(d => s"$path/$d"): _*)
+    val dirs = m.dirs.values.flatten.toSeq.sorted
+    (m, spark.read.parquet(dirs.map(d => s"$path/$d"): _*))
   }
 
   /** Upsert `batch` (≤ one row per `keyCol` value) into a keyed parquet
     * result split over `buckets` hash buckets — the merge-into-parquet
-    * sink for UPDATE-mode streaming: each trigger rewrites only the
-    * buckets its changed keys hash into, so publish cost scales with the
-    * delta, not the accumulated result (complete-mode republish rewrites
+    * sink for UPDATE-mode streaming: a trigger's delta is APPENDED as a
+    * new immutable level of each bucket it hashes into (existing data is
+    * neither read nor rewritten), so publish cost scales with the delta,
+    * not the accumulated result (complete-mode republish rewrites
     * everything every trigger).
     *
     * Publish protocol (no torn reads, object-store safe): bucket data
-    * lives in immutable per-generation directories `b<bucket>-g<gen>`; a
-    * merge writes NEW directories for the affected buckets — invisible
-    * until referenced — then atomically commits a [[Manifest]] pointing
-    * unaffected buckets at their existing directories and affected ones at
-    * the new generation. A reader ([[readKeyedParquet]]) resolves ONE
-    * manifest and therefore sees ONE whole generation, never bucket 3 new
-    * + bucket 7 old (the flaw of per-directory swaps). Directories are
-    * garbage-collected only once they fall out of the newest
-    * `retainGenerations + 1` manifests, so a reader holding an older
-    * manifest has `retainGenerations` full trigger intervals to finish —
-    * the documented staleness bound (raise it for slow external readers;
-    * the retained cost is only old copies of the buckets that changed,
-    * never whole-table copies).
+    * lives in immutable level directories `b<bucket>-g<gen>[c]`; a merge
+    * stages its delta, renames the partitions in as new levels —
+    * invisible until referenced — then atomically commits a [[Manifest]]
+    * mapping every bucket to its ordered level list. A reader
+    * ([[readKeyedParquet]]) resolves ONE manifest and therefore sees ONE
+    * whole generation, never bucket 3 new + bucket 7 old (the flaw of
+    * per-directory swaps). Directories are garbage-collected only once
+    * they fall out of the newest `retainGenerations + 1` manifests, so a
+    * reader holding an older manifest has `retainGenerations` full
+    * trigger intervals to finish — the documented staleness bound (raise
+    * it for slow external readers; the retained cost is only superseded
+    * levels, never whole-table copies).
     *
-    * Merge cost: read ONLY the affected buckets' directories, anti-join
-    * out the updated keys, union the new rows — untouched buckets are
-    * never listed, read, or written; replay after a crash is idempotent
-    * (same anti-join + union, and an uncommitted generation's directories
-    * are simply overwritten).
+    * Merge cost (LSM tiering): a pure append is metadata-only — O(delta)
+    * write + renames. A bucket is COMPACTED when its newest levels have
+    * grown comparable to the accumulated delta: the tier rule absorbs the
+    * maximal suffix of levels each smaller than `tierFactor` × the bytes
+    * accumulated behind it (delta included), the classic logarithmic
+    * method — level lists stay logarithmic in the bucket's size and each
+    * row is rewritten O(log table/delta) times over the table's life.
+    * Compaction resolves upserted keys newest-generation-wins (level
+    * recency recovered from the `b<k>-g<gen>[c]` path). Replay after a
+    * crash is idempotent (an uncommitted generation's directories are
+    * simply overwritten). `tierFactor` trades read amplification (more
+    * levels per read) against write amplification (more frequent
+    * rewrites); `Double.PositiveInfinity` forces full compaction every
+    * merge — deterministic single-level buckets, used by the corruption
+    * and retention specs, and the right setting for small always-read
+    * tables.
     */
   def mergeIntoKeyedParquet(batch: DataFrame, keyCol: String, path: String,
-      buckets: Int = 64, retainGenerations: Int = 1): Unit = {
+      buckets: Int = 64, retainGenerations: Int = 1,
+      tierFactor: Double = 2.0): Unit = {
+    require(tierFactor >= 1.0,
+      s"tierFactor must be >= 1 (got $tierFactor): below 1 a fresh delta " +
+        "never absorbs even an empty level and level lists grow without bound")
     require(retainGenerations >= 1,
       s"retainGenerations must be >= 1 (got $retainGenerations): with no grace " +
         "generation, a reader that resolved the previous manifest races the GC")
@@ -285,10 +355,13 @@ object Sinks {
     // and the scan-based GC below reclaims them
     val delta = s"$path/.delta"
     batch.withColumn("_bkt", pmod(hash(col(keyCol)), lit(nBkt)))
-      .write.mode(SaveMode.Overwrite).parquet(delta)
-    val b = spark.read.parquet(delta)
-    val deltaBuckets = b.select("_bkt").distinct()
-      .collect().map(_.getInt(0)).toSeq // ≤ `buckets` values, driver-safe
+      .write.mode(SaveMode.Overwrite).partitionBy("_bkt").parquet(delta)
+    // the staged partition listing IS the affected-bucket probe (the old
+    // distinct+collect re-scanned the delta for values the writer already
+    // materialized as directory names)
+    val deltaBuckets = fs.listStatus(new org.apache.hadoop.fs.Path(delta))
+      .map(_.getPath.getName).filter(_.startsWith("_bkt="))
+      .map(_.stripPrefix("_bkt=").toInt).toSeq.sorted
     if (deltaBuckets.isEmpty && legacyDirs.isEmpty) {
       // empty trigger: publishing a row-less table would poison every
       // later read ('unable to infer schema') — leave no trace, including
@@ -298,71 +371,126 @@ object Sinks {
         fs.delete(root, false)
       return
     }
-    val affected = deltaBuckets.distinct.sorted
     val gen = current.map(_.gen + 1).getOrElse(1L)
-    val merged = current match {
-      case None if legacyDirs.nonEmpty =>
-        // Read the legacy data from its _bkt= dirs EXPLICITLY (basePath
-        // keeps partition discovery rooted): scanning the whole root
-        // would hit 'conflicting directory structures' on replay after a
-        // crash that already renamed some b<k>-g1 dirs in. The dir-name
-        // bucket values are DROPPED and recomputed under this table's
-        // modulus — the legacy layout's bucket count was never recorded,
-        // and trusting it with a different `buckets` argument would strand
-        // stale copies of migrated keys in buckets later merges never
-        // anti-join.
-        val legacy = spark.read.option("basePath", path)
-          .parquet(legacyDirs.map(d => s"$path/$d"): _*)
-          .drop("_bkt")
-          .withColumn("_bkt", pmod(hash(col(keyCol)), lit(nBkt)))
-        legacy
-          .join(b.select(keyCol), Seq(keyCol), "left_anti")
-          .unionByName(b.select(legacy.columns.map(col): _*))
-      case None => b
-      case Some(m) =>
-        val existingDirs = affected.flatMap(m.dirs.get).map(d => s"$path/$d")
-        if (existingDirs.isEmpty) b
-        else {
-          // per-generation dirs store no _bkt column (partitionBy strips
-          // it); recompute it — same deterministic hash expression
-          val existing = spark.read.parquet(existingDirs: _*)
-            .withColumn("_bkt", pmod(hash(col(keyCol)), lit(nBkt)))
-          existing
-            .join(b.select(keyCol), Seq(keyCol), "left_anti")
-            .unionByName(b.select(existing.columns.map(col): _*))
-        }
-    }
-    // one job writes every affected bucket; dirs are renamed into their
-    // generation names BEFORE the manifest commit, so readers never see
-    // a name they can't read yet. During migration the rename set is what
-    // the write ACTUALLY produced (the recomputed modulus can land legacy
-    // rows in any bucket and leave others empty — the stage listing is
-    // the ground truth). On a NORMAL merge the two sets must agree: a
-    // stage bucket outside the affected set means some existing dir held
-    // rows whose hash does not match its bucket (a table corrupted by the
-    // old dir-name-trusting migration) — committing it would repoint that
-    // bucket to a strays-only dir and silently drop its other keys, so
-    // fail loudly instead.
-    val stage = s"$path/.stage-g$gen"
-    merged.write.mode(SaveMode.Overwrite).partitionBy("_bkt").parquet(stage)
-    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-      .map(_.getPath.getName).filter(_.startsWith("_bkt="))
-      .map(_.stripPrefix("_bkt=").toInt).sorted
-    val written =
-      if (legacyDirs.nonEmpty) staged.toSeq
-      else {
-        require(staged.toSet == affected.toSet,
-          s"bucket invariant violated: delta touches ${affected.mkString(",")} " +
-            s"but the merge produced ${staged.mkString(",")} — existing dirs hold " +
-            "rows whose key hash does not match their bucket; repair the table " +
-            "before merging")
-        affected
-      }
-    written.foreach { k =>
-      val d = new org.apache.hadoop.fs.Path(path, s"b$k-g$gen")
+    def place(src: String, destName: String): Unit = {
+      val d = new org.apache.hadoop.fs.Path(path, destName)
       fs.delete(d, true) // crash-replay leftover from an uncommitted run
-      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stage/_bkt=$k"), d))
-        throw new java.io.IOException(s"failed to place bucket $k of generation $gen")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(src), d))
+        throw new java.io.IOException(s"failed to place $destName of generation $gen")
+    }
+    var newDirs = current.map(_.dirs).getOrElse(Map.empty[Int, Seq[String]])
+    var retiredNow = Seq.empty[String]
+    if (legacyDirs.nonEmpty) {
+      // One-time migration, the only remaining whole-table job: legacy
+      // rows + delta, anti-joined and rewritten as the SINGLE level of
+      // generation 1. The legacy data is read from its _bkt= dirs
+      // EXPLICITLY (basePath keeps partition discovery rooted): scanning
+      // the whole root would hit 'conflicting directory structures' on
+      // replay after a crash that already renamed some b<k>-g1 dirs in.
+      // The dir-name bucket values are DROPPED and recomputed under this
+      // table's modulus — the legacy layout's bucket count was never
+      // recorded, and trusting it with a different `buckets` argument
+      // would strand stale copies of migrated keys in buckets later
+      // merges never anti-join. The rename set is what the write
+      // ACTUALLY produced (the recomputed modulus can land legacy rows
+      // in any bucket and leave others empty — the stage listing is the
+      // ground truth).
+      // an empty trigger still has to drive the migration forward, but a
+      // partitionBy write of zero rows leaves no readable schema — fall
+      // back to an empty frame of the batch's own shape
+      val b =
+        if (deltaBuckets.nonEmpty) spark.read.parquet(delta)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          batch.schema.add(org.apache.spark.sql.types.StructField("_bkt",
+            org.apache.spark.sql.types.IntegerType, nullable = true)))
+      val legacy = spark.read.option("basePath", path)
+        .parquet(legacyDirs.map(d => s"$path/$d"): _*)
+        .drop("_bkt")
+        .withColumn("_bkt", pmod(hash(col(keyCol)), lit(nBkt)))
+      val merged = legacy
+        .join(b.select(keyCol), Seq(keyCol), "left_anti")
+        .unionByName(b.select(legacy.columns.map(col): _*))
+      val stage = s"$path/.stage-g$gen"
+      merged.write.mode(SaveMode.Overwrite).partitionBy("_bkt").parquet(stage)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath.getName).filter(_.startsWith("_bkt="))
+        .map(_.stripPrefix("_bkt=").toInt).sorted
+      staged.foreach(k => place(s"$stage/_bkt=$k", s"b$k-g$gen"))
+      newDirs = staged.map(k => k -> Seq(s"b$k-g$gen")).toMap
+    } else {
+      // LSM append: the delta becomes a NEW LEVEL of each affected
+      // bucket — existing data is neither read nor rewritten, so publish
+      // cost per trigger is O(delta), not O(table). When every trigger's
+      // keys spread over every bucket (any delta larger than the bucket
+      // count — the steady state of a crawl stream), the old
+      // rewrite-affected-buckets scheme degraded to rewriting the WHOLE
+      // table per trigger; measured on the sf1 stream replay, per-batch
+      // publish cost grew ~60% across 8 batches on exactly that term.
+      // Level lists are kept logarithmic by the classic logarithmic-
+      // method tier rule: absorb the maximal suffix of levels each
+      // smaller than TWICE the bytes accumulated behind it (delta
+      // included), so surviving levels decrease geometrically and every
+      // row is rewritten O(log table/delta) times over the table's life.
+      def dirBytes(rel: String): Long =
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$path/$rel")).getLength
+      val plans = deltaBuckets.map { k =>
+        val levels = newDirs.getOrElse(k, Nil) // oldest → newest
+        var sum = fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$delta/_bkt=$k")).getLength
+        var i = levels.length
+        while (i > 0 && dirBytes(levels(i - 1)) < tierFactor * sum) {
+          sum += dirBytes(levels(i - 1)); i -= 1
+        }
+        (k, levels.take(i), levels.drop(i))
+      }
+      // pure appends: the staged delta partition IS the level — rename,
+      // zero data movement
+      plans.withFilter(_._3.isEmpty).foreach { case (k, keep, _) =>
+        place(s"$delta/_bkt=$k", s"b$k-g$gen")
+        newDirs += k -> (keep :+ s"b$k-g$gen")
+      }
+      // compactions: ONE job over every absorbing bucket — absorbed
+      // levels plus their delta partitions, newest generation wins per
+      // key (level recency recovered from the b<k>-g<gen>[c] file path;
+      // the delta is this generation, strictly newest). The compacted
+      // dir takes a 'c' suffix so it can never collide with a same-gen
+      // delta level name.
+      val compact = plans.filter(_._3.nonEmpty)
+      if (compact.nonEmpty) {
+        val oldRows = spark.read
+          .parquet(compact.flatMap(_._3).map(d => s"$path/$d"): _*)
+          .withColumn("_graft_gen",
+            regexp_extract(input_file_name(), "b\\d+-g(\\d+)c?/", 1).cast("long"))
+        val deltaRows = spark.read.option("basePath", delta)
+          .parquet(compact.map(p => s"$delta/_bkt=${p._1}"): _*)
+          .drop("_bkt").withColumn("_graft_gen", lit(gen))
+        val all = oldRows.unionByName(deltaRows)
+        val others = all.columns.filterNot(c => c == keyCol || c == "_graft_gen")
+        val resolved = all.groupBy(col(keyCol))
+          .agg(max(struct(col("_graft_gen") +: others.map(col): _*)).as("_r"))
+          .select((col(keyCol) +: others.map(c => col(s"_r.$c").as(c))) :+
+            pmod(hash(col(keyCol)), lit(nBkt)).as("_bkt"): _*)
+        val stage = s"$path/.stage-g$gen"
+        resolved.write.mode(SaveMode.Overwrite).partitionBy("_bkt").parquet(stage)
+        val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+          .map(_.getPath.getName).filter(_.startsWith("_bkt="))
+          .map(_.stripPrefix("_bkt=").toInt).toSet
+        // a stage bucket outside the compaction set means some level dir
+        // held rows whose key hash does not match its bucket — committing
+        // it would repoint that bucket to a strays-only dir and silently
+        // drop its other keys, so fail loudly instead
+        require(staged == compact.map(_._1).toSet,
+          s"bucket invariant violated: compaction covers " +
+            s"${compact.map(_._1).mkString(",")} but produced " +
+            s"${staged.toSeq.sorted.mkString(",")} — level dirs hold rows whose " +
+            "key hash does not match their bucket; repair the table before merging")
+        compact.foreach { case (k, keep, absorb) =>
+          place(s"$stage/_bkt=$k", s"b$k-g${gen}c")
+          newDirs += k -> (keep :+ s"b$k-g${gen}c")
+          retiredNow ++= absorb
+        }
+      }
     }
     if (current.isEmpty) {
       // same sidecar the JSON sink writes, so Engine.lookup resolves the
@@ -386,18 +514,15 @@ object Sinks {
           fs.delete(st.getPath, true)
       }
     }
-    val dirs = current.map(_.dirs).getOrElse(Map.empty) ++
-      written.map(k => k -> s"b$k-g$gen")
-    val retiredNow = current.toSeq.flatMap(m => written.flatMap(m.dirs.get))
-    Manifest.commit(fs, path, Manifest(gen, nBkt, dirs, retiredNow))
+    Manifest.commit(fs, path, Manifest(gen, nBkt, newDirs, retiredNow))
     // Scan-based GC, not a retired-list walk: everything in the root that
     // none of the newest `retainGenerations + 1` manifests references is
     // garbage — including directories a crashed run left behind at ANY
     // earlier generation, which a one-step-back cleanup would orphan
     // forever. One listStatus of the table root per trigger.
-    val DataDir = "^b\\d+-g\\d+$".r
+    val DataDir = "^b\\d+-g\\d+c?$".r
     val keep = Manifest.newest(fs, path, retainGenerations + 1)
-      .flatMap(_.dirs.values).toSet
+      .flatMap(_.dirs.values.flatten).toSet
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       val stale =

@@ -222,8 +222,13 @@ object StreamingPipelines {
         .select(col("doc_id"), col("r.text"), col("r.lang"),
           col("r.source"), col("r.n_chars"))
       val sigs = DedupQueries.simhashOf(b1)
+      // key-SET read (no newest-wins resolution): the history is
+      // insert-only by construction — every sig is anti-joined against
+      // it before it is ever merged in — so the key set is exact and
+      // the resolved read's per-trigger aggregation would be a
+      // corpus-scale no-op
       val history =
-        try Some(graft.sources.Sinks.readKeyedParquet(s, historyPath))
+        try Some(graft.sources.Sinks.readKeyedParquetKeySet(s, historyPath))
         catch { case _: java.io.FileNotFoundException => None }
       // within-batch, exact: one survivor per signature
       val canon0 = sigs.groupBy("sig").agg(min(col("doc_id")).as("doc_id"))
@@ -352,8 +357,10 @@ object StreamingPipelines {
       // within-batch keep-first: one canonical owner per chunk content
       val canon = chunks.groupBy("ch")
         .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"))
+      // key-set read: the chunk-hash history is insert-only (every ch is
+      // anti-joined before merge), so resolution is unnecessary
       val history =
-        try Some(graft.sources.Sinks.readKeyedParquet(s, chunkHistoryPath)
+        try Some(graft.sources.Sinks.readKeyedParquetKeySet(s, chunkHistoryPath)
           .select(col("ch")))
         catch { case _: java.io.FileNotFoundException => None }
       // novel = batch-canonical AND not historical; owned by its canon doc.

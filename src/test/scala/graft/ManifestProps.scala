@@ -15,16 +15,24 @@ object ManifestProps extends Properties("Manifest") {
 
   private val genGen: Gen[Long] = Gen.choose(1L, 1000000L)
 
-  private val dirEntry: Gen[(Int, String)] = for {
-    k <- Gen.choose(0, 127)
+  private def levelName(k: Int): Gen[String] = for {
     g <- genGen
-  } yield k -> s"b$k-g$g"
+    c <- Gen.oneOf("", "c") // compacted dirs carry the 'c' suffix
+  } yield s"b$k-g$g$c"
+
+  // one to four LEVELS per bucket (oldest → newest, distinct names —
+  // a bucket never lists the same directory twice)
+  private val dirEntry: Gen[(Int, Seq[String])] = for {
+    k <- Gen.choose(0, 127)
+    n <- Gen.choose(1, 4)
+    ds <- Gen.listOfN(n, levelName(k))
+  } yield k -> ds.distinct
 
   private val manifest: Gen[Manifest] = for {
     gen <- genGen
     buckets <- Gen.choose(1, 128)
     dirs <- Gen.mapOf(dirEntry)
-    retired <- Gen.listOf(dirEntry.map(_._2))
+    retired <- Gen.listOf(levelName(0))
   } yield Manifest(gen, buckets, dirs, retired)
 
   property("parse(render) == identity") = Prop.forAll(manifest) { m =>

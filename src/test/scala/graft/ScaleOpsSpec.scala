@@ -3,6 +3,7 @@ package graft
 import graft.functions.TextFunctions._
 import graft.operators.Skew
 import graft.sources.Sinks
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -119,36 +120,103 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"the rep scoring must broadcast, not cartesian:\n$npPlan")
   }
 
-  test("mergeIntoKeyedParquet rewrites ONLY the buckets the delta touches") {
+  test("a small delta is APPENDED as a level — only its bucket's ledger entry changes") {
     import graft.sources.Sinks.Manifest
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/t"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val initial = (0 until 200).map(i => (s"key$i", i.toLong)).toDF("k", "n")
+    // 20k keys / 8 buckets: each bucket's level is FAR larger than 2× a
+    // one-row delta, so the tier rule must append, never compact
+    val initial = (0 until 20000).map(i => (s"key$i", i.toLong)).toDF("k", "n")
     Sinks.mergeIntoKeyedParquet(initial, "k", path, buckets = 8)
 
     val before = Manifest.latest(fs, path).get
     assert(before.dirs.size > 1, "expected several bucket directories")
-    assert(before.dirs.values.forall(d => new java.io.File(path, d).isDirectory))
+    assert(before.dirs.values.forall(ds =>
+      ds.forall(d => new java.io.File(path, d).isDirectory)))
 
     val delta = Seq(("key7", 999L)).toDF("k", "n")
     Sinks.mergeIntoKeyedParquet(delta, "k", path, buckets = 8)
     val after = Manifest.latest(fs, path).get
 
-    // the manifest is the rewrite ledger: exactly one bucket entry moved to
-    // the new generation; every other bucket still points at (and keeps) its
-    // ORIGINAL immutable directory — untouched buckets were never written
-    val changed = after.dirs.filter { case (k, d) => before.dirs(k) != d }
-    assert(changed.size == 1, s"exactly one bucket should move, got $changed")
-    assert(changed.values.forall(_.endsWith(s"-g${after.gen}")))
-    assert(after.retired == Seq(before.dirs(changed.keys.head)),
-      "the replaced directory must be queued for deferred deletion")
+    // the manifest is the publish ledger: exactly one bucket gained a
+    // level (the delta itself, renamed into place — existing data neither
+    // read nor rewritten); every other bucket still points at its
+    // ORIGINAL immutable directory, and nothing is retired
+    val changed = after.dirs.filter { case (k, ds) => before.dirs(k) != ds }
+    assert(changed.size == 1, s"exactly one bucket should change, got $changed")
+    val (bk, levels) = changed.head
+    assert(levels == before.dirs(bk) :+ s"b$bk-g${after.gen}",
+      s"the delta must be appended as a new level, got $levels")
+    assert(after.retired.isEmpty, "a pure append retires nothing")
 
-    val merged = Sinks.readKeyedParquet(spark, path)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // read-time resolution: the NEWEST level's row wins for the upserted
+    // key, untouched keys are intact, and no duplicate rows leak out
+    val rows = Sinks.readKeyedParquet(spark, path).collect()
+    assert(rows.length == 20000, s"resolved read must dedup upserted keys, got ${rows.length}")
+    val merged = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged("key7") == 999L, "updated key must carry the new value")
-    assert(merged.size == 200 && merged("key8") == 8L, "untouched keys intact")
+    assert(merged("key8") == 8L, "untouched keys intact")
+  }
+
+  test("repeated deltas tier into a logarithmic level count, resolving to the latest values") {
+    import graft.sources.Sinks.Manifest
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-lsm").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // 24 similar-sized deltas with overlapping keys: the binary-counter
+    // tiering must keep every bucket's level list ~log₂(24), retire the
+    // absorbed levels, and the resolved read must surface each key's
+    // LAST write however the levels interleave. Rows carry a ~200-byte
+    // pad so level bytes track ROW counts — at toy sizes the parquet
+    // footer otherwise dominates, every level reads as delta-sized, and
+    // the tier rule degenerates to absorb-everything (single-level
+    // buckets would leave the multi-level read path unexercised)
+    val rounds = 24
+    // INCOMPRESSIBLE per-row pad (md5 chain) — a constant pad snappy-
+    // compresses to nothing and the footer dominates again
+    def pad(seed: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 16).map { j =>
+        md.digest(s"$seed/$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.mkString
+    }
+    (0 until rounds).foreach { r =>
+      val delta = (0 until 60)
+        .map(i => (s"key${(r * 37 + i) % 300}", r.toLong * 1000 + i, pad(s"$r-$i")))
+        .toDF("k", "n", "pad")
+        // same-trigger contract: ≤ one row per key
+        .groupBy("k").agg(
+          org.apache.spark.sql.functions.max("n").as("n"),
+          org.apache.spark.sql.functions.first("pad").as("pad"))
+      Sinks.mergeIntoKeyedParquet(delta, "k", path, buckets = 4)
+    }
+    val m = Manifest.latest(fs, path).get
+    val maxLevels = m.dirs.values.map(_.size).max
+    assert(maxLevels <= 7,
+      s"tiering must keep levels logarithmic in merge count, got $maxLevels")
+    assert(maxLevels >= 2,
+      "the run must END in a multi-level state (24 = 16+8 in the binary " +
+        "counter) or the resolved multi-level read below checks nothing")
+    assert(m.dirs.values.flatten.toSeq.distinct.size ==
+      m.dirs.values.flatten.size, "level dirs must be unique")
+    // replay the merges driver-side for the expected final state
+    val expect = scala.collection.mutable.Map[String, Long]()
+    (0 until rounds).foreach { r =>
+      val kv = scala.collection.mutable.Map[String, Long]()
+      (0 until 60).foreach { i =>
+        val k = s"key${(r * 37 + i) % 300}"
+        kv(k) = math.max(kv.getOrElse(k, Long.MinValue), r.toLong * 1000 + i)
+      }
+      expect ++= kv
+    }
+    val got = Sinks.readKeyedParquet(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == expect.size, s"expected ${expect.size} keys, got ${got.size}")
+    val bad = expect.filter { case (k, v) => got(k) != v }
+    assert(bad.isEmpty, s"stale values after resolution: ${bad.take(5)}")
   }
 
   test("a pre-manifest (_bkt= partitioned) table is migrated whole into generation 1") {
@@ -245,15 +313,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     val m = Manifest.latest(fs, path).get
     // plant a stray: copy one row of bucket B into a DIFFERENT bucket's dir
     val (b0, bOther) = (m.dirs.keys.min, m.dirs.keys.max)
-    spark.read.parquet(s"$path/${m.dirs(bOther)}").limit(1)
-      .write.mode("append").parquet(s"$path/${m.dirs(b0)}")
+    spark.read.parquet(s"$path/${m.dirs(bOther).head}").limit(1)
+      .write.mode("append").parquet(s"$path/${m.dirs(b0).head}")
 
-    // the delta must touch bucket b0 itself, so the merge reads the
-    // corrupted dir and the stray's recomputed bucket shows up in the stage
+    // the delta must COMPACT bucket b0 (tierFactor=∞ forces absorption —
+    // byte-threshold tiering is nondeterministic at toy sizes), so the
+    // merge reads the corrupted dir and the stray's recomputed bucket
+    // shows up in the stage — pure appends never read old levels, so a
+    // stray waits for its bucket's next compaction to be detected, but
+    // is always caught before any directory is dropped
     val delta = all.withColumn("b", pmod(sqlHash(col("k")), lit(8)))
       .filter(col("b") === b0).limit(1).select(col("k"), lit(9999L).as("n"))
     val e = intercept[IllegalArgumentException] {
-      Sinks.mergeIntoKeyedParquet(delta, "k", path)
+      Sinks.mergeIntoKeyedParquet(delta, "k", path,
+        tierFactor = Double.PositiveInfinity)
     }
     assert(e.getMessage.contains("bucket invariant violated"), e.getMessage)
   }
@@ -302,12 +375,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("graft-race").toString + "/t"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val first = Manifest(1L, 4, Map(0 -> "b0-g1"), Nil)
+    val first = Manifest(1L, 4, Map(0 -> Seq("b0-g1")), Nil)
     Manifest.commit(fs, path, first)
     // a second writer that computed the same next generation: on HDFS the
     // rename would fail; on the local FS POSIX rename silently overwrites —
     // the commit protocol must fail loudly on BOTH, keeping the first write
-    val racing = Manifest(1L, 4, Map(0 -> "b0-g1-racing"), Nil)
+    val racing = Manifest(1L, 4, Map(0 -> Seq("b0-g1-racing")), Nil)
     intercept[java.io.IOException] { Manifest.commit(fs, path, racing) }
     assert(Manifest.latest(fs, path).get == first,
       "the winning manifest must survive a racing commit attempt")
@@ -319,19 +392,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("graft-retain").toString + "/t"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val initial = (0 until 100).map(i => (s"key$i", 1L)).toDF("k", "n")
+    // tierFactor=∞: every touch ABSORBS the hot bucket's previous level
+    // (deterministic retirement cadence — byte-threshold tiering is
+    // nondeterministic at toy sizes, and this test is about RETIREMENT)
+    val initial = (0 until 40).map(i => (s"key$i", 1L)).toDF("k", "n")
     Sinks.mergeIntoKeyedParquet(initial, "k", path, buckets = 4, retainGenerations = 2)
     val g1 = Manifest.latest(fs, path).get
     val snapshot = Sinks.readKeyedParquet(spark, path) // resolved at gen 1
 
     def touch(n: Long): Unit = Sinks.mergeIntoKeyedParquet(
-      Seq(("key7", n)).toDF("k", "n"), "k", path, buckets = 4, retainGenerations = 2)
+      Seq(("key7", n)).toDF("k", "n"), "k", path, buckets = 4,
+      retainGenerations = 2, tierFactor = Double.PositiveInfinity)
 
     // with retainGenerations=2 the gen-1 snapshot survives TWO later merges
     // (the default one-generation grace would already have deleted its
     // replaced directory after the second)
     touch(2L); touch(3L)
-    assert(snapshot.count() == 100,
+    assert(snapshot.count() == 40,
       "a reader two generations behind must still see its whole snapshot")
 
     // the third merge pushes gen 1 out of the retained window: the replaced
@@ -340,15 +417,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     touch(4L)
     val g4 = Manifest.latest(fs, path).get
     val hotBucket = g4.dirs.collectFirst {
-      case (k, d) if d.endsWith("-g4") => k }.get
-    assert(!new java.io.File(path, g1.dirs(hotBucket)).exists(),
+      case (k, ds) if ds.exists(_.contains("-g4")) => k }.get
+    assert(g1.dirs(hotBucket).forall(d => !new java.io.File(path, d).exists()),
       "beyond the retained window the old bucket directory must be GC'd")
     intercept[Exception] { snapshot.count() }
 
     // current-generation reads are unaffected
     val now = Sinks.readKeyedParquet(spark, path)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(now.size == 100 && now("key7") == 4L && now("key8") == 1L)
+    assert(now.size == 40 && now("key7") == 4L && now("key8") == 1L)
   }
 
   test("readKeyedParquet refuses to run under ignoreMissingFiles=true") {
@@ -745,6 +822,56 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect()
     assert(tiny.take(3).forall(_.getSeq[String](0).isEmpty))
     assert(tiny.drop(3).forall(_.getSeq[String](0).size == 1))
+  }
+
+  test("native line_filter_stats matches the regex line-correction rule bit-for-bit") {
+    val native = graft.bridge.SparkInternals.column(
+      graft.expressions.LineFilterStats(
+        graft.bridge.SparkInternals.expression(col("text"))))
+    // the pre-native declarative spelling: split + regex-counted filter +
+    // array_join, struct-packed for one-shot comparison
+    def nOf(l: Column, keepClass: String): Column =
+      length(regexp_replace(l, keepClass, "")).cast("long")
+    val lv = split(col("text"), "\n")
+    val kept = filter(lv, l => {
+      val nAlpha = nOf(l, "[^A-Za-z]")
+      length(l) === 0 ||
+        (length(l) > 10 && nAlpha > 0 && nOf(l, "[^A-Z]") * 2 <= nAlpha)
+    })
+    val hof = struct(array_join(kept, "\n").as("text_filtered"),
+      size(lv).as("n_lines"), size(kept).as("n_kept"))
+    val docs = Tables(spark, Sf0001, "documents").filter(col("doc_id").isNotNull)
+    val mism = docs.select(native.as("n"), hof.as("h"))
+      .filter(not(col("n") <=> col("h")))
+    assert(mism.count() == 0)
+    // edge pins: trailing-\n blank line kept (split -1 limit semantics);
+    // empty text = one blank line; multi-byte letters count toward
+    // length but NOT toward [A-Za-z]/[A-Z]; uppercase-majority dropped;
+    // exactly-half uppercase kept (2·upper ≤ alpha)
+    import spark.implicits._
+    val edges = Seq(
+      "ok line here yes\n",               // kept line + kept trailing blank
+      "",                                 // one blank line, kept
+      "THIS LINE IS ALL UPPERCASE",       // dropped: uppercase-majority
+      "AbCdEfGhAbCd",                     // 6 upper / 12 alpha: kept
+      "éèêëàâîïôûùüÿç",                   // >10 cps, 0 ASCII alpha: dropped
+      "1234567890123",                    // no letters: dropped
+      "short"                             // ≤10 cps: dropped
+    ).toDF("text")
+      .select(graft.bridge.SparkInternals.column(
+        graft.expressions.LineFilterStats(
+          graft.bridge.SparkInternals.expression(col("text")))).as("f"))
+      .select(col("f.text_filtered"), col("f.n_lines"), col("f.n_kept"))
+      .collect()
+    assert(edges(0).getString(0) == "ok line here yes\n" &&
+      edges(0).getInt(1) == 2 && edges(0).getInt(2) == 2)
+    assert(edges(1).getString(0) == "" && edges(1).getInt(1) == 1 &&
+      edges(1).getInt(2) == 1)
+    assert(edges(2).getInt(2) == 0)
+    assert(edges(3).getInt(2) == 1)
+    assert(edges(4).getInt(2) == 0)
+    assert(edges(5).getInt(2) == 0)
+    assert(edges(6).getInt(2) == 0)
   }
 
   test("dedup_winnowing materializes the fingerprint chain once (no re-derivation in-plan)") {
