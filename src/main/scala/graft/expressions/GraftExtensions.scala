@@ -50,6 +50,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name expects (ARRAY<STRING>, constant INT), got ${children.size} args")
     }
     ext.injectFunction((
+      new FunctionIdentifier("gopher_gram_stats"),
+      new ExpressionInfo(classOf[GopherGramStats].getName, "gopher_gram_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => GopherGramStats(c)
+        case _ => throw new IllegalArgumentException(
+          s"gopher_gram_stats expects exactly 1 argument, got ${children.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gopher_line_stats"),
+      new ExpressionInfo(classOf[GopherLineStats].getName, "gopher_line_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => GopherLineStats(c)
+        case _ => throw new IllegalArgumentException(
+          s"gopher_line_stats expects exactly 1 argument, got ${children.size}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("line_filter_stats"),
       new ExpressionInfo(classOf[LineFilterStats].getName, "line_filter_stats"),
       (children: Seq[Expression]) => children match {

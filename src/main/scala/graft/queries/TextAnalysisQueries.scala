@@ -164,6 +164,62 @@ object TextAnalysisQueries {
   private[queries] val GopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The `gopher_repetition` battery as a shuffle-free per-document scan.
+    *
+    * Repetition is a PER-DOCUMENT statistic — every gram and line a doc
+    * emits lives in that doc's own row — so the battery needs NO corpus
+    * exchange. Three spellings were measured before this one: five
+    * independent explode+groupBy pipelines (r11 — five corpus scans,
+    * five exchanges; sf10 30.6 s), one exploded (doc, n, gram) frame
+    * built by flatten(array(transform(struct))) per row (five
+    * interpreted HOF lambdas materializing every width's struct array
+    * in-row before the explode: sf0.1 1.7 → 5.1 s), and a union of five
+    * explodes over a checkpointed token table (one exchange, but at
+    * sf10 it concentrates ~1.5 B (doc, n, gram) rows into the reducers'
+    * hash state at once: 140 s, 19 s of GC). The native kernels
+    * ([[graft.expressions.GopherGramStats]] / [[GopherLineStats]]) count
+    * each doc's duplicates in a local hash map bounded by the doc's own
+    * size — the query is scan + project + sort, codegen-resident, and
+    * scales with corpus bytes alone. `tokens(text)` has exactly ONE
+    * consumer (the gram kernel), so no checkpoint is needed to stop
+    * CollapseProject from re-tokenizing. The unscorable-doc drop (< 10
+    * tokens ⇒ no 10-gram; no non-empty line ⇒ empty line battery —
+    * the oracle's inner-join semantics) reads the kernel outputs:
+    * all10 = 0 ⇔ no 10-gram (a real gram's length is > 0), n_lines = 0 ⇔
+    * no non-empty line. The filter sits ABOVE the kernel projection;
+    * predicate pushdown rewrites it to a second kernel call below, so
+    * the plan evaluates each kernel at most twice per row — still
+    * linear, no exchange, and measured 8× under the union spelling at
+    * sf10.
+    */
+  private[queries] def gopherRepetitionFrame(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.bridge.SparkInternals.column(
+      graft.expressions.GopherGramStats(
+        graft.bridge.SparkInternals.expression(tokens(col("text")))))
+    val ls = graft.bridge.SparkInternals.column(
+      graft.expressions.GopherLineStats(
+        graft.bridge.SparkInternals.expression(col("text"))))
+    Tables(s, dir, "documents").filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), ls.as("ls"), g.as("g"))
+      .filter(col("ls.n_lines") > 0L && col("g.all10") > 0L)
+      .select(col("doc_id"), col("ls.n_lines").as("n_lines"),
+        (col("ls.dup_lines") / col("ls.n_lines")).as("dup_line_frac"),
+        (col("ls.dup_line_chars") / col("ls.line_chars")).as("dup_line_char_frac"),
+        (col("g.top2") / col("g.all2")).as("top2_frac"),
+        (col("g.top3") / col("g.all3")).as("top3_frac"),
+        (col("g.top4") / col("g.all4")).as("top4_frac"),
+        (col("g.dup5") / col("g.all5")).as("dup5_frac"),
+        (col("g.dup10") / col("g.all10")).as("dup10_frac"),
+        (col("ls.dup_lines") * 10L <= col("ls.n_lines") * 3L &&
+          col("ls.dup_line_chars") * 5L <= col("ls.line_chars") &&
+          col("g.top2") * 5L <= col("g.all2") &&
+          col("g.top3") * 50L <= col("g.all3") * 9L &&
+          col("g.top4") * 25L <= col("g.all4") * 4L &&
+          col("g.dup5") * 20L <= col("g.all5") * 3L &&
+          col("g.dup10") * 10L <= col("g.all10")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** The `line_filter` frame (doc_id, text_filtered, n_lines, n_kept,
     * doc_kept), unordered — also the fourth gate of [[CurationQueries]]'
     * `pipeline_curate_full` (`doc_kept` is the RefinedWeb §G rule: the
@@ -690,96 +746,11 @@ object TextAnalysisQueries {
     // simplification that keeps every fraction a ratio of two exact
     // BIGINT sums (and both mirrors trivially identical). The keep gate
     // cross-multiplies the paper's thresholds (0.30/0.20/0.20/0.18/0.16/
-    // 0.15/0.10) on the integer sums — no float decides. Scale: the gram
-    // battery is the doc_fingerprint two-stage partial agg (per-doc
-    // keys, hot only as hot as one doc); docs with < 10 tokens have no
-    // 10-gram row and drop from the battery (unscorable), mirrored by
-    // the oracle's inner joins.
-    "gopher_repetition" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents").filter(col("doc_id").isNotNull)
-      // ONE token pass, ONE corpus-scale exchange: the five gram widths
-      // (2, 3, 4, 5, 10) previously ran five independent pipelines, each
-      // re-reading parquet, re-tokenizing the corpus (the expensive
-      // regexp pass), and paying its own (doc, gram) exchange, stitched
-      // back by a five-join chain. All five widths now ride a single
-      // exploded (doc_id, n, gram) frame — tokenize once, shuffle once
-      // (same total gram bytes, one stage instead of five) — and the
-      // per-width aggregates come back to one row per doc by a
-      // conditional pivot (max(when(n = k, …))) on the doc-scale frame
-      // instead of joins. The inner-join semantics of the old chain
-      // ("docs with < 10 tokens have no 10-gram row and drop out") are
-      // preserved by requiring every width's aggregate to be non-null.
-      // The token arrays are CHECKPOINTED, not just projected: the five
-      // shingle branches live in one projection, HOFs are excluded from
-      // codegen subexpression elimination, and CollapseProject would
-      // inline a plain `.select(tokens(…))` right back into all five
-      // consumers (the r2 doc_fingerprint regression) — so without a
-      // materialization barrier the corpus is regex-tokenized five times.
-      val Ns = Seq(2, 3, 4, 5, 10)
-      val tt = graft.operators.Checkpoints.retire(
-        graft.operators.Checkpoints.corpusScaled(
-          d.select(col("doc_id"), tokens(col("text")).as("t"))))
-      val grams = tt
-        .select(col("doc_id"), explode(flatten(array(Ns.map(n =>
-          transform(shinglesN(col("t"), n),
-            g => struct(lit(n).as("n"), g.as("g")))): _*))).as("ng"))
-        .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
-        .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
-      // top-n concentration: the largest count, tie-broken to the longest
-      // gram — only (c, len) reaches the output, so any same-(c, len) tie
-      // is immaterial; the oracle spells the same election as its
-      // max-c-then-max-len two-step. The election is packed into one long
-      // (c·2²⁴ + len; both bounded by doc size ≪ 2²⁴) instead of
-      // max(struct): struct max has no mutable codegen buffer and plans a
-      // SortAggregate that sorts the (doc, gram)-scale table — the packed
-      // max is a codegen'd HashAggregate.
-      val byN = grams.groupBy("doc_id", "n").agg(
-        sum(col("c") * length(col("g"))).as("all"),
-        max(shiftleft(col("c"), 24) + length(col("g"))).as("m"),
-        sum(when(col("c") >= 2, col("c") * length(col("g")))
-          .otherwise(0L)).as("dup"))
-      def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
-      def topChars(n: Int) = {
-        val m = pick(n, "m")
-        shiftright(m, 24) * m.bitwiseAND(lit((1L << 24) - 1))
-      }
-      val piv = byN.groupBy("doc_id").agg(
-        pick(2, "all").as("all2"), topChars(2).as("top2_chars"),
-        pick(3, "all").as("all3"), topChars(3).as("top3_chars"),
-        pick(4, "all").as("all4"), topChars(4).as("top4_chars"),
-        pick(5, "all").as("alld5"), pick(5, "dup").as("dup5_chars"),
-        pick(10, "all").as("alld10"), pick(10, "dup").as("dup10_chars"))
-        .filter(col("all2").isNotNull && col("all3").isNotNull &&
-          col("all4").isNotNull && col("alld5").isNotNull &&
-          col("alld10").isNotNull)
-      val ls = d
-        .select(col("doc_id"), explode(split(col("text"), "\n")).as("l"))
-        .filter(length(col("l")) > 0)
-        .groupBy("doc_id", "l").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          sum(col("c")).as("n_lines"),
-          sum(when(col("c") >= 2, col("c") - 1).otherwise(0L)).as("n_dup_lines"),
-          sum(col("c") * length(col("l"))).as("line_chars"),
-          sum(when(col("c") >= 2, (col("c") - 1) * length(col("l")))
-            .otherwise(0L)).as("dup_line_chars"))
-      ls.join(piv, "doc_id")
-        .select(col("doc_id"), col("n_lines"),
-          (col("n_dup_lines") / col("n_lines")).as("dup_line_frac"),
-          (col("dup_line_chars") / col("line_chars")).as("dup_line_char_frac"),
-          (col("top2_chars") / col("all2")).as("top2_frac"),
-          (col("top3_chars") / col("all3")).as("top3_frac"),
-          (col("top4_chars") / col("all4")).as("top4_frac"),
-          (col("dup5_chars") / col("alld5")).as("dup5_frac"),
-          (col("dup10_chars") / col("alld10")).as("dup10_frac"),
-          (col("n_dup_lines") * 10L <= col("n_lines") * 3L &&
-            col("dup_line_chars") * 5L <= col("line_chars") &&
-            col("top2_chars") * 5L <= col("all2") &&
-            col("top3_chars") * 50L <= col("all3") * 9L &&
-            col("top4_chars") * 25L <= col("all4") * 4L &&
-            col("dup5_chars") * 20L <= col("alld5") * 3L &&
-            col("dup10_chars") * 10L <= col("alld10")).as("keep"))
-        .orderBy("doc_id")
-    }),
+    // 0.15/0.10) on the integer sums — no float decides. Scale: see
+    // [[gopherRepetitionFrame]] — per-document native kernels, no
+    // corpus exchange; docs with < 10 tokens or no non-empty line are
+    // unscorable and drop, mirrored by the oracle's inner joins.
+    "gopher_repetition" -> ((s, dir) => gopherRepetitionFrame(s, dir)),
 
     // ---- per-source corpus roll-up: the curation dashboard ----
     // One row per corpus source with the aggregates a mix/curation

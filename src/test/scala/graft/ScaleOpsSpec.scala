@@ -874,6 +874,90 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(edges(6).getInt(2) == 0)
   }
 
+  test("native gopher gram/line kernels match the explode+groupBy battery bit-for-bit") {
+    val docs = Tables(spark, Sf0001, "documents").filter(col("doc_id").isNotNull)
+    val Ns = graft.expressions.GopherRepUtil.Widths
+    // the pre-native declarative spelling: per-width explode + two-stage
+    // aggregation, (doc, n)-keyed — rows exist only where the doc HAS
+    // n-grams / non-empty lines (the kernel's all = 0 / n_lines = 0 case)
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val gramsRef = Ns.map { n =>
+        tok.select(col("doc_id"), lit(n).as("n"),
+          explode(shinglesN(col("t"), n)).as("g"))
+      }.reduce(_ unionAll _)
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n").agg(
+        sum(col("c") * length(col("g"))).as("all"),
+        max(shiftleft(col("c"), 24) + length(col("g"))).as("m"),
+        sum(when(col("c") >= 2, col("c") * length(col("g")))
+          .otherwise(0L)).as("dup"))
+      .select(col("doc_id"), col("n"), col("all"),
+        (shiftright(col("m"), 24) *
+          col("m").bitwiseAND(lit((1L << 24) - 1))).as("top"), col("dup"))
+    val g = graft.bridge.SparkInternals.column(
+      graft.expressions.GopherGramStats(
+        graft.bridge.SparkInternals.expression(tokens(col("text")))))
+    val gramsNat = Ns.map { n =>
+        docs.select(col("doc_id"), lit(n).as("n"),
+          g.getField(s"all$n").as("all"), g.getField(s"top$n").as("top"),
+          g.getField(s"dup$n").as("dup"))
+      }.reduce(_ unionAll _)
+      .filter(col("all") > 0L)
+    assert(gramsNat.exceptAll(gramsRef).isEmpty &&
+      gramsRef.exceptAll(gramsNat).isEmpty,
+      "gram battery must match the declarative two-stage aggregation exactly")
+
+    val lsRef = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("l"))
+      .filter(length(col("l")) > 0)
+      .groupBy("doc_id", "l").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_lines"),
+        sum(when(col("c") >= 2, col("c") - 1).otherwise(0L)).as("dup_lines"),
+        sum(col("c") * length(col("l"))).as("line_chars"),
+        sum(when(col("c") >= 2, (col("c") - 1) * length(col("l")))
+          .otherwise(0L)).as("dup_line_chars"))
+    val lsCol = graft.bridge.SparkInternals.column(
+      graft.expressions.GopherLineStats(
+        graft.bridge.SparkInternals.expression(col("text"))))
+    val lsNat = docs.select(col("doc_id"), lsCol.as("ls"))
+      .filter(col("ls.n_lines") > 0L)
+      .select(col("doc_id"), col("ls.n_lines").as("n_lines"),
+        col("ls.dup_lines").as("dup_lines"),
+        col("ls.line_chars").as("line_chars"),
+        col("ls.dup_line_chars").as("dup_line_chars"))
+    assert(lsNat.exceptAll(lsRef).isEmpty && lsRef.exceptAll(lsNat).isEmpty,
+      "line battery must match the declarative two-stage aggregation exactly")
+
+    // edge pins: occurrence weighting; max-count-then-max-length top
+    // election; code-point (not byte) lengths for multi-byte tokens;
+    // < n tokens → all = 0; duplicate-line counts exclude empty lines
+    import spark.implicits._
+    val rows = Seq(
+      "x y x y x y",   // 2-grams: "x y"×3, "y x"×2 → all2=15 top2=9 dup2=15
+      "a b ccc",       // 2-grams all c=1: top election picks the LONGEST (len 5)
+      "é é é",         // 2-grams "é é"×2, len = 3 CODE POINTS → all2=6
+      "one two three", // 3 tokens: no 10-gram → all10 = 0
+      "dup\ndup\nuniq\n\n" // lines: dup×2 + uniq → 3/1/10/3
+    ).toDF("text").select(
+      graft.bridge.SparkInternals.column(graft.expressions.GopherGramStats(
+        graft.bridge.SparkInternals.expression(tokens(col("text"))))).as("g"),
+      graft.bridge.SparkInternals.column(graft.expressions.GopherLineStats(
+        graft.bridge.SparkInternals.expression(col("text")))).as("ls"))
+      .select(col("g.all2"), col("g.top2"), col("g.dup2"), col("g.all10"),
+        col("ls.n_lines"), col("ls.dup_lines"), col("ls.line_chars"),
+        col("ls.dup_line_chars"))
+      .collect()
+    assert(rows(0).getLong(0) == 15L && rows(0).getLong(1) == 9L &&
+      rows(0).getLong(2) == 15L)
+    assert(rows(1).getLong(1) == 5L, "top election must break count ties to the longest gram")
+    assert(rows(2).getLong(0) == 6L && rows(2).getLong(1) == 6L,
+      "gram lengths must count code points, not bytes")
+    assert(rows(3).getLong(3) == 0L, "< 10 tokens must surface as all10 = 0")
+    assert(rows(4).getLong(4) == 3L && rows(4).getLong(5) == 1L &&
+      rows(4).getLong(6) == 10L && rows(4).getLong(7) == 3L)
+  }
+
   test("dedup_winnowing materializes the fingerprint chain once (no re-derivation in-plan)") {
     // the fingerprint frame is localCheckpoint'd at build, so the
     // executed plan must read RDD blocks — if the md5+window chain (or
