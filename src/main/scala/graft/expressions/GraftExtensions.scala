@@ -50,6 +50,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name expects (ARRAY<STRING>, constant INT), got ${children.size} args")
     }
     ext.injectFunction((
+      new FunctionIdentifier("gram_multiset_stats"),
+      new ExpressionInfo(classOf[GramMultisetStats].getName, "gram_multiset_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, w, h) if w.foldable &&
+            w.dataType == org.apache.spark.sql.types.IntegerType &&
+            h.foldable &&
+            h.dataType == org.apache.spark.sql.types.BooleanType =>
+          GramMultisetStats(c, w.eval(null).asInstanceOf[Int],
+            h.eval(null).asInstanceOf[Boolean])
+        case children => throw new IllegalArgumentException(
+          "gram_multiset_stats expects (ARRAY<STRING>, constant INT, " +
+            s"constant BOOLEAN), got ${children.size} args")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("gopher_gram_stats"),
       new ExpressionInfo(classOf[GopherGramStats].getName, "gopher_gram_stats"),
       (children: Seq[Expression]) => children match {

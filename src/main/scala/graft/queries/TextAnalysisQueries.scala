@@ -192,6 +192,16 @@ object TextAnalysisQueries {
     * linear, no exchange, and measured 8× under the union spelling at
     * sf10.
     */
+  /** The [[graft.expressions.GramMultisetStats]] kernel over
+    * `tokens(text)` as a Column — the shared spelling of the three
+    * per-document multiset queries (doc_repetition, doc_fingerprint,
+    * token_diversity).
+    */
+  private def multisetCol(n: Int, withMd5: Boolean) =
+    graft.bridge.SparkInternals.column(
+      graft.expressions.GramMultisetStats(
+        graft.bridge.SparkInternals.expression(tokens(col("text"))), n, withMd5))
+
   private[queries] def gopherRepetitionFrame(s: SparkSession, dir: String): DataFrame = {
     val g = graft.bridge.SparkInternals.column(
       graft.expressions.GopherGramStats(
@@ -456,13 +466,17 @@ object TextAnalysisQueries {
     // shingle. High ratio = templated/repeated text. Same explode +
     // two-stage partial-agg shape as doc_fingerprint. ----
     "doc_repetition" -> ((s, dir) => {
+      // per-document statistic ⇒ native multiset kernel, NO corpus
+      // exchange (the gopher_repetition argument — see
+      // [[graft.expressions.GramMultisetStats]]); n_items = 0 ⇔ < 3
+      // tokens ⇔ the explode form's dropped doc
+      val ms = multisetCol(3, withMd5 = false)
       Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("s"))
-        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max(col("c")).as("top_count"), sum(col("c")).as("n_shingles"))
-        .select(col("doc_id"), col("top_count"), col("n_shingles"),
-          (col("top_count") / col("n_shingles")).as("repetition_ratio"))
+        .select(col("doc_id"), ms.as("m"))
+        .filter(col("m.n_items") > 0L)
+        .select(col("doc_id"), col("m.max_c").as("top_count"),
+          col("m.n_items").as("n_shingles"),
+          (col("m.max_c") / col("m.n_items")).as("repetition_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -475,18 +489,17 @@ object TextAnalysisQueries {
     // IEEE division exactly rounded, so the score is bit-identical on
     // both engines — the determinism rule that rules out ln()-based
     // entropy (libm-dependent) and float summation (order-dependent).
-    // Same two-stage partial-agg shape as doc_fingerprint; tokenless
-    // docs drop at the explode (mirrored).
+    // Per-document statistic ⇒ native multiset kernel at n = 1 (token
+    // multiset), NO corpus exchange; n_items = 0 ⇔ tokenless ⇔ the
+    // explode form's dropped doc (mirrored by the oracle).
     "token_diversity" -> ((s, dir) => {
+      val ms = multisetCol(1, withMd5 = false)
       Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("n_tokens"),
-          count(lit(1)).as("n_distinct"),
-          sum(col("c") * col("c")).as("sum_sq"))
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          (col("sum_sq") / (col("n_tokens") * col("n_tokens"))).as("simpson"))
+        .select(col("doc_id"), ms.as("m"))
+        .filter(col("m.n_items") > 0L)
+        .select(col("doc_id"), col("m.n_items").as("n_tokens"),
+          col("m.n_distinct").as("n_distinct"),
+          (col("m.sum_c2") / (col("m.n_items") * col("m.n_items"))).as("simpson"))
         .orderBy("doc_id")
     }),
 
@@ -653,26 +666,19 @@ object TextAnalysisQueries {
     }),
 
     // ---- document fingerprint: min md5 over 3-token shingles ----
-    // explode → partial-agg, NOT per-row array HOFs: higher-order functions
-    // are excluded from codegen subexpression elimination (their lambdas
-    // can't be hoisted), so an all-in-row formulation recomputes the shingle
-    // array once per consumer after CollapseProject inlines it (the r2 plan
-    // rebuilt it ~4× per row — a 4× regression). Here the shingle expression
-    // has exactly ONE consumer (the explode), and both aggregations are
-    // map-side partial: a doc's shingles sit in one row → one partition, so
-    // the first groupBy collapses duplicates before its shuffle, and the
-    // second only moves one aggregated row per (doc, partition). min(md5)
-    // over distinct shingles equals min over all, so stage 2 needs no
-    // distinct aggregation. Docs with < 3 tokens have no shingles and drop
-    // out at the explode, matching the oracle.
+    // Per-document statistic ⇒ native multiset kernel with the md5
+    // minimum computed at first occurrence of each distinct shingle
+    // (min over distinct = min over all), NO corpus exchange; digest
+    // bytes compare unsigned, which IS the hex-string order the oracle
+    // sorts. n_items = 0 ⇔ < 3 tokens ⇔ the explode form's dropped doc.
     "doc_fingerprint" -> ((s, dir) => {
+      val ms = multisetCol(3, withMd5 = true)
       Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("s"))
-        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(min(md5(col("s"))).as("fingerprint"),
-          sum(col("c")).as("n_shingles"),
-          count(lit(1)).as("n_distinct_shingles"))
+        .select(col("doc_id"), ms.as("m"))
+        .filter(col("m.n_items") > 0L)
+        .select(col("doc_id"), col("m.min_md5").as("fingerprint"),
+          col("m.n_items").as("n_shingles"),
+          col("m.n_distinct").as("n_distinct_shingles"))
         .orderBy("doc_id")
     }),
 

@@ -958,6 +958,39 @@ class ScaleOpsSpec extends AnyFunSuite {
       rows(4).getLong(6) == 10L && rows(4).getLong(7) == 3L)
   }
 
+  test("native gram_multiset_stats matches the explode+groupBy multiset battery bit-for-bit") {
+    val docs = Tables(spark, Sf0001, "documents").filter(col("doc_id").isNotNull)
+    def natCol(n: Int, withMd5: Boolean) = graft.bridge.SparkInternals.column(
+      graft.expressions.GramMultisetStats(
+        graft.bridge.SparkInternals.expression(tokens(col("text"))), n, withMd5))
+    // n = 3 with md5 (doc_fingerprint's shape) and n = 1 (token
+    // multiset), both against the declarative two-stage aggregation —
+    // including min(md5(gram)), which pins the kernel's digest hashing
+    // and unsigned-byte minimum against Spark's own md5() + string min
+    for (n <- Seq(1, 3)) {
+      val items =
+        if (n == 1) explode(tokens(col("text")))
+        else explode(shinglesN(tokens(col("text")), n))
+      val ref = docs.select(col("doc_id"), items.as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_items"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_c"), sum(col("c") * col("c")).as("sum_c2"),
+          min(md5(col("w"))).as("min_md5"))
+      val nat = docs.select(col("doc_id"), natCol(n, withMd5 = true).as("m"))
+        .filter(col("m.n_items") > 0L)
+        .select(col("doc_id"), col("m.n_items"), col("m.n_distinct"),
+          col("m.max_c"), col("m.sum_c2"), col("m.min_md5"))
+      assert(nat.exceptAll(ref).isEmpty && ref.exceptAll(nat).isEmpty,
+        s"multiset kernel (n=$n) must match the declarative aggregation exactly")
+    }
+    // schema pin: without md5 the struct has no min_md5 field at all
+    assert(!graft.expressions.GramMultisetStats(
+      graft.bridge.SparkInternals.expression(col("text")), 3, withMd5 = false)
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("min_md5"))
+  }
+
   test("dedup_winnowing materializes the fingerprint chain once (no re-derivation in-plan)") {
     // the fingerprint frame is localCheckpoint'd at build, so the
     // executed plan must read RDD blocks — if the md5+window chain (or
