@@ -242,8 +242,12 @@ object Sinks {
       // an aggregate function — materialized as a column it is evaluated
       // once per row in the scan projection, exactly where the file path
       // is still known
+      // the pattern is anchored to the file's PARENT directory (the level
+      // dir is always the last path segment before the part file) — an
+      // unanchored match would read the wrong generation from a table
+      // whose own root path happens to contain a b<k>-g<n> segment
       val withGen = df.withColumn("_graft_gen",
-        regexp_extract(input_file_name(), "b\\d+-g(\\d+)c?/", 1).cast("long"))
+        regexp_extract(input_file_name(), "b\\d+-g(\\d+)c?/[^/]+$", 1).cast("long"))
       val others = df.columns.filterNot(_ == key)
       withGen.groupBy(col(key))
         .agg(max(struct(col("_graft_gen") +: others.map(col): _*)).as("_r"))
@@ -461,7 +465,8 @@ object Sinks {
         val oldRows = spark.read
           .parquet(compact.flatMap(_._3).map(d => s"$path/$d"): _*)
           .withColumn("_graft_gen",
-            regexp_extract(input_file_name(), "b\\d+-g(\\d+)c?/", 1).cast("long"))
+            // anchored to the parent dir (readKeyedParquet's rationale)
+            regexp_extract(input_file_name(), "b\\d+-g(\\d+)c?/[^/]+$", 1).cast("long"))
         val deltaRows = spark.read.option("basePath", delta)
           .parquet(compact.map(p => s"$delta/_bkt=${p._1}"): _*)
           .drop("_bkt").withColumn("_graft_gen", lit(gen))

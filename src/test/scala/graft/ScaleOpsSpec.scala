@@ -163,7 +163,11 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("repeated deltas tier into a logarithmic level count, resolving to the latest values") {
     import graft.sources.Sinks.Manifest
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft-lsm").toString + "/t"
+    // the table root deliberately CONTAINS a level-dir-shaped segment
+    // (b1-g9): the read-time generation extraction must anchor to the
+    // part file's parent dir, not the first match anywhere in the path —
+    // an unanchored pattern would resolve every row to generation 9
+    val path = java.nio.file.Files.createTempDirectory("graft-lsm").toString + "/b1-g9/t"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // 24 similar-sized deltas with overlapping keys: the binary-counter
