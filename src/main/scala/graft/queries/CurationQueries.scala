@@ -378,10 +378,16 @@ object CurationQueries {
     // pass). At data scale the sketch form (quality_filter_approx) is
     // the production gate — this cache only de-duplicates the exact
     // oracle-comparable spelling inside one session.
+    // Quantiles.exactByGroup, not the built-in `percentile` aggregate:
+    // same doubles (QuantilesSpec pins bit-equality), but the plan is
+    // counts-table + cumulative window — spill-capable Tungsten operators
+    // instead of one boxed value-map per language in a single aggregation
+    // buffer (the built-in's buffer is corpus-proportional per language
+    // and was the round-12 GC bomb; Quantiles scaladoc).
     val med = graft.operators.SessionCache.frame(s, dir, "quality-median-by-lang") {
       graft.operators.Checkpoints.fresh(
-        scoredDocs(s, dir).groupBy("lang")
-          .agg(expr("percentile(quality, 0.5)").as("med")))
+        graft.operators.Quantiles.exactByGroup(
+          scoredDocs(s, dir), "lang", "quality", Seq(0.5), Seq("med")))
     }
     scored.join(med, Seq("lang"))
       .filter(col("quality") >= col("med"))

@@ -24,6 +24,31 @@ object RelationalQueries {
 
   private def dbl(c: Column): Column = c.cast(DoubleType)
 
+  /** Exact {p25, median, p95} of l_extendedprice per l_returnflag — ONE
+    * pass shared by `agg_quantiles` (which returns it directly) and
+    * `approx_quantiles` (which joins its median against the GK sketch to
+    * grade the sketch's error).
+    *
+    * Computed via [[graft.operators.Quantiles.exactByGroup]] — the
+    * counts-table + cumulative-window plan, NOT the built-in `percentile`
+    * aggregate: the built-in holds each group's whole distinct-value set
+    * in one boxed aggregation buffer, which is both the catalog's worst
+    * GC bomb at sf10 (its garbage inflated whatever allocation-heavy
+    * query ran next 5–10×; see SCALE.md round 12) and an OOM at 100 TB
+    * (no spill path for a corpus-derived buffer). The doubles are
+    * bit-identical (QuantilesSpec pins it), so the DuckDB oracle is
+    * unchanged. The result is 3 rows — admission-eligible for
+    * [[graft.operators.SessionCache]]; sharing saves the fact-table pass
+    * for the second consumer.
+    */
+  private def exactPriceQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionCache.frame(s, dir, "lineitem-price-quantiles") {
+      graft.operators.Checkpoints.fresh(
+        graft.operators.Quantiles.exactByGroup(
+          Tables(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          Seq(0.25, 0.5, 0.95), Seq("p25", "median", "p95")))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A: grouped aggregation with arithmetic (TPC-H Q1 shape) ----
     "q1_pricing" -> ((s, dir) => {
@@ -290,22 +315,8 @@ object RelationalQueries {
     // interpolation — so the doubles hash-match. (The sketch-based
     // `approx_percentile` is the 100-TB path; exact percentile sorts per
     // group and is the oracle-comparable form.)
-    "agg_quantiles" -> ((s, dir) => {
-      // ONE percentile aggregate with an array of percentages, not three
-      // scalar ones: each scalar percentile instance builds its own
-      // value-counts map over every group (3× the update and merge work);
-      // the array form computes all three points from a single map with
-      // identical sorted-position interpolation, so the doubles are
-      // unchanged.
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D))").as("ps"))
-        .select(col("l_returnflag"),
-          element_at(col("ps"), 1).as("p25"),
-          element_at(col("ps"), 2).as("median"),
-          element_at(col("ps"), 3).as("p95"))
-        .orderBy("l_returnflag")
-    }),
+    "agg_quantiles" -> ((s, dir) =>
+      exactPriceQuantiles(s, dir).orderBy("l_returnflag")),
 
     // ---- approximate percentile (Greenwald-Khanna sketch) ----
     // Same pattern as approx_distinct: the sketch value differs between
@@ -313,11 +324,16 @@ object RelationalQueries {
     // boolean asserting the sketch landed within 1% relative error —
     // verifying the mergeable-sketch path (the true 100-TB quantile plan,
     // constant state per partition vs exact percentile's per-group sort).
+    // The exact median comes from the SHARED counts-map pass (see
+    // exactPriceQuantiles) via a 3-row broadcast join, so this query's
+    // own fact-table pass is only the sketch.
     "approx_quantiles" -> ((s, dir) => {
+      val exact = exactPriceQuantiles(s, dir)
+        .select(col("l_returnflag"), col("median").as("exact_median"))
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+        .join(broadcast(exact), "l_returnflag")
         .select(col("l_returnflag"), col("exact_median"),
           (abs(col("approx") - col("exact_median")) / col("exact_median") <= 0.01)
             .as("within_1pct"))

@@ -442,8 +442,10 @@ object SimilarityQueries {
       val scored = e.join(broadcast(cellReps(e)), col("label") === col("cell"))
         .select(col("vec_id"), col("label"),
           cosine(col("v"), col("rv")).as("sim_to_rep"))
-      val thr = scored.groupBy("label")
-        .agg(expr("percentile(sim_to_rep, 0.1)").as("p10"))
+      // counts-table + cumulative-window exact quantile (bit-equal to the
+      // built-in aggregate, QuantilesSpec) — no boxed per-group value map
+      val thr = graft.operators.Quantiles.exactByGroup(
+        scored, "label", "sim_to_rep", Seq(0.1), Seq("p10"))
       scored.join(thr, Seq("label"))
         .select(col("vec_id"), col("label"), col("sim_to_rep"), col("p10"),
           (col("sim_to_rep") < col("p10")).as("is_outlier"))
