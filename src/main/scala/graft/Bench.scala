@@ -115,15 +115,23 @@ object Bench {
       .map { case (name, fn) =>
       val rs = (1 to reps).map(_ => once(fn, name))
       val best = rs.minBy(_.sec)
-      (name, best.copy(ok = rs.forall(_.ok)))
+      (name, best.copy(ok = rs.forall(_.ok)), rs.map(_.sec).max)
     }
     def mapOf(f: Rep => Double, fmt: String): String = results
-      .map { case (k, r) => "\"" + k + "\":" + fmt.format(f(r)) }
+      .map { case (k, r, _) => "\"" + k + "\":" + fmt.format(f(r)) }
       .mkString("{", ",", "}")
     val qs = mapOf(_.sec, "%.3f")
     val gc = mapOf(_.gcSec, "%.3f")
     val cpu = mapOf(_.cpuRatio, "%.2f")
-    val failed = results.collect { case (k, r) if !r.ok => "\"" + k + "\"" }
+    // max rep per query — under reps>1 with the session cache, a cached
+    // query's MIN rep is the warm steady state and the COLD build cost
+    // would otherwise vanish from the per-query record entirely (it is
+    // in `wall`, but unattributed); max ≈ the cold rep for cached
+    // queries, and the min/max spread doubles as a noise indicator.
+    val cold = results
+      .map { case (k, _, mx) => "\"" + k + "\":" + "%.3f".format(mx) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, r, _) if !r.ok => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2.sec).sum
     val gcTotal = results.map(_._2.gcSec).sum
@@ -137,7 +145,7 @@ object Bench {
     val onlyField = only.fold("")(n =>
       ",\"only\":" + n.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","wall":$wall%.3f,"queries":$qs,"gc":$gc,"cpu":$cpu,"reps":$reps,"failed":$failed$onlyField,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","wall":$wall%.3f,"queries":$qs,"gc":$gc,"cpu":$cpu,"cold":$cold,"reps":$reps,"failed":$failed$onlyField,"sf":"$sfDir"}"""
     // The driver only keeps the LAST ~2 KB of the captured log, and the
     // full self-diagnosing line (queries + gc + cpu maps, ~7.5 KB) outgrew
     // that window in r11 — the official artifact lost its per-query

@@ -96,4 +96,22 @@ class QuantilesSpec extends AnyFunSuite {
     assert(!plan.contains("percentile("),
       "the operator must not fall back to the built-in aggregate")
   }
+
+  test("plan shape: partial-agg'd counts and ONE window exchange for both frames") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+    val q = Quantiles.exactByGroup(df, "k", "v", Seq(0.25, 0.5), Seq("a", "b"))
+    q.collect() // drive THIS QueryExecution so the adaptive plan is final
+    // AQE prints the Initial Plan after the Final Plan — count shuffles
+    // in the FINAL section only, or every exchange double-counts
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // counts stage: map-side partial count before its exchange
+    assert(plan.contains("partial_count"),
+      s"expected a partial-agg'd counts stage:\n$plan")
+    // the ordered (cumulative) and unbounded (group total) window frames
+    // must share one (key)-partitioning — no third corpus exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"expected at most 2 shuffles (counts + window), got $exchanges:\n$plan")
+  }
 }
