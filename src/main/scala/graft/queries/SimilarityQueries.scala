@@ -260,6 +260,104 @@ object SimilarityQueries {
     kmAssign(e, cents)
   }
 
+  // ===== product quantization (Jégou/Douze/Schmid, TPAMI 2011) =====
+  // The at-scale ANN memory trade int8 quantization can't reach: split
+  // each vector into PqM subspaces, k-means each subspace to PqK
+  // codewords, store each vector as PqM small codes — 64 dims × 4 B
+  // (256 B) become 8 × 4-bit codes (4 B), 64× — and answer queries with
+  // asymmetric distance computation (ADC): per query ONE PqM·PqK lookup
+  // table of exact query-to-codeword distances, then each corpus vector
+  // costs PqM table probes, no float math. All training arithmetic
+  // reuses the Lloyd primitives' determinism contract (md5-seeded init,
+  // d2-then-cid tie-break, fixed-point exact centroid sums), so the
+  // whole chain — codebooks, codes, ADC ranks — mirrors exactly in the
+  // DuckDB oracle. PqM/PqDsub are pinned to the 64-dim embedding layout
+  // (the multiprobe slice precedent); PqK = 16 keeps the demo honest at
+  // driver scale (16 codewords train meaningfully on thousands of
+  // vectors; production would raise it to 256 — one constant).
+  private[graft] val PqM = 8
+  private[graft] val PqDsub = 8
+  private[graft] val PqK = 16
+
+  /** Subvector relation (vec_id, j, sv): one row per (vector, subspace),
+    * `sv` the j-th PqDsub-dim slice. Linear ×PqM expansion of the corpus
+    * — the training set every subquantizer is fit on.
+    */
+  private def pqSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("v"))
+      .select(col("vec_id"), col("j"),
+        slice(col("v"), col("j") * lit(PqDsub) + lit(1), lit(PqDsub)).as("sv"))
+
+  /** Keyed Lloyd assignment: per (vector, subspace) the argmin codeword
+    * of THAT subspace — the per-j codeword lists collapse to PqM rows,
+    * broadcast, argmin codegen'd (kmAssign's shape with a j key).
+    */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val byJ = cents.groupBy("j")
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cents"))
+    sub.join(broadcast(byJ), Seq("j"))
+      .withColumn("best", argMinDist2(col("sv"), col("cents")))
+      .select(col("vec_id"), col("j"), col("sv"),
+        col("best").getField("cid").as("code"),
+        col("best").getField("d2").as("d2"))
+  }
+
+  /** Keyed fixed-point centroid update (kmUpdate with a j key): exact
+    * order-free scaled-BIGINT component sums per (subspace, codeword,
+    * dim); at most PqM·PqK·PqDsub aggregated rows cross the exchange.
+    * A codeword that loses all members disappears (standard Lloyd's) —
+    * which is why the ADC table is keyed, not positional.
+    */
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("j"), col("code").as("cid"), posexplode(col("sv")))
+      .groupBy("j", "cid", "pos")
+      .agg(sum(floor(col("col") * KmScale).cast("long")).as("fsum"),
+        count(lit(1)).as("n"))
+      .select(col("j"), col("cid"), col("pos"),
+        (col("fsum").cast("double") / (col("n").cast("double") * KmScale.toDouble)).as("cv"))
+      .groupBy("j", "cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+      .select(col("j"), col("cid"), transform(col("pcs"), p => p.getField("cv")).as("c"))
+
+  /** Train-once codebooks (j, cid, c) — PqM·PqK rows, design-bounded ⇒
+    * SessionCache-admissible; embedding_pq_codes and ann_pq both consume
+    * them, each then paying one broadcast-argmin encode pass (the
+    * kmeans-centroids lifecycle). The init seed is the PqK smallest
+    * (md5(vec_id), vec_id) vectors — every subquantizer trains from the
+    * SAME seed vectors' slices, which is the published recipe (one
+    * training set, M independent subspace quantizers). The subvector
+    * table is checkpointed for the KmIter+1 training scans and freed
+    * eagerly once the codebook frame is materialized.
+    */
+  private[graft] def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionCache.frame(s, dir, "pq-codebook") {
+      val e = vecs(s, dir).filter(col("v").isNotNull).select("vec_id", "v")
+        .repartition(s.sparkContext.defaultParallelism)
+      val sub = graft.operators.Checkpoints.corpusScaled(pqSub(e))
+      val w = Window.orderBy(col("h"), col("vec_id"))
+      val seed = e.withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id")).limit(PqK)
+        .withColumn("cid", (row_number().over(w) - 1).cast("int"))
+        .select(col("cid"), col("v"))
+      var c = seed
+        .select(col("cid"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("v"))
+        .select(col("j"), col("cid"),
+          slice(col("v"), col("j") * lit(PqDsub) + lit(1), lit(PqDsub)).as("c"))
+      for (_ <- 1 to KmIter) c = pqUpdate(pqAssign(sub, c))
+      val trained = graft.operators.Checkpoints.fresh(c)
+      graft.operators.Checkpoints.free(sub)
+      trained
+    }
+
+  /** Encode pass: every vector's PqM codes against the trained
+    * codebooks — one broadcast argmin scan, no corpus shuffle.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqAssign(
+      pqSub(vecs(s, dir).filter(col("v").isNotNull).select("vec_id", "v")),
+      pqCodebook(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- k-means cluster assignment over the embedding corpus ----
     // The clustering stage of the SemDeDup recipe (Abbas et al.,
@@ -467,6 +565,66 @@ object SimilarityQueries {
         .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
           col("col.nn_id").as("nn_id"))
         .orderBy("qid", "rank")
+    }),
+
+    // ---- PQ encode: each vector as PqM subspace codes ----
+    // The compressed-index build: (vec_id, codes, recon_err_fp). codes is
+    // the j-ordered code array (the 4-byte representation of a 256-byte
+    // vector); recon_err_fp the fixed-point total quantization error
+    // Σ_j floor(d2_j·2²⁰) — a BIGINT sum of BIGINTs, order-free, so the
+    // oracle compare is exact (the float sum would be partition-order-
+    // dependent).
+    "embedding_pq_codes" -> ((s, dir) =>
+      pqCodes(s, dir)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("jc"),
+          sum(floor(col("d2") * KmScale).cast("long")).as("recon_err_fp"))
+        .select(col("vec_id"),
+          transform(col("jc"), x => x.getField("code")).as("codes"),
+          col("recon_err_fp"))
+        .orderBy("vec_id")),
+
+    // ---- PQ ADC search: rank-1 by asymmetric distance ----
+    // Per query: ONE exact-distance table (query slice → every codeword,
+    // PqM·PqK entries, fixed-point BIGINT) keyed slot = j·PqK + cid in a
+    // MAP — keyed, not positional, because a codeword can die during
+    // training and positional indexing would silently shift. The corpus
+    // scan is then codes-only: PqM map probes + an integer sum per
+    // (query, vector) — no float math touches the corpus, which is the
+    // whole point of ADC at 100 TB (the index is 64× smaller than the
+    // vectors and the scan is integer lookups). Rank-1 via min(struct)
+    // is partial-aggregable (the ann_lsh posture); the broadcast side is
+    // NQueries rows.
+    "ann_pq" -> ((s, dir) => {
+      val cb = pqCodebook(s, dir)
+      val q = vecs(s, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val qsub = q
+        .select(col("qid"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("qv"))
+        .select(col("qid"), col("j"),
+          slice(col("qv"), col("j") * lit(PqDsub) + lit(1), lit(PqDsub)).as("qs"))
+      val lut = qsub.join(cb, Seq("j"))
+        .select(col("qid"), (col("j") * PqK + col("cid")).as("slot"),
+          floor(dist2(col("qs"), col("c")) * KmScale).cast("long").as("lfp"))
+        .groupBy("qid")
+        .agg(map_from_arrays(collect_list(col("slot")),
+          collect_list(col("lfp"))).as("lut"))
+      val codes = pqCodes(s, dir)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("jc"))
+        .select(col("vec_id"),
+          transform(col("jc"), x => x.getField("code")).as("codes"))
+      codes.join(broadcast(lut), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          aggregate(
+            zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+              (cd, j) => element_at(col("lut"), j * lit(PqK) + cd)),
+            lit(0L), (acc, x) => acc + x).as("adc_fp"))
+        .groupBy("qid")
+        .agg(min(struct(col("adc_fp"), col("nn_id"))).as("b"))
+        .select(col("qid"), col("b").getField("nn_id").as("nn_id"),
+          col("b").getField("adc_fp").as("adc_fp"))
+        .orderBy("qid")
     })
   )
 
@@ -517,10 +675,76 @@ object SimilarityQueries {
 
   private[queries] val kmFinalAsg = s"a${KmIter + 1}"
 
+  // ===== PQ oracle: the keyed (per-subspace) Lloyd loop unrolled =====
+  // kmeansCtes with a j key everywhere: DuckDB's 1-based inclusive list
+  // slice v[a:b] is the `slice` mirror; the init takes the SAME seed
+  // vec_ids for every subspace (rn over (md5, vec_id), as in c0); the
+  // assignment tie-break and fixed-point update are kmAssignSql /
+  // kmUpdateSql with (vec_id, j) / (j, cid) keys.
+  private def pqAssignSql(name: String, centRel: String): String =
+    s"""$name AS (SELECT vec_id, j, sv, code, d2 FROM (
+       |  SELECT vec_id, j, sv, cid AS code, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+       |  FROM (SELECT s.vec_id, s.j, s.sv, c.cid, ${dist2Sql("s.sv", "c.c")} AS d2
+       |        FROM sub s JOIN $centRel c ON s.j = c.j)) WHERE rn = 1)""".stripMargin
+
+  private def pqUpdateSql(name: String, asgRel: String): String =
+    s"""$name AS (SELECT j, cid, list(cv ORDER BY pos) AS c FROM (
+       |  SELECT j, cid, pos, CAST(fsum AS DOUBLE) / (CAST(n AS DOUBLE) * $KmScale.0) AS cv FROM (
+       |    SELECT j, code AS cid, i AS pos,
+       |           sum(CAST(floor(x * $KmScale.0) AS BIGINT)) AS fsum, count(*) AS n
+       |    FROM (SELECT j, code, unnest(sv) AS x, unnest(range(1, len(sv)+1)) AS i FROM $asgRel)
+       |    GROUP BY 1, 2, 3)) GROUP BY j, cid)""".stripMargin
+
+  private[queries] def pqCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         |sub AS (SELECT vec_id, j, v[(j*$PqDsub+1):(j*$PqDsub+$PqDsub)] AS sv
+         |        FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)),
+         |p0 AS (SELECT s.j, d.cid, s.sv AS c FROM (
+         |        SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cid FROM (
+         |          SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |          FROM e)
+         |        WHERE rn <= $PqK) d JOIN sub s ON s.vec_id = d.vec_id)""".stripMargin)
+    for (i <- 1 to KmIter + 1) {
+      sb.append(",\n").append(pqAssignSql(s"q$i", s"p${i - 1}"))
+      if (i <= KmIter) sb.append(",\n").append(pqUpdateSql(s"p$i", s"q$i"))
+    }
+    sb.toString
+  }
+
+  private[queries] val pqFinalAsg = s"q${KmIter + 1}"
+  private[queries] val pqFinalBook = s"p$KmIter"
+
   def oracles: Map[String, String] = Map(
     "embedding_kmeans" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cluster, d2 FROM $kmFinalAsg ORDER BY vec_id""".stripMargin,
+
+    "embedding_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, list(code ORDER BY j) AS codes,
+         |       SUM(CAST(floor(d2 * $KmScale.0) AS BIGINT)) AS recon_err_fp
+         |FROM $pqFinalAsg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "ann_pq" ->
+      s"""WITH $pqCtes,
+         |qs AS (SELECT vec_id AS qid, j, v[(j*$PqDsub+1):(j*$PqDsub+$PqDsub)] AS qsv
+         |       FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)
+         |       WHERE vec_id < $NQueries),
+         |lut AS (SELECT q.qid, c.j, c.cid,
+         |               CAST(floor(${dist2Sql("q.qsv", "c.c")} * $KmScale.0) AS BIGINT) AS lfp
+         |        FROM qs q JOIN $pqFinalBook c ON q.j = c.j),
+         |adc AS (SELECT l.qid, cd.vec_id AS nn_id, SUM(l.lfp) AS adc_fp
+         |        FROM $pqFinalAsg cd
+         |        JOIN lut l ON l.j = cd.j AND l.cid = cd.code AND cd.vec_id <> l.qid
+         |        GROUP BY 1, 2)
+         |SELECT qid, nn_id, adc_fp FROM (
+         |  SELECT qid, nn_id, adc_fp,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, nn_id) AS rn
+         |  FROM adc) WHERE rn = 1 ORDER BY qid""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH e AS ($eSql),

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization (embedding_pq_codes / ann_pq): code-domain
+  * invariants, duplicate-vector coherence, and a full driver-side
+  * ground-truth recomputation of the ADC ranking — the same fixed-point
+  * arithmetic (left-fold dist², floor to 2²⁰-scaled BIGINT, Σ over
+  * subspaces) re-implemented in plain Scala against the collected
+  * codebook, so a drift in any stage (slicing, argmin tie-break, LUT
+  * keying, integer sum) fails here even if both engines drift together.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val Dim = 64
+  private val NVec = 120
+
+  /** Deterministic 64-dim corpus: 5 loose clusters plus EXACT duplicate
+    * pairs (vec 100+k duplicates vec k) — the duplicates must quantize
+    * to identical codes, and the clusters give the subquantizers real
+    * structure to fit.
+    */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val rows = (0 until NVec).map { i =>
+      val src = if (i >= 100) i - 100 else i
+      val emb = Array.tabulate(Dim) { p =>
+        val base = ((src % 5) * 13 + p * 7) % 17
+        (base / 8.0f) - 1.0f + (src / 200.0f)
+      }
+      (i.toLong, emb, src % 5)
+    }
+    rows.toDF("vec_id", "embedding", "label").write.parquet(d + "/embeddings.parquet")
+    d
+  }
+
+  private def fp(d2: Double): Long = math.floor(d2 * (1L << 20)).toLong
+
+  /** The engine's dist²: left fold over (x−y)² in index order, 0.0 init. */
+  private def dist2(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+
+  test("codes: PqM per vector, every code in [0, PqK)") {
+    val rows = SparkEntry.queries("embedding_pq_codes")(spark, dir).collect()
+    assert(rows.length == NVec)
+    for (r <- rows) {
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 8, s"vec ${r.getLong(0)}: ${codes.length} codes")
+      assert(codes.forall(c => c >= 0 && c < 16), s"vec ${r.getLong(0)}: $codes")
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+
+  test("exact duplicate vectors quantize identically") {
+    val byId = SparkEntry.queries("embedding_pq_codes")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getLong(2))).toMap
+    for (k <- 0 until 20)
+      assert(byId(k.toLong) == byId((100 + k).toLong),
+        s"duplicate pair $k/${100 + k} diverged: ${byId(k.toLong)} vs ${byId((100 + k).toLong)}")
+  }
+
+  test("ann_pq matches a driver-side ADC recomputation from the codebook") {
+    import org.apache.spark.sql.functions._
+    val cb = graft.queries.SimilarityQueries.pqCodebook(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val codes = SparkEntry.queries("embedding_pq_codes")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val qvecs = spark.read.parquet(dir + "/embeddings.parquet")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+    val expected = qvecs.map { case (qid, qv) =>
+      val lut = cb.map { case ((j, cid), c) =>
+        (j, cid) -> fp(dist2(qv.slice(j * 8, j * 8 + 8), c))
+      }
+      // toSeq first: collect on a Map with tuple results rebuilds a MAP
+      // keyed by score, silently dropping tied candidates
+      val best = codes.toSeq.collect { case (vid, cs) if vid != qid =>
+        (cs.zipWithIndex.map { case (c, j) => lut((j, c)) }.sum, vid)
+      }.min
+      qid -> best
+    }
+
+    val got = SparkEntry.queries("ann_pq")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((qid, exp) <- expected)
+      assert(got(qid) == exp, s"qid=$qid: engine ${got(qid)} vs recomputed $exp")
+  }
+
+  test("recon_err_fp equals the per-subspace quantization error sum") {
+    val cb = graft.queries.SimilarityQueries.pqCodebook(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val rows = SparkEntry.queries("embedding_pq_codes")(spark, dir).collect()
+    for (r <- rows) {
+      val (vid, codes, err) = (r.getLong(0), r.getSeq[Int](1), r.getLong(2))
+      val exp = codes.zipWithIndex.map { case (c, j) =>
+        fp(dist2(vecs(vid).slice(j * 8, j * 8 + 8), cb((j, c))))
+      }.sum
+      assert(err == exp, s"vec $vid: recon_err_fp $err vs recomputed $exp")
+    }
+  }
+}
