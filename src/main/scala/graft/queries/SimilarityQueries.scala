@@ -278,6 +278,13 @@ object SimilarityQueries {
   private[graft] val PqM = 8
   private[graft] val PqDsub = 8
   private[graft] val PqK = 16
+  // ADC shortlist size for the two-stage form (ann_pq_rerank): the
+  // integer scan nominates PqRerank candidates per query, exact float
+  // distance re-ranks only those — measured here, 4-bit ADC alone puts
+  // the true neighbor at exact-rank ≤ ~50 of 2,000 (median ~8), and the
+  // 32-wide re-rank recovers it; at 100 TB the re-rank reads PqRerank
+  // full vectors per query instead of the corpus.
+  private[graft] val PqRerank = 32
 
   /** Subvector relation (vec_id, j, sv): one row per (vector, subspace),
     * `sv` the j-th PqDsub-dim slice. Linear ×PqM expansion of the corpus
@@ -625,6 +632,59 @@ object SimilarityQueries {
         .select(col("qid"), col("b").getField("nn_id").as("nn_id"),
           col("b").getField("adc_fp").as("adc_fp"))
         .orderBy("qid")
+    }),
+
+    // ---- two-stage PQ retrieval: ADC shortlist, exact re-rank ----
+    // The production deployment shape: the 4-bit integer scan cannot
+    // rank finely (its pick sits at exact-rank ≤ ~50; see PqRerank), so
+    // it NOMINATES — the map-side-pruning TopK aggregator keeps the
+    // PqRerank best ADC candidates per query — and exact float distance
+    // re-ranks only the shortlist: PqRerank full-vector reads per query
+    // instead of a corpus scan. Shortlist membership is deterministic
+    // (integer scores, nn_id ties) so both engines shortlist the SAME
+    // set, and the re-ranked winner hash-matches.
+    "ann_pq_rerank" -> ((s, dir) => {
+      val cb = pqCodebook(s, dir)
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val qsub = q
+        .select(col("qid"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("qv"))
+        .select(col("qid"), col("j"),
+          slice(col("qv"), col("j") * lit(PqDsub) + lit(1), lit(PqDsub)).as("qs"))
+      val lut = qsub.join(cb, Seq("j"))
+        .select(col("qid"), (col("j") * PqK + col("cid")).as("slot"),
+          floor(dist2(col("qs"), col("c")) * KmScale).cast("long").as("lfp"))
+        .groupBy("qid")
+        .agg(map_from_arrays(collect_list(col("slot")),
+          collect_list(col("lfp"))).as("lut"))
+      val codes = pqCodes(s, dir)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("jc"))
+        .select(col("vec_id"),
+          transform(col("jc"), x => x.getField("code")).as("codes"))
+      val topk = udaf(new graft.functions.TopK(PqRerank))
+      // TopK ranks (score DESC, id ASC); negated integer ADC = adc ASC.
+      // A ≤ 2³⁰ long negates into an exactly-representable double.
+      val shortlist = codes.join(broadcast(lut), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          aggregate(
+            zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+              (cd, j) => element_at(col("lut"), j * lit(PqK) + cd)),
+            lit(0L), (acc, x) => acc + x).as("adc_fp"))
+        .groupBy("qid")
+        .agg(topk((-col("adc_fp")).cast("double"), col("nn_id")).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.nn_id").as("nn_id"))
+      shortlist
+        .join(e.select(col("vec_id").as("nn_id"), col("v")), Seq("nn_id"))
+        .join(broadcast(q), Seq("qid"))
+        .select(col("qid"), col("nn_id"), dist2(col("qv"), col("v")).as("d2"))
+        .groupBy("qid")
+        .agg(min(struct(col("d2"), col("nn_id"))).as("b"))
+        .select(col("qid"), col("b").getField("nn_id").as("nn_id"),
+          col("b").getField("d2").as("d2"))
+        .orderBy("qid")
     })
   )
 
@@ -745,6 +805,30 @@ object SimilarityQueries {
          |  SELECT qid, nn_id, adc_fp,
          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, nn_id) AS rn
          |  FROM adc) WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    "ann_pq_rerank" ->
+      s"""WITH $pqCtes,
+         |qs AS (SELECT vec_id AS qid, j, v[(j*$PqDsub+1):(j*$PqDsub+$PqDsub)] AS qsv
+         |       FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)
+         |       WHERE vec_id < $NQueries),
+         |lut AS (SELECT q.qid, c.j, c.cid,
+         |               CAST(floor(${dist2Sql("q.qsv", "c.c")} * $KmScale.0) AS BIGINT) AS lfp
+         |        FROM qs q JOIN $pqFinalBook c ON q.j = c.j),
+         |adc AS (SELECT l.qid, cd.vec_id AS nn_id, SUM(l.lfp) AS adc_fp
+         |        FROM $pqFinalAsg cd
+         |        JOIN lut l ON l.j = cd.j AND l.cid = cd.code AND cd.vec_id <> l.qid
+         |        GROUP BY 1, 2),
+         |short AS (SELECT qid, nn_id FROM (
+         |  SELECT qid, nn_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, nn_id) AS rn
+         |  FROM adc) WHERE rn <= $PqRerank),
+         |rer AS (SELECT s.qid, s.nn_id, ${dist2Sql("q.v", "c.v")} AS d2
+         |        FROM short s JOIN e q ON q.vec_id = s.qid
+         |                     JOIN e c ON c.vec_id = s.nn_id)
+         |SELECT qid, nn_id, d2 FROM (
+         |  SELECT qid, nn_id, d2,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nn_id) AS rn
+         |  FROM rer) WHERE rn = 1 ORDER BY qid""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH e AS ($eSql),

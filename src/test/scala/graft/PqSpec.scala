@@ -91,6 +91,35 @@ class PqSpec extends AnyFunSuite {
       assert(got(qid) == exp, s"qid=$qid: engine ${got(qid)} vs recomputed $exp")
   }
 
+  test("ann_pq_rerank equals driver-side shortlist-then-exact-re-rank") {
+    import org.apache.spark.sql.functions._
+    val cb = graft.queries.SimilarityQueries.pqCodebook(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val codes = SparkEntry.queries("embedding_pq_codes")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecsById = spark.read.parquet(dir + "/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+    val expected = (0L until 8L).map { qid =>
+      val qv = vecsById(qid)
+      val lut = cb.map { case ((j, cid), c) =>
+        (j, cid) -> fp(dist2(qv.slice(j * 8, j * 8 + 8), c))
+      }
+      val shortlist = codes.toSeq.collect { case (vid, cs) if vid != qid =>
+        (cs.zipWithIndex.map { case (c, j) => lut((j, c)) }.sum, vid)
+      }.sorted.take(32).map(_._2)
+      val best = shortlist.map(vid => (dist2(qv, vecsById(vid)), vid)).min
+      qid -> best
+    }.toMap
+
+    val got = SparkEntry.queries("ann_pq_rerank")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(1)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((qid, exp) <- expected)
+      assert(got(qid) == exp, s"qid=$qid: engine ${got(qid)} vs recomputed $exp")
+  }
+
   test("recon_err_fp equals the per-subspace quantization error sum") {
     val cb = graft.queries.SimilarityQueries.pqCodebook(spark, dir)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
