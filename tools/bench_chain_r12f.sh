@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-12 FINAL chain at the round-final HEAD: product quantization
+# (embedding_pq_codes / ann_pq / ann_pq_rerank — 114 queries) atop the
+# windowed-quantiles G1-heap-bomb fix and the anchored keyed-sink
+# generation regex. Same protocol as r12d/e: min-of-2 everywhere, full
+# self-diagnosing artifacts (now with the cold max-rep map), StreamBench
+# between the sf1 and sf10 legs.
+# Do NOT compile or run sbt while this chain runs (bench protocol).
+cd "$(dirname "$0")/.." || exit 1
+set -x
+SPARK_GRAFT_BENCH_REPS=2 SPARK_GRAFT_BENCH_FULL=BENCH_sf0.1_r12f_full.json \
+  tools/run_main.sh graft.Bench /root/testdata/sf0.1 \
+  > BENCH_sf0.1_r12f.json 2> /tmp/bench_sf01_r12f.err
+SPARK_GRAFT_BENCH_REPS=2 SPARK_GRAFT_BENCH_FULL=BENCH_sf1_r12f_full.json \
+  tools/run_main.sh -Xmx96g graft.Bench .localdata/sf1 \
+  > BENCH_sf1_r12f.json 2> /tmp/bench_sf1_r12f.err
+tools/run_main.sh -Xmx96g graft.StreamBench .localdata/sf1 \
+  > BENCH_stream_r12f.json 2> /tmp/bench_stream_r12f.err
+SPARK_GRAFT_BENCH_REPS=2 SPARK_GRAFT_BENCH_FULL=BENCH_sf10_r12f_full.json \
+  tools/run_main.sh -Xmx96g graft.Bench .localdata/sf10 \
+  > BENCH_sf10_r12f.json 2> /tmp/bench_sf10_r12f.err
+echo CHAIN_DONE
