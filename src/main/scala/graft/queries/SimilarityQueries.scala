@@ -634,6 +634,18 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
+    // ---- PQ codebook occupancy: vectors per (subspace, codeword) ----
+    // The index-health relation (graft.PqStats prints its committed
+    // JSON snapshot): a subspace whose live codeword count collapses
+    // carries fewer than its log2(PqK) bits, which is how quantization
+    // quality degrades — so occupancy is a first-class, oracle-checked
+    // output, not just a probe. PqM·PqK rows, partial-agg'd count.
+    "pq_occupancy" -> ((s, dir) =>
+      pqCodes(s, dir)
+        .groupBy("j", "code")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("j", "code")),
+
     // ---- two-stage PQ retrieval: ADC shortlist, exact re-rank ----
     // The production deployment shape: the 4-bit integer scan cannot
     // rank finely (its pick sits at exact-rank ≤ ~50; see PqRerank), so
@@ -805,6 +817,11 @@ object SimilarityQueries {
          |  SELECT qid, nn_id, adc_fp,
          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, nn_id) AS rn
          |  FROM adc) WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    "pq_occupancy" ->
+      s"""WITH $pqCtes
+         |SELECT j, code, count(*) AS n FROM $pqFinalAsg
+         |GROUP BY 1, 2 ORDER BY j, code""".stripMargin,
 
     "ann_pq_rerank" ->
       s"""WITH $pqCtes,
