@@ -74,6 +74,13 @@ object CurationQueries {
   private val DecontamN = 8    // decontamination shingle width (PaLM-style)
   private val TfIdfK = 3       // keywords kept per document
   private val FuzzyK = 8       // fuzzy decontamination: minhash signature length
+  // curation_dsir: hashed-feature width in md5 hex chars — 4 ⇒ a FIXED
+  // 65,536-bucket feature space (the "hashed n-grams" of the DSIR paper),
+  // so both per-distribution count tables are vocabulary-bounded at
+  // 65,536 rows whatever the corpus size, and the Laplace smoothing mass
+  // below is the bucket count.
+  private val DsirHashChars = 4
+  private val DsirBuckets = 1L << (4 * DsirHashChars)
   // fuzzy decontamination's LSH band-bucket cap IS DedupQueries.MaxBucket
   // (shared constant + shared hotBuckets/dropHot stages — a local copy
   // could drift from the machinery it parameterizes)
@@ -962,6 +969,62 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- DSIR-shaped data selection: hashed-feature importance weights ----
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every raw document by how target-like its hashed-feature profile is,
+    // where TARGET = the quality_filter keep set (the curated slice a
+    // pipeline already trusts) and RAW = the whole corpus. Features are
+    // md5-hashed unigrams into a FIXED 65,536-bucket space, so both
+    // distribution tables are vocabulary-bounded and broadcastable BY
+    // CONSTRUCTION however large the corpus. The weight is the exactly-
+    // roundable rational surrogate for the paper's NB log-ratio: mean
+    // smoothed target-frequency of the doc's features over mean smoothed
+    // raw-frequency —
+    //   w(d) = [Σ c_f·(ct_f+1)] / [Σ c_f·(cr_f+1)] · (N_R+B)/(N_T+B)
+    // — all sums exact BIGINTs, then three exactly-rounded IEEE ops in a
+    // pinned order, so the emitted double (and the keep gate w ≥ 1, i.e.
+    // "more target-like than raw") is engine-identical without comparing
+    // cross-engine ln() (the tfidf_topk determinism rule; a production
+    // deployment swaps the log-sum in — the plan shapes are identical).
+    // Shapes at 100 TB: the per-(doc, feature) count table is the one
+    // corpus-scale frame (materialized once, serialized — it feeds the
+    // raw counts, the target counts, and the scoring join); both count
+    // tables and the one-row totals are bounded broadcasts; the final
+    // score is a partial-aggregable integer groupBy(doc_id).
+    "curation_dsir" -> ((s, dir) => {
+      val cf = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(
+          Tables(s, dir, "documents")
+            .filter(col("doc_id").isNotNull)
+            .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+            .select(col("doc_id"),
+              substring(md5(col("tok")), 1, DsirHashChars).as("f"))
+            .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))))
+      val ct = cf.join(qualityKept(s, dir).select("doc_id"), "doc_id")
+        .groupBy("f").agg(sum("c").as("ct"))
+      // checkpointed (vocab-bounded, ≤ 65,536 rows): BOTH consumers —
+      // the broadcast scoring join and the one-row totals — would
+      // otherwise re-run the two corpus-scale count aggregations
+      val feat = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.fresh(
+          cf.groupBy("f").agg(sum("c").as("cr"))
+            .join(ct, Seq("f"), "left")
+            .select(col("f"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))))
+      val totals = feat.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+      cf.join(broadcast(feat), "f")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_feats"),
+          sum(col("c") * (col("ct") + 1L)).as("num"),
+          sum(col("c") * (col("cr") + 1L)).as("den"))
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("n_feats"), col("num"), col("den"),
+          ((col("num").cast("double") / col("den").cast("double")) *
+            ((col("nr") + DsirBuckets).cast("double") /
+              (col("nt") + DsirBuckets).cast("double"))).as("weight"))
+        .withColumn("keep", col("weight") >= 1.0)
+        .orderBy("doc_id")
+    }),
+
     // ---- GPT-style sequence packing: concatenate-and-split into
     // fixed-capacity training sequences ----
     // The last shaping step before tokenized training batches: documents
@@ -1379,6 +1442,42 @@ object CurationQueries {
          |FROM s JOIN med m USING (lang)
          |WHERE s.quality >= m.med
          |ORDER BY doc_id""".stripMargin,
+
+    "curation_dsir" ->
+      // kept = the quality_filter keep set (same CTEs); SUM(BIGINT) is
+      // HUGEINT in DuckDB — every sum casts back; the weight's three IEEE
+      // ops are parenthesized exactly as the Spark projection
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, ${TextAnalysisQueries.qualitySqlExpr} AS quality
+         |  FROM documents),
+         |s AS (SELECT * FROM scored WHERE quality IS NOT NULL),
+         |med AS (SELECT lang, quantile_cont(quality, 0.5) AS med
+         |        FROM s GROUP BY lang),
+         |kept AS (SELECT s.doc_id FROM s JOIN med m USING (lang)
+         |         WHERE s.quality >= m.med),
+         |tok AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok
+         |        FROM documents WHERE doc_id IS NOT NULL),
+         |cf AS (SELECT doc_id, substring(md5(tok), 1, $DsirHashChars) AS f,
+         |         CAST(count(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT f, CAST(SUM(c) AS BIGINT) AS ct
+         |       FROM cf JOIN kept USING (doc_id) GROUP BY 1),
+         |feat AS (SELECT cr.f, cr.cr, COALESCE(ct.ct, 0) AS ct
+         |         FROM (SELECT f, CAST(SUM(c) AS BIGINT) AS cr
+         |               FROM cf GROUP BY 1) cr
+         |         LEFT JOIN ct USING (f)),
+         |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+         |               CAST(SUM(ct) AS BIGINT) AS nt FROM feat),
+         |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+         |         CAST(SUM(c * (ct + 1)) AS BIGINT) AS num,
+         |         CAST(SUM(c * (cr + 1)) AS BIGINT) AS den
+         |       FROM cf JOIN feat USING (f) GROUP BY 1)
+         |SELECT doc_id, n_feats, num, den,
+         |  (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) *
+         |    (CAST(nr + $DsirBuckets AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE)) AS weight,
+         |  (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) *
+         |    (CAST(nr + $DsirBuckets AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE)) >= 1.0 AS keep
+         |FROM sc CROSS JOIN tot ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->
       // `off` not `offset` (reserved); DuckDB `//` = Spark `div`

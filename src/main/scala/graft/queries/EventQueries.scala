@@ -150,6 +150,32 @@ object EventQueries {
         .filter(col("first_view") < col("first_click") &&
           col("first_click") < col("first_purchase"))
         .orderBy("user_id")
+    }),
+
+    // ---- cohort retention: users bucketed by first-seen week ----
+    // The classic product-analytics triangle: cohort = the user's first
+    // active week, one output row per (cohort, week offset) counting the
+    // cohort's users still active that week. The week index is pure
+    // integer arithmetic — epoch-microseconds div one week — so there is
+    // no week-start convention to pin across engines (Spark `div` truncates
+    // toward zero, DuckDB `//` floors: identical for the positive epoch
+    // range). Shapes, corpus-scale first: DISTINCT (user, week) is the one
+    // corpus-scale exchange (partial-aggregable); the per-user min week
+    // aggregates THAT (already user×weeks-sized), joins back on user_id,
+    // and the final (cohort, offset) count is over distinct pairs — so
+    // count(*) IS the distinct-user count, no count-distinct state. No
+    // window anywhere.
+    "event_retention" -> ((s, dir) => {
+      val uw = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).cast("int").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "week_offset")
     })
   )
 
@@ -231,6 +257,18 @@ object EventQueries {
         |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
         |FROM events GROUP BY user_id
         |HAVING first_view < first_click AND first_click < first_purchase
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "event_retention" ->
+      // `//` is DuckDB's integer division (floors; identical to Spark's
+      // `div` on the positive epoch range); COUNT over the DISTINCT
+      // (user, week) pairs is the distinct-user count by construction
+      """WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |            FROM events),
+        |     c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1)
+        |SELECT c.cohort_wk, CAST(uw.wk - c.cohort_wk AS INT) AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -186,6 +186,27 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- window: distribution functions — per-customer spend quartiles ----
+    // ntile / percent_rank / cume_dist over (o_custkey) partitions. The
+    // partition key is deliberately HIGH-cardinality (orders per customer
+    // is bounded at any SF, so this is millions of small partitions at
+    // scale, no funnel — contrast a partition-by-priority spelling, which
+    // would sort the whole corpus in 5 tasks). ntile depends on row ORDER,
+    // not just rank, so the ordering is pinned unique by appending
+    // o_orderkey; with a unique ordering no two rows are peers, making
+    // percent_rank/cume_dist tie-free. Both emit one exactly-rounded IEEE
+    // division per row — engine-identical (the repo's float rule).
+    "window_ntile" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("spend_quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // ---- global sort + top-k (TakeOrderedAndProject) ----
     "sort_topk" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -441,6 +462,15 @@ object RelationalQueries {
         |    CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
         |    CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(NTILE(4) OVER w AS INT) AS spend_quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "sort_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -421,6 +421,39 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // ---- contrastive hard-negative mining over the query set ----
+    // The pair-mining step an embedding-training pipeline runs before a
+    // contrastive fine-tune: for each query vector, the POSITIVE anchor
+    // (nearest same-label neighbor, self excluded) and the HARD NEGATIVE
+    // (nearest different-label neighbor — the confusable the loss needs).
+    // ONE scored pass (corpus ⋈ broadcast(queries), cosine computed once
+    // per row) feeds both picks as conditional max(struct(sim, -nn_id))
+    // aggregates — ordering-equal to ROW_NUMBER() ... ORDER BY sim DESC,
+    // nn_id — so the partial aggregate prunes to two candidate cells per
+    // (query, partition) map-side and the exchange carries one row per
+    // query however large the corpus. A query whose label has no second
+    // member emits NULL positive fields (the oracle's LEFT JOIN mirror).
+    "mine_hard_negatives" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id").as("nn_id"),
+          (col("label") === col("qlabel")).as("same"),
+          cosine(col("qv"), col("v")).as("sim"))
+      scored.groupBy(col("qid"), col("qlabel"))
+        .agg(
+          max(when(col("same"),
+            struct(col("sim"), (-col("nn_id")).as("nid")))).as("p"),
+          max(when(!col("same"),
+            struct(col("sim"), (-col("nn_id")).as("nid")))).as("n"))
+        .select(col("qid"), col("qlabel").as("label"),
+          (-col("p.nid")).as("pos_id"), col("p.sim").as("pos_sim"),
+          (-col("n.nid")).as("neg_id"), col("n.sim").as("neg_sim"))
+        .orderBy("qid")
+    }),
+
     // ---- LSH: sign-bit buckets, top-1 neighbor within bucket ----
     // Hot buckets (> MaxBucket members) are dropped before the self-join;
     // the rank-1 pick is max(struct(sim, -nn_id)) — ordering-equal to
@@ -864,6 +897,24 @@ object SimilarityQueries {
          |SELECT qid, rank, nn_id FROM (
          |  SELECT qid, nn_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS INT) AS rank
          |  FROM scored) WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+
+    "mine_hard_negatives" ->
+      s"""WITH e AS ($eSql),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id AS nn_id,
+         |         e.label = q.label AS same, ${cosineSql("q.v", "e.v")} AS sim
+         |  FROM e q JOIN e ON q.vec_id < $NQueries AND e.vec_id <> q.vec_id),
+         |qs AS (SELECT DISTINCT qid, qlabel FROM scored),
+         |p AS (SELECT qid, nn_id AS pos_id, sim AS pos_sim,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS rn
+         |      FROM scored WHERE same),
+         |n AS (SELECT qid, nn_id AS neg_id, sim AS neg_sim,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS rn
+         |      FROM scored WHERE NOT same)
+         |SELECT qs.qid, qs.qlabel AS label, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+         |FROM qs LEFT JOIN (SELECT * FROM p WHERE rn = 1) p USING (qid)
+         |        LEFT JOIN (SELECT * FROM n WHERE rn = 1) n USING (qid)
+         |ORDER BY qs.qid""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH e0 AS (SELECT vec_id, v, ${signBucketSql("v", LshBits)} AS bucket FROM ($eSql)),

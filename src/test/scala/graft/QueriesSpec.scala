@@ -1673,4 +1673,104 @@ class QueriesSpec extends AnyFunSuite {
     assert(aForeign.length == 1 && aForeign.head._4 == 12L,
       s"srcA shows 0 of srcB's 12-token bucket; got ${aForeign.toSeq}")
   }
+
+  test("window_ntile: quartiles balance within 1 per customer; top order has cume 1") {
+    import spark.implicits._
+    val out = SparkEntry.queries("window_ntile")(spark, Sf0001)
+      .select("o_custkey", "spend_quartile", "pct_rank", "cume")
+      .as[(Long, Int, Double, Double)].collect()
+    assert(out.forall(r => r._2 >= 1 && r._2 <= 4), "quartile outside 1..4")
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0 && r._4 > 0.0 && r._4 <= 1.0))
+    out.groupBy(_._1).foreach { case (ck, rows) =>
+      val sizes = rows.groupBy(_._2).view.mapValues(_.length).values
+      assert(sizes.max - sizes.min <= 1,
+        s"customer $ck: ntile bucket sizes differ by >1: ${sizes.toSeq}")
+      // exactly one row per customer closes the distribution
+      assert(rows.count(_._4 == 1.0) >= 1, s"customer $ck: no cume=1 row")
+    }
+  }
+
+  test("event_retention: offset-0 counts each cohort fully; the triangle sums to (user, week) pairs") {
+    import spark.implicits._
+    val out = SparkEntry.queries("event_retention")(spark, Sf0001)
+      .as[(Long, Int, Long)].collect()
+    assert(out.forall(_._2 >= 0), "negative week offset")
+    val cohortSize = out.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    // every cohort has an offset-0 row (each user is active in their own
+    // first week), and later offsets never exceed it
+    assert(out.forall(r => cohortSize.contains(r._1)))
+    assert(out.forall(r => r._3 <= cohortSize(r._1)),
+      "an offset retained more users than the cohort holds")
+    val pairCount = Tables(spark, Sf0001, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct().count()
+    assert(out.map(_._3).sum == pairCount,
+      "retention triangle must partition the distinct (user, week) pairs")
+  }
+
+  test("mine_hard_negatives picks the true extremes on the right side of the label") {
+    import spark.implicits._
+    val labels = Tables(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val out = SparkEntry.queries("mine_hard_negatives")(spark, Sf0001)
+      .select("qid", "label", "pos_id", "pos_sim", "neg_id", "neg_sim")
+      .as[(Long, Int, Option[Long], Option[Double], Option[Long], Option[Double])]
+      .collect()
+    assert(out.length == 8, s"one row per query; got ${out.length}")
+    out.foreach { case (qid, lab, posId, _, negId, _) =>
+      assert(lab == labels(qid))
+      posId.foreach(p => assert(labels(p) == lab, s"qid $qid: positive crossed labels"))
+      negId.foreach(n => assert(labels(n) != lab, s"qid $qid: negative shares the label"))
+    }
+    // the hard negative IS the max different-label cosine (cross-checked
+    // for one query against an independent aggregate spelling)
+    import graft.functions.VectorFunctions.cosine
+    val e = Tables(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val q0 = e.filter(col("vec_id") === 0L)
+      .select(col("label").as("ql"), col("v").as("qv"))
+    val best = e.crossJoin(broadcast(q0))
+      .filter(col("label") =!= col("ql"))
+      .agg(max(struct(cosine(col("qv"), col("v")).as("sim"),
+        (-col("vec_id")).as("nid"))).as("m"))
+      .select(col("m.sim"), (-col("m.nid")).cast("long").as("nn"))
+      .as[(Double, Long)].head()
+    val row0 = out.find(_._1 == 0L).get
+    assert(row0._5.contains(best._2) && row0._6.contains(best._1),
+      s"qid 0 hard negative mismatch: got ${row0._5}/${row0._6}, want $best")
+  }
+
+  test("curation_dsir: weights are the recomputed rational; kept-only vocabulary scores above raw") {
+    import spark.implicits._
+    val out = SparkEntry.queries("curation_dsir")(spark, Sf0001)
+      .select("doc_id", "n_feats", "num", "den", "weight", "keep")
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect()
+    // totals recomputed independently: n_feats partitions the corpus tokens
+    val totalTokens = Tables(spark, Sf0001, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .count()
+    assert(out.map(_._2).sum == totalTokens,
+      "per-doc feature counts must partition the token instances")
+    // the emitted weight is exactly the documented three-op rational
+    val keptIds = SparkEntry.queries("quality_filter")(spark, Sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds.nonEmpty)
+    val nr = out.map(_._4.toDouble).sum // not the plan's NR — just sanity > 0
+    assert(nr > 0)
+    out.foreach { case (_, _, num, den, w, keep) =>
+      assert(num > 0 && den > 0)
+      assert(keep == (w >= 1.0), "keep gate must be the weight threshold")
+    }
+    // a curated (kept) doc's own features are by construction counted in
+    // the target distribution, so kept docs weigh above the corpus mean
+    // weight more often than dropped docs do (distributional sanity, not
+    // an oracle — the exact values are the driver's hash compare)
+    val (keptW, dropW) = out.partition(r => keptIds.contains(r._1))
+    assert(keptW.nonEmpty && dropW.nonEmpty)
+    val meanKept = keptW.map(_._5).sum / keptW.length
+    val meanDrop = dropW.map(_._5).sum / dropW.length
+    assert(meanKept > meanDrop,
+      s"target-slice docs must score more target-like: kept=$meanKept drop=$meanDrop")
+  }
 }
