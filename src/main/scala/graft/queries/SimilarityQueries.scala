@@ -454,6 +454,40 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
+    // ---- semi-hard negative mining (the FaceNet rule) ----
+    // mine_hard_negatives' hardest negative can sit CLOSER than the
+    // positive — the regime where triplet losses collapse; the semi-hard
+    // rule keeps only negatives strictly farther than the positive anchor
+    // (sim < pos_sim) and picks the hardest of those. Two linear passes:
+    // the per-query positive similarity is a ≤ NQueries-row aggregate of
+    // pass one, broadcast back into pass two's filter — never a
+    // materialized corpus×queries frame. A query with no same-label
+    // second member (no anchor) or no negative below its anchor drops
+    // out — inner semantics, the loss has nothing to mine there. n_semi
+    // (the surviving candidate count) is an exact integer diagnostic.
+    "mine_semi_hard_negatives" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"))
+      def scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id").as("nn_id"),
+          (col("label") === col("qlabel")).as("same"),
+          cosine(col("qv"), col("v")).as("sim"))
+      val pos = scored.filter(col("same"))
+        .groupBy("qid").agg(max(col("sim")).as("pos_sim"))
+      scored.filter(!col("same"))
+        .join(broadcast(pos), Seq("qid"))
+        .filter(col("sim") < col("pos_sim"))
+        .groupBy(col("qid"), col("qlabel"), col("pos_sim"))
+        .agg(max(struct(col("sim"), (-col("nn_id")).as("nid"))).as("m"),
+          count(lit(1)).as("n_semi"))
+        .select(col("qid"), col("qlabel").as("label"), col("pos_sim"),
+          (-col("m.nid")).as("semi_id"), col("m.sim").as("semi_sim"),
+          col("n_semi"))
+        .orderBy("qid")
+    }),
+
     // ---- LSH: sign-bit buckets, top-1 neighbor within bucket ----
     // Hot buckets (> MaxBucket members) are dropped before the self-join;
     // the rank-1 pick is max(struct(sim, -nn_id)) — ordering-equal to
@@ -915,6 +949,22 @@ object SimilarityQueries {
          |FROM qs LEFT JOIN (SELECT * FROM p WHERE rn = 1) p USING (qid)
          |        LEFT JOIN (SELECT * FROM n WHERE rn = 1) n USING (qid)
          |ORDER BY qs.qid""".stripMargin,
+
+    "mine_semi_hard_negatives" ->
+      s"""WITH e AS ($eSql),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id AS nn_id,
+         |         e.label = q.label AS same, ${cosineSql("q.v", "e.v")} AS sim
+         |  FROM e q JOIN e ON q.vec_id < $NQueries AND e.vec_id <> q.vec_id),
+         |pos AS (SELECT qid, MAX(sim) AS pos_sim FROM scored WHERE same GROUP BY 1),
+         |sh AS (SELECT s.qid, s.qlabel, s.nn_id, s.sim, p.pos_sim
+         |       FROM scored s JOIN pos p USING (qid)
+         |       WHERE NOT s.same AND s.sim < p.pos_sim)
+         |SELECT qid, qlabel AS label, pos_sim, semi_id, semi_sim, n_semi FROM (
+         |  SELECT qid, qlabel, pos_sim, nn_id AS semi_id, sim AS semi_sim,
+         |         CAST(COUNT(*) OVER (PARTITION BY qid) AS BIGINT) AS n_semi,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS rn
+         |  FROM sh) WHERE rn = 1 ORDER BY qid""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH e0 AS (SELECT vec_id, v, ${signBucketSql("v", LshBits)} AS bucket FROM ($eSql)),

@@ -1740,6 +1740,32 @@ class QueriesSpec extends AnyFunSuite {
       s"qid 0 hard negative mismatch: got ${row0._5}/${row0._6}, want $best")
   }
 
+  test("mine_semi_hard_negatives stays strictly below the anchor and refines the hard set") {
+    import spark.implicits._
+    val labels = Tables(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val semi = SparkEntry.queries("mine_semi_hard_negatives")(spark, Sf0001)
+      .select("qid", "label", "pos_sim", "semi_id", "semi_sim", "n_semi")
+      .as[(Long, Int, Double, Long, Double, Long)].collect()
+    assert(semi.nonEmpty)
+    semi.foreach { case (qid, lab, posSim, semiId, semiSim, nSemi) =>
+      assert(semiSim < posSim, s"qid $qid: semi-hard not below the anchor")
+      assert(labels(semiId) != lab, s"qid $qid: semi-hard shares the label")
+      assert(nSemi >= 1)
+    }
+    // consistency with the hard miner: same anchor similarity, and the
+    // semi-hard negative is never closer than the unconstrained hardest
+    val hard = SparkEntry.queries("mine_hard_negatives")(spark, Sf0001)
+      .select("qid", "pos_sim", "neg_sim")
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    semi.foreach { case (qid, _, posSim, _, semiSim, _) =>
+      val (_, hPos, hNeg) = hard(qid)
+      assert(hPos.contains(posSim), s"qid $qid: anchors disagree")
+      assert(hNeg.exists(_ >= semiSim), s"qid $qid: semi-hard beat the hard negative")
+    }
+  }
+
   test("curation_dsir: weights are the recomputed rational; kept-only vocabulary scores above raw") {
     import spark.implicits._
     val out = SparkEntry.queries("curation_dsir")(spark, Sf0001)
