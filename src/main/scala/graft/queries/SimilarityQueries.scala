@@ -764,6 +764,38 @@ object SimilarityQueries {
         .select(col("qid"), col("b").getField("nn_id").as("nn_id"),
           col("b").getField("d2").as("d2"))
         .orderBy("qid")
+    }),
+
+    // ---- measured recall: every approximate tier vs the exact answer ----
+    // The evaluation harness a production ANN deployment runs before
+    // trusting an index: each tier's returned neighbors are scored
+    // against the exact brute-force top-k. n_ret = rows the tier
+    // returned, n_hits = those inside the exact top-k, hit_rate their
+    // ratio — recall@k for the top-k tiers (ivf, nprobe), success-rate
+    // for the rank-1 tiers (pq, pq_rerank); ann_topk_agg is the pinned
+    // 1.0 sanity row (it IS the exact answer via another plan). The
+    // exact reference is checkpointed (k·NQueries rows — bounded) so the
+    // five branches probe ONE materialized frame instead of five
+    // re-plans of the window ranking; every integer is exact, the one
+    // division per row is the repo float rule.
+    "ann_recall" -> ((s, dir) => {
+      val bf = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.fresh(
+          queries("ann_bruteforce")(s, dir).select(col("qid"), col("nn_id"))))
+      val methods = Seq("ann_topk_agg", "ann_ivf", "ann_ivf_nprobe",
+        "ann_pq", "ann_pq_rerank")
+      methods.map { name =>
+        val m = queries(name)(s, dir).select(col("qid"), col("nn_id"))
+        val hits = m.join(bf, Seq("qid", "nn_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        val ret = m.agg(count(lit(1)).as("n_ret"))
+        ret.crossJoin(hits)
+          .select(lit(name).as("method"), col("n_ret"), col("n_hits"))
+      }.reduce(_ union _)
+        .select(col("method"), col("n_ret"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_ret").cast("double"))
+            .as("hit_rate"))
+        .orderBy("method")
     })
   )
 
@@ -857,7 +889,12 @@ object SimilarityQueries {
   private[queries] val pqFinalAsg = s"q${KmIter + 1}"
   private[queries] val pqFinalBook = s"p$KmIter"
 
-  def oracles: Map[String, String] = Map(
+  /** The per-method oracle strings; [[oracles]] adds ann_recall, which
+    * SPLICES these as sub-selects (nested WITH — DuckDB-legal inside a
+    * parenthesized subquery) so the recall harness and the tiers it
+    * measures can never drift apart.
+    */
+  private lazy val oraclesBase: Map[String, String] = Map(
     "embedding_kmeans" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cluster, d2 FROM $kmFinalAsg ORDER BY vec_id""".stripMargin,
@@ -1048,4 +1085,24 @@ object SimilarityQueries {
          |  SELECT qid, nn_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS INT) AS rank
          |  FROM scored) WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
   )
+
+  def oracles: Map[String, String] = oraclesBase + ("ann_recall" -> {
+    val methods = Seq("ann_topk_agg", "ann_ivf", "ann_ivf_nprobe",
+      "ann_pq", "ann_pq_rerank")
+    val ctes = methods.zipWithIndex.map { case (n, i) =>
+      s"m$i AS (SELECT qid, nn_id FROM (${oraclesBase(n)}) t)"
+    }.mkString(",\n")
+    val rows = methods.zipWithIndex.map { case (n, i) =>
+      s"""SELECT '$n' AS method,
+         |  CAST((SELECT COUNT(*) FROM m$i) AS BIGINT) AS n_ret,
+         |  CAST((SELECT COUNT(*) FROM m$i WHERE EXISTS (
+         |    SELECT 1 FROM bf WHERE bf.qid = m$i.qid AND bf.nn_id = m$i.nn_id)) AS BIGINT) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH bf AS (SELECT qid, nn_id FROM (${oraclesBase("ann_bruteforce")}) t),
+       |$ctes
+       |SELECT method, n_ret, n_hits,
+       |  CAST(n_hits AS DOUBLE) / CAST(n_ret AS DOUBLE) AS hit_rate
+       |FROM ($rows)
+       |ORDER BY method""".stripMargin
+  })
 }

@@ -1766,6 +1766,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_recall: the exact tier scores 1.0; reranking never hurts; hits are bounded") {
+    import spark.implicits._
+    val out = SparkEntry.queries("ann_recall")(spark, Sf0001)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 5)
+    out.values.foreach { case (m, nRet, nHits, rate) =>
+      assert(nRet > 0 && nHits >= 0 && nHits <= nRet, s"$m: hits outside [0, ret]")
+      assert(math.abs(rate - nHits.toDouble / nRet) == 0.0)
+    }
+    // ann_topk_agg IS the exact answer through another plan — pinned 1.0
+    val sanity = out("ann_topk_agg")
+    assert(sanity._2 == sanity._3, "the exact tier must have full recall")
+    // exact re-ranking a shortlist can only improve on raw ADC rank-1
+    assert(out("ann_pq_rerank")._4 >= out("ann_pq")._4,
+      "re-ranked PQ must not score below raw ADC")
+  }
+
   test("curation_dsir: weights are the recomputed rational; kept-only vocabulary scores above raw") {
     import spark.implicits._
     val out = SparkEntry.queries("curation_dsir")(spark, Sf0001)
