@@ -1,0 +1,26 @@
+package graft
+
+/** Scale probe for the ANN recall ladder (the LSHSTATS/PQSTATS
+  * precedent): runs the oracle-checked `ann_recall` harness at a given
+  * SF and prints its five rows as one JSON line for a committed
+  * RECALL_sf* artifact. The driver's DuckDB gate pins the VALUES at
+  * sf0.01; this snapshot is the evidence that the ladder's shape — the
+  * exact tier at 1.0, exact-reranked PQ recovering what raw 4-bit ADC
+  * loses, nprobe above single-cell IVF — holds where the oracle can't
+  * follow (sf1/sf10 replicas).
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(".localdata/sf1")
+    val spark = EngineSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "recall-probe")
+    val rows = SparkEntry.queries("ann_recall")(spark, dir)
+      .collect()
+      .map { r =>
+        s"""{"method":"${r.getString(0)}","n_ret":${r.getLong(1)},""" +
+          s""""n_hits":${r.getLong(2)},"hit_rate":${r.getDouble(3)}}"""
+      }
+    println(s"""{"metric":"ann_recall","sf":"$dir","tiers":[${rows.mkString(",")}]}""")
+    spark.stop()
+  }
+}
