@@ -549,13 +549,20 @@ object SimilarityQueries {
     // is the cell's min-vec_id vector — a deterministic medoid surrogate
     // that keeps cell ranking, and hence the whole query, bit-exact on
     // both engines (a production deployment would precompute trained
-    // centroids and broadcast them the same way). Cell ranking and the
-    // final rank both run through the TopK aggregator (partial-aggregable
-    // map-side pruning, no window funnel); the rep-scoring join is a
-    // broadcast nested-loop over |queries| × nlist rows, both factors
-    // design constants (see [[MaxCells]]).
+    // centroids and broadcast them the same way). Probed cells = the
+    // query's OWN assignment cell ∪ the top-(nprobe−1) rep-ranked OTHER
+    // cells: with trained centroids the own cell is the top-ranked cell
+    // by definition, but the medoid surrogate can misrank it — the
+    // committed RECALL_sf{1,10} probes measured 0.75 vs single-cell
+    // IVF's 1.0 on the duplicated replica geometry before this pin, a
+    // structural violation of ivf ⊆ nprobe that the own-cell union
+    // restores for ANY representative. Cell ranking and the final rank
+    // both run through the TopK aggregator (partial-aggregable map-side
+    // pruning, no window funnel); the rep-scoring join is a broadcast
+    // nested-loop over |queries| × nlist rows, both factors design
+    // constants (see [[MaxCells]]).
     "ann_ivf_nprobe" -> ((s, dir) => {
-      val cellK = udaf(new graft.functions.TopK(NProbe))
+      val cellK = udaf(new graft.functions.TopK(NProbe - 1))
       val topk = udaf(new graft.functions.TopK(TopK))
       // label.isNotNull like embedding_outliers: the cell id feeds the
       // typed aggregator's primitive Long field — a null-label rep row
@@ -564,7 +571,8 @@ object SimilarityQueries {
       // can never emit a null-label row)
       val e = vecs(s, dir).filter(col("label").isNotNull)
       val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .select(col("vec_id").as("qid"), col("label").as("qcell"),
+          col("v").as("qv"))
       // the limit makes the rep side's bound STATIC (maxRows) for the
       // structural join audit, but limit() past MaxCells rows would
       // TRUNCATE nondeterministically and silently diverge from the
@@ -578,13 +586,18 @@ object SimilarityQueries {
         s"ann_ivf_nprobe: $nCells cells exceed MaxCells=$MaxCells — " +
           "raise MaxCells (nlist is a design constant) rather than let limit() truncate")
       val reps = repsAll.limit(MaxCells)
-      val probes = q.crossJoin(broadcast(reps))
+      // own cell excluded from the ranking (it is probed unconditionally
+      // below), so the union can never emit a duplicate probe row
+      val others = q.crossJoin(broadcast(reps))
+        .filter(col("cell") =!= col("qcell"))
         .select(col("qid"), cosine(col("qv"), col("rv")).as("csim"), col("cell"))
         .groupBy("qid")
         .agg(cellK(col("csim"), col("cell").cast("long")).as("cells"))
         .select(col("qid"), explode(col("cells")).as("c"))
         .select(col("qid"), col("c.nn_id").cast("int").as("pcell"))
-        .join(q, Seq("qid"))
+      val probes = others
+        .union(q.select(col("qid"), col("qcell").as("pcell")))
+        .join(q.select(col("qid"), col("qv")), Seq("qid"))
       e.join(broadcast(probes),
           col("label") === col("pcell") && col("vec_id") =!= col("qid"))
         .select(col("qid"), cosine(col("qv"), col("v")).as("sim"),
@@ -1049,12 +1062,13 @@ object SimilarityQueries {
          |           WHERE vec_id IS NOT NULL AND label IS NOT NULL),
          |rid AS (SELECT label, min(vec_id) AS rid FROM e GROUP BY 1),
          |reps AS (SELECT e.label AS cell, e.v AS rv FROM e JOIN rid ON e.vec_id = rid.rid),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NQueries),
+         |q AS (SELECT vec_id AS qid, label AS qcell, v AS qv FROM e WHERE vec_id < $NQueries),
          |ranked AS (SELECT qid, qv, cell,
          |    ROW_NUMBER() OVER (PARTITION BY qid
          |                       ORDER BY ${cosineSql("qv", "rv")} DESC, cell) AS crk
-         |  FROM q CROSS JOIN reps),
-         |probes AS (SELECT qid, qv, cell FROM ranked WHERE crk <= $NProbe),
+         |  FROM q CROSS JOIN reps WHERE cell <> qcell),
+         |probes AS (SELECT qid, qv, cell FROM ranked WHERE crk <= ${NProbe - 1}
+         |           UNION ALL SELECT qid, qv, qcell AS cell FROM q),
          |scored AS (SELECT p.qid, e.vec_id AS nn_id, ${cosineSql("p.qv", "e.v")} AS sim
          |  FROM probes p JOIN e ON e.label = p.cell AND e.vec_id <> p.qid)
          |SELECT qid, rank, nn_id FROM (

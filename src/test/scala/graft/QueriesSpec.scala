@@ -1781,6 +1781,12 @@ class QueriesSpec extends AnyFunSuite {
     // exact re-ranking a shortlist can only improve on raw ADC rank-1
     assert(out("ann_pq_rerank")._4 >= out("ann_pq")._4,
       "re-ranked PQ must not score below raw ADC")
+    // nprobe probes the query's own cell unconditionally plus nprobe-1
+    // others, so its searched set is a SUPERSET of single-cell IVF's —
+    // the structural guarantee the RECALL_sf1/sf10 probes showed the
+    // rank-only spelling violating (0.75 vs 1.0 on replica geometry)
+    assert(out("ann_ivf_nprobe")._4 >= out("ann_ivf")._4,
+      "nprobe searches a superset of single-cell IVF and cannot score below it")
   }
 
   test("curation_dsir: weights are the recomputed rational; kept-only vocabulary scores above raw") {
