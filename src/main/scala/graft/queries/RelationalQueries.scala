@@ -281,6 +281,32 @@ object RelationalQueries {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // ---- explicit GROUPING SETS (the rollup/cube generalizer) ----
+    // rollup and cube are the two FIXED lattices; reporting pipelines
+    // need arbitrary set lists. This one — (flag, status), (flag),
+    // (status) — is neither (no grand total, no (status)-only in
+    // rollup), so it exercises the general form. The DataFrame API has
+    // no arbitrary-sets spelling, so this goes through the SQL front
+    // door (the subquery_decorr precedent: per-call UUID view, dropped
+    // once the analyzed plan holds the resolved relation). Catalyst
+    // plans the same single Expand → partial agg as agg_rollup — rows
+    // multiply BEFORE map-side partial aggregation collapses them, so
+    // the shuffle stays ≤ groups×partitions; grouping_id disambiguates
+    // a NULL data key from a rolled-up one (the classic trap).
+    "agg_grouping_sets" -> ((s, dir) => {
+      val view = s"graft_lineitem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables(s, dir, "lineitem").createOrReplaceTempView(view)
+      try s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           |FROM $view
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+           |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      finally s.catalog.dropTempView(view)
+    }),
+
     // ---- scalar functions: string/date/math projection ----
     "scalar_funcs" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
@@ -508,6 +534,17 @@ object RelationalQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      // GROUPING(a)*2 + GROUPING(b) is Spark's grouping_id(a, b) bitmask
+      // (a = MSB), the agg_rollup oracle's spelling
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "scalar_funcs" ->

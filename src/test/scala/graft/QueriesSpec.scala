@@ -1674,6 +1674,29 @@ class QueriesSpec extends AnyFunSuite {
       s"srcA shows 0 of srcB's 12-token bucket; got ${aForeign.toSeq}")
   }
 
+  test("agg_grouping_sets: exactly the three declared sets, consistent with plain aggregation") {
+    import spark.implicits._
+    val out = SparkEntry.queries("agg_grouping_sets")(spark, Sf0001)
+      .select("l_returnflag", "l_linestatus", "gid", "n_rows")
+      .as[(Option[String], Option[String], Long, Long)].collect()
+    // the set list is (flag, status) | (flag) | (status): no grand total,
+    // and the bitmask identifies which of the three each row belongs to
+    assert(out.map(_._3).toSet == Set(0L, 1L, 2L), "gid must be exactly {0,1,2}")
+    assert(out.forall { case (f, st, gid, _) =>
+      gid match {
+        case 0 => f.isDefined && st.isDefined
+        case 1 => f.isDefined && st.isEmpty
+        case 2 => f.isEmpty && st.isDefined
+      }
+    }, "rolled-up columns must be NULL exactly per the grouping_id bitmask")
+    // each lattice level partitions the same row population
+    val total = Tables(spark, Sf0001, "lineitem").count()
+    Seq(0L, 1L, 2L).foreach { g =>
+      assert(out.filter(_._3 == g).map(_._4).sum == total,
+        s"gid=$g level must partition all lineitem rows")
+    }
+  }
+
   test("window_ntile: quartiles balance within 1 per customer; top order has cume 1") {
     import spark.implicits._
     val out = SparkEntry.queries("window_ntile")(spark, Sf0001)
