@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
 /** Codebook-health probe for the PQ index (the LSHSTATS precedent):
   * per-subspace codeword occupancy at a given SF — dead codewords
   * (trained away by Lloyd's), min/max occupancy, and the total code
@@ -16,9 +14,9 @@ object PqStats {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(".localdata/sf1")
     val spark = EngineSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "pq-stats")
-    val codes = SparkEntry.queries("embedding_pq_codes")(spark, dir)
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
-    val occ = codes.groupBy("j", "code").count()
+    // pq_occupancy IS this relation (oracle-checked at sf0.01) — probe it
+    // directly rather than re-deriving from the packed code words.
+    val occ = SparkEntry.queries("pq_occupancy")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val m = graft.queries.SimilarityQueries.PqM
     val k = graft.queries.SimilarityQueries.PqK
@@ -29,7 +27,7 @@ object PqStats {
       s"""{"j":$j,"live":${cs.count(_ > 0)},"min":${cs.min},"max":${cs.max}}"""
     }
     val total = occ.values.sum
-    println(s"""{"metric":"pq_stats","sf":"$dir","m":$m,"k":$k,"vectors":${total / m},""" +
+    println(s"""{"metric":"pq_stats","dir":"$dir","m":$m,"k":$k,"vectors":${total / m},""" +
       s""""live_codewords":$live,"dead_codewords":$dead,"per_subspace":[${perJ.mkString(",")}]}""")
     spark.stop()
   }

@@ -17,10 +17,16 @@ object RecallProbe {
     val rows = SparkEntry.queries("ann_recall")(spark, dir)
       .collect()
       .map { r =>
+        // A tier returning zero rows makes hit_rate 0/0 = NaN, which is
+        // not legal JSON — emit null and let the reader see the empty
+        // tier through n_ret=0.
+        val rate =
+          if (r.getLong(1) == 0L || r.getDouble(3).isNaN) "null"
+          else r.getDouble(3).toString
         s"""{"method":"${r.getString(0)}","n_ret":${r.getLong(1)},""" +
-          s""""n_hits":${r.getLong(2)},"hit_rate":${r.getDouble(3)}}"""
+          s""""n_hits":${r.getLong(2)},"hit_rate":$rate}"""
       }
-    println(s"""{"metric":"ann_recall","sf":"$dir","tiers":[${rows.mkString(",")}]}""")
+    println(s"""{"metric":"ann_recall","dir":"$dir","tiers":[${rows.mkString(",")}]}""")
     spark.stop()
   }
 }

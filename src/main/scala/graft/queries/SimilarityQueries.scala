@@ -45,8 +45,12 @@ object SimilarityQueries {
   // of the 64-dim embedding, one sign table each.
   private[graft] val Probes = 4
   // ann_ivf_nprobe: coarse cells searched per query (production IVF's
-  // nprobe knob).
+  // nprobe knob). The cell ranker is TopK(NProbe - 1) UNIONed with the
+  // query's own assignment cell (the r12 recall fix), so NProbe = 1
+  // would silently degrade to own-cell-only — pin the design floor
+  // loudly (the MaxCells precedent).
   private val NProbe = 2
+  require(NProbe >= 2, s"NProbe=$NProbe: the nprobe plan is own-cell ∪ TopK(NProbe-1); NProbe < 2 degrades it to plain IVF silently")
   // k-means (embedding_kmeans / SemDeDup's clustering stage): cluster
   // count, Lloyd iteration count, and the fixed-point scale for centroid
   // sums. All three are DESIGN constants — the centroid relation is K
@@ -277,7 +281,18 @@ object SimilarityQueries {
   // vectors; production would raise it to 256 — one constant).
   private[graft] val PqM = 8
   private[graft] val PqDsub = 8
-  private[graft] val PqK = 16
+  // Env-overridable for the production-constants probe (PQSTATS/RECALL
+  // at PqK=256): the catalog default stays 16 so the driver's sf0.01
+  // oracle trains meaningfully; every derived relation (codebook rows,
+  // LUT slots, packed-code width) and every oracle string is built from
+  // THIS value, so an override can never desynchronize engine and mirror.
+  private[graft] val PqK = sys.env.get("SPARK_GRAFT_PQ_K").map(_.toInt).getOrElse(16)
+  require(PqK >= 2 && PqK <= 256, s"PqK=$PqK outside [2, 256]")
+  // Bits per code in the packed-BIGINT code word (embedding_pq_codes
+  // emits ONE integer, not an array — the driver's pandas gate cannot
+  // sort array cells; TextQueries' inverted_index rule). ceil(log2(PqK));
+  // 8 subspaces × 4 bits = 32 bits at the default.
+  private[graft] val PqBits = 32 - Integer.numberOfLeadingZeros(PqK - 1)
   // ADC shortlist size for the two-stage form (ann_pq_rerank): the
   // integer scan nominates PqRerank candidates per query, exact float
   // distance re-ranks only those — measured here, 4-bit ADC alone puts
@@ -655,21 +670,29 @@ object SimilarityQueries {
     }),
 
     // ---- PQ encode: each vector as PqM subspace codes ----
-    // The compressed-index build: (vec_id, codes, recon_err_fp). codes is
-    // the j-ordered code array (the 4-byte representation of a 256-byte
-    // vector); recon_err_fp the fixed-point total quantization error
-    // Σ_j floor(d2_j·2²⁰) — a BIGINT sum of BIGINTs, order-free, so the
-    // oracle compare is exact (the float sum would be partition-order-
-    // dependent).
-    "embedding_pq_codes" -> ((s, dir) =>
+    // The compressed-index build: (vec_id, codes_packed, recon_err_fp).
+    // codes_packed is the j-ordered codes packed into ONE integer —
+    // code_j occupies bits [j·PqBits, (j+1)·PqBits): 8 × 4-bit codes =
+    // the literal 4-byte representation of a 256-byte vector, and it is
+    // what production would store (a fixed-width word, not a variable
+    // array). It is also the driver-gate-safe spelling: the r12 ARRAY
+    // form crashed the driver's pandas sort (unhashable ndarray cells —
+    // the documented limitation TextQueries' inverted_index solves with
+    // concat_ws). Subspace code sums never overlap (disjoint bit ranges,
+    // so Σ = bitwise-OR) and the whole word fits a signed BIGINT (loud
+    // require below). recon_err_fp is the fixed-point total quantization
+    // error Σ_j floor(d2_j·2²⁰) — a BIGINT sum of BIGINTs, order-free,
+    // so the oracle compare is exact (the float sum would be
+    // partition-order-dependent).
+    "embedding_pq_codes" -> ((s, dir) => {
+      require(PqM * PqBits <= 63,
+        s"packed code word needs ${PqM * PqBits} bits — exceeds a signed BIGINT; shrink PqK or emit two words")
       pqCodes(s, dir)
         .groupBy("vec_id")
-        .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("jc"),
+        .agg(sum(expr(s"shiftleft(CAST(code AS BIGINT), j * $PqBits)")).as("codes_packed"),
           sum(floor(col("d2") * KmScale).cast("long")).as("recon_err_fp"))
-        .select(col("vec_id"),
-          transform(col("jc"), x => x.getField("code")).as("codes"),
-          col("recon_err_fp"))
-        .orderBy("vec_id")),
+        .orderBy("vec_id")
+    }),
 
     // ---- PQ ADC search: rank-1 by asymmetric distance ----
     // Per query: ONE exact-distance table (query slice → every codeword,
@@ -912,10 +935,15 @@ object SimilarityQueries {
       s"""WITH $kmeansCtes
          |SELECT vec_id, cluster, d2 FROM $kmFinalAsg ORDER BY vec_id""".stripMargin,
 
+    // Both SUMs cast back to BIGINT: DuckDB's SUM(BIGINT) widens to
+    // HUGEINT, which pandas materializes as float64 — numerically equal
+    // to Spark's int64 but a different representation, so the driver's
+    // dtype-sensitive hash would fail (the r12 ann_pq defect).
     "embedding_pq_codes" ->
       s"""WITH $pqCtes
-         |SELECT vec_id, list(code ORDER BY j) AS codes,
-         |       SUM(CAST(floor(d2 * $KmScale.0) AS BIGINT)) AS recon_err_fp
+         |SELECT vec_id,
+         |       CAST(SUM(CAST(code AS BIGINT) << (j * $PqBits)) AS BIGINT) AS codes_packed,
+         |       CAST(SUM(CAST(floor(d2 * $KmScale.0) AS BIGINT)) AS BIGINT) AS recon_err_fp
          |FROM $pqFinalAsg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "ann_pq" ->
@@ -926,7 +954,7 @@ object SimilarityQueries {
          |lut AS (SELECT q.qid, c.j, c.cid,
          |               CAST(floor(${dist2Sql("q.qsv", "c.c")} * $KmScale.0) AS BIGINT) AS lfp
          |        FROM qs q JOIN $pqFinalBook c ON q.j = c.j),
-         |adc AS (SELECT l.qid, cd.vec_id AS nn_id, SUM(l.lfp) AS adc_fp
+         |adc AS (SELECT l.qid, cd.vec_id AS nn_id, CAST(SUM(l.lfp) AS BIGINT) AS adc_fp
          |        FROM $pqFinalAsg cd
          |        JOIN lut l ON l.j = cd.j AND l.cid = cd.code AND cd.vec_id <> l.qid
          |        GROUP BY 1, 2)
@@ -935,9 +963,12 @@ object SimilarityQueries {
          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, nn_id) AS rn
          |  FROM adc) WHERE rn = 1 ORDER BY qid""".stripMargin,
 
+    // j cast to INTEGER: DuckDB's range() yields BIGINT where Spark's
+    // sequence(0, PqM-1) yields INT — numerically equal, but the strict
+    // dtype gate (and potentially the driver's hash) sees int64 vs int32.
     "pq_occupancy" ->
       s"""WITH $pqCtes
-         |SELECT j, code, count(*) AS n FROM $pqFinalAsg
+         |SELECT CAST(j AS INTEGER) AS j, code, count(*) AS n FROM $pqFinalAsg
          |GROUP BY 1, 2 ORDER BY j, code""".stripMargin,
 
     "ann_pq_rerank" ->
@@ -948,7 +979,7 @@ object SimilarityQueries {
          |lut AS (SELECT q.qid, c.j, c.cid,
          |               CAST(floor(${dist2Sql("q.qsv", "c.c")} * $KmScale.0) AS BIGINT) AS lfp
          |        FROM qs q JOIN $pqFinalBook c ON q.j = c.j),
-         |adc AS (SELECT l.qid, cd.vec_id AS nn_id, SUM(l.lfp) AS adc_fp
+         |adc AS (SELECT l.qid, cd.vec_id AS nn_id, CAST(SUM(l.lfp) AS BIGINT) AS adc_fp
          |        FROM $pqFinalAsg cd
          |        JOIN lut l ON l.j = cd.j AND l.cid = cd.code AND cd.vec_id <> l.qid
          |        GROUP BY 1, 2),

@@ -12,6 +12,36 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Sinks {
 
+  /** Per-merge attribution record for [[mergeIntoKeyedParquet]] — what a
+    * trigger's publish actually did, so a stream bench can separate the
+    * O(delta) append path from the amortized-logarithmic compaction path
+    * instead of reporting one opaque wall time (the r12 chunk-stream
+    * drift question: is per-batch growth real, or compaction spikes?).
+    *
+    *  - `deltaBytes`: staged delta size — the O(delta) term.
+    *  - `appendBuckets`: buckets published by pure rename (no data read).
+    *  - `compactBuckets` / `absorbedBytes`: buckets the tier rule chose
+    *    to rewrite this merge and the historical level bytes they
+    *    re-read — the amortized term, spiky by design.
+    *  - `compactionSec`: wall time of the compaction job alone;
+    *    `totalSec` the whole merge including staging, renames, manifest
+    *    commit, and GC.
+    */
+  final case class MergeStats(path: String, gen: Long, deltaBytes: Long,
+      appendBuckets: Int, compactBuckets: Int, absorbedBytes: Long,
+      compactionSec: Double, totalSec: Double)
+
+  // Opt-in observer (diagnostics only — a bench installs a collector;
+  // the default is no-op and the sink's behavior never depends on it).
+  private val mergeListener =
+    new java.util.concurrent.atomic.AtomicReference[MergeStats => Unit](null)
+  def onMerge(f: MergeStats => Unit): Unit = mergeListener.set(f)
+  def clearOnMerge(): Unit = mergeListener.set(null)
+  private def emitMergeStats(ms: => MergeStats): Unit = {
+    val f = mergeListener.get
+    if (f != null) f(ms)
+  }
+
   /** Reference-parity sink: global sort on `sortCol`, merged to ONE json
     * file. `coalesce(1)` after a range-partitioned sort preserves global
     * order (partitions are concatenated in range order). Small results only.
@@ -336,6 +366,12 @@ object Sinks {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     val fs = fileSystem(spark, path)
+    val tMerge0 = System.nanoTime()
+    var statDeltaBytes = 0L
+    var statAppendBuckets = 0
+    var statCompactBuckets = 0
+    var statAbsorbedBytes = 0L
+    var statCompactionSec = 0.0
     // Stage the delta to parquet FIRST: the merge below needs several
     // actions (bucket probe, anti-join, write), and each action on a
     // foreachBatch DataFrame re-executes the upstream stateful micro-batch
@@ -442,6 +478,7 @@ object Sinks {
         val levels = newDirs.getOrElse(k, Nil) // oldest → newest
         var sum = fs.getContentSummary(
           new org.apache.hadoop.fs.Path(s"$delta/_bkt=$k")).getLength
+        statDeltaBytes += sum
         var i = levels.length
         while (i > 0 && dirBytes(levels(i - 1)) < tierFactor * sum) {
           sum += dirBytes(levels(i - 1)); i -= 1
@@ -453,6 +490,7 @@ object Sinks {
       plans.withFilter(_._3.isEmpty).foreach { case (k, keep, _) =>
         place(s"$delta/_bkt=$k", s"b$k-g$gen")
         newDirs += k -> (keep :+ s"b$k-g$gen")
+        statAppendBuckets += 1
       }
       // compactions: ONE job over every absorbing bucket — absorbed
       // levels plus their delta partitions, newest generation wins per
@@ -462,6 +500,9 @@ object Sinks {
       // delta level name.
       val compact = plans.filter(_._3.nonEmpty)
       if (compact.nonEmpty) {
+        val tCompact0 = System.nanoTime()
+        statCompactBuckets = compact.length
+        statAbsorbedBytes = compact.flatMap(_._3).map(dirBytes).sum
         val oldRows = spark.read
           .parquet(compact.flatMap(_._3).map(d => s"$path/$d"): _*)
           .withColumn("_graft_gen",
@@ -495,6 +536,7 @@ object Sinks {
           newDirs += k -> (keep :+ s"b$k-g${gen}c")
           retiredNow ++= absorb
         }
+        statCompactionSec = (System.nanoTime() - tCompact0) / 1e9
       }
     }
     if (current.isEmpty) {
@@ -554,6 +596,9 @@ object Sinks {
         n.stripPrefix(".tmp-").toLongOption.exists(_ <= gen)
       if (staleManifest || staleTmp) fs.delete(st.getPath, false)
     }
+    emitMergeStats(MergeStats(path, gen, statDeltaBytes,
+      statAppendBuckets, statCompactBuckets, statAbsorbedBytes,
+      statCompactionSec, (System.nanoTime() - tMerge0) / 1e9))
   }
 
   /** Byte-format parity artifact: the result as ONE pretty-printed JSON

@@ -38,6 +38,16 @@ class PqSpec extends AnyFunSuite {
 
   private def fp(d2: Double): Long = math.floor(d2 * (1L << 20)).toLong
 
+  /** Unpack the codes_packed BIGINT back to the j-ordered code list —
+    * the inverse of the query's shiftleft packing, so these tests keep
+    * exercising the code-domain invariants on the packed spelling.
+    */
+  private val PqBits = 32 - Integer.numberOfLeadingZeros(graft.queries.SimilarityQueries.PqK - 1)
+  private def unpack(packed: Long): Seq[Int] =
+    Seq.tabulate(graft.queries.SimilarityQueries.PqM) { j =>
+      ((packed >>> (j * PqBits)) & ((1L << PqBits) - 1)).toInt
+    }
+
   /** The engine's dist²: left fold over (x−y)² in index order, 0.0 init. */
   private def dist2(a: Seq[Double], b: Seq[Double]): Double =
     a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
@@ -46,7 +56,10 @@ class PqSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("embedding_pq_codes")(spark, dir).collect()
     assert(rows.length == NVec)
     for (r <- rows) {
-      val codes = r.getSeq[Int](1)
+      val packed = r.getLong(1)
+      // nothing above bit PqM·PqBits: every code landed in its own range
+      assert((packed >>> (8 * PqBits)) == 0L, s"vec ${r.getLong(0)}: stray high bits in $packed")
+      val codes = unpack(packed)
       assert(codes.length == 8, s"vec ${r.getLong(0)}: ${codes.length} codes")
       assert(codes.forall(c => c >= 0 && c < 16), s"vec ${r.getLong(0)}: $codes")
       assert(r.getLong(2) >= 0L)
@@ -55,7 +68,7 @@ class PqSpec extends AnyFunSuite {
 
   test("exact duplicate vectors quantize identically") {
     val byId = SparkEntry.queries("embedding_pq_codes")(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getLong(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     for (k <- 0 until 20)
       assert(byId(k.toLong) == byId((100 + k).toLong),
         s"duplicate pair $k/${100 + k} diverged: ${byId(k.toLong)} vs ${byId((100 + k).toLong)}")
@@ -66,7 +79,7 @@ class PqSpec extends AnyFunSuite {
     val cb = graft.queries.SimilarityQueries.pqCodebook(spark, dir)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
     val codes = SparkEntry.queries("embedding_pq_codes")(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect().map(r => r.getLong(0) -> unpack(r.getLong(1))).toMap
     val qvecs = spark.read.parquet(dir + "/embeddings.parquet")
       .filter(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -96,7 +109,7 @@ class PqSpec extends AnyFunSuite {
     val cb = graft.queries.SimilarityQueries.pqCodebook(spark, dir)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
     val codes = SparkEntry.queries("embedding_pq_codes")(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect().map(r => r.getLong(0) -> unpack(r.getLong(1))).toMap
     val vecsById = spark.read.parquet(dir + "/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
@@ -128,7 +141,7 @@ class PqSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val rows = SparkEntry.queries("embedding_pq_codes")(spark, dir).collect()
     for (r <- rows) {
-      val (vid, codes, err) = (r.getLong(0), r.getSeq[Int](1), r.getLong(2))
+      val (vid, codes, err) = (r.getLong(0), unpack(r.getLong(1)), r.getLong(2))
       val exp = codes.zipWithIndex.map { case (c, j) =>
         fp(dist2(vecs(vid).slice(j * 8, j * 8 + 8), cb((j, c))))
       }.sum

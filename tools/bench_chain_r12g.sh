@@ -1,7 +1,9 @@
 #!/bin/bash
 # Round-12 chain g, at the HEAD that adds the five session-12b operators
 # (curation_dsir, mine_hard_negatives, mine_semi_hard_negatives,
-# event_retention, window_ntile — 120 oracle-checked queries). Same
+# event_retention, window_ntile — 120 oracle-checked queries, the
+# catalog size AT THIS CHAIN'S HEAD; the round-12 final HEAD has 122).
+# Same
 # protocol as r12d/e/f: min-of-2 everywhere, full self-diagnosing
 # artifacts, StreamBench between the sf1 and sf10 legs. Replicas were
 # regenerated this session (driver wipes .localdata between rounds).

@@ -7,6 +7,16 @@ Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
 Reads each <verify_out_dir>/<name>/ parquet (written by graft.Verify), runs
 the matching oracle_sql.json entry in DuckDB over the sf_dir tables, sorts
 columns by name + rows by all columns, and diffs values.
+
+STRICTNESS (r13, after the r12 escape): this gate must be at least as strict
+as the driver's, which (a) hash-compares pandas values dtype-sensitively —
+DuckDB SUM(BIGINT)→HUGEINT materializes as float64 and hash-mismatches
+Spark's int64 even when numerically equal (the r12 ann_pq red) — and
+(b) sorts rows with pandas sort_values, which raises on array cells
+(the r12 embedding_pq_codes red). So here:
+  * any list/ndarray cell in EITHER side is an outright FAIL;
+  * the two frames' dtypes must match exactly, column by column.
+Both r12 defects red-flag under this gate; neither did under the old one.
 """
 import json
 import math
@@ -15,15 +25,23 @@ import sys
 import duckdb
 import pandas as pd
 
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def array_cols(df: pd.DataFrame):
+    bad = []
+    for c in df.columns:
+        if df[c].map(
+            lambda v: (isinstance(v, (list, tuple)) or (hasattr(v, "tolist") and not isinstance(v, str))),
+            na_action="ignore",
+        ).any():
+            bad.append(c)
+    return bad
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # lists/arrays -> tuples so they sort/compare
-    for c in df.columns:
-        if df[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str), na_action="ignore").any():
-            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else (tuple(v) if isinstance(v, (list, tuple)) else v))
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first").reset_index(drop=True)
     return df
 
@@ -33,8 +51,6 @@ def values_equal(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
     if pd.isna(a) is True and pd.isna(b) is True:
         return True
     return a == b
@@ -56,10 +72,24 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: exception {str(e)[:200]}")
             continue
+        bad_arrays = array_cols(got) + [c for c in array_cols(exp) if c not in array_cols(got)]
+        if bad_arrays:
+            failures.append(name)
+            print(f"FAIL {name}: array-typed column(s) {bad_arrays} — the driver's pandas sort cannot hash these")
+            continue
         g, e = normalize(got), normalize(exp)
         if list(g.columns) != list(e.columns):
             failures.append(name)
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            continue
+        dtype_bad = [
+            (c, str(g[c].dtype), str(e[c].dtype))
+            for c in g.columns
+            if str(g[c].dtype) != str(e[c].dtype)
+        ]
+        if dtype_bad:
+            failures.append(name)
+            print(f"FAIL {name}: dtype mismatch {dtype_bad} — the driver's hash is dtype-sensitive")
             continue
         if len(g) != len(e):
             failures.append(name)
