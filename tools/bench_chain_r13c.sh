@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-13 chain c — third floor rep at the same HEAD (122 queries).
+# StreamBench omitted: two identical 24-batch attributed replays
+# (r13, r13b) already stand for the stream claims.
+# Do NOT compile or run sbt while this chain runs (bench protocol).
+cd "$(dirname "$0")/.." || exit 1
+set -x
+SPARK_GRAFT_BENCH_REPS=2 SPARK_GRAFT_BENCH_FULL=BENCH_sf0.1_r13c_full.json \
+  tools/run_main.sh graft.Bench /root/testdata/sf0.1 \
+  > BENCH_sf0.1_r13c.json 2> /tmp/bench_sf01_r13c.err
+SPARK_GRAFT_BENCH_REPS=2 SPARK_GRAFT_BENCH_FULL=BENCH_sf1_r13c_full.json \
+  tools/run_main.sh -Xmx96g graft.Bench .localdata/sf1 \
+  > BENCH_sf1_r13c.json 2> /tmp/bench_sf1_r13c.err
+SPARK_GRAFT_BENCH_REPS=2 SPARK_GRAFT_BENCH_FULL=BENCH_sf10_r13c_full.json \
+  tools/run_main.sh -Xmx96g graft.Bench .localdata/sf10 \
+  > BENCH_sf10_r13c.json 2> /tmp/bench_sf10_r13c.err
+echo CHAIN_DONE
