@@ -2,7 +2,8 @@ package graft
 
 /** Scale probe for the ANN recall ladder (the LSHSTATS/PQSTATS
   * precedent): runs the oracle-checked `ann_recall` harness at a given
-  * SF and prints its five rows as one JSON line for a committed
+  * SF and prints one row per tier (SimilarityQueries.recallTiers — the
+  * harness and this probe share the list) as one JSON line for a committed
   * RECALL_sf* artifact. The driver's DuckDB gate pins the VALUES at
   * sf0.01; this snapshot is the evidence that the ladder's shape — the
   * exact tier at 1.0, exact-reranked PQ recovering what raw 4-bit ADC

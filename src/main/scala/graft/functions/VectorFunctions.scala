@@ -61,6 +61,12 @@ object VectorFunctions {
   def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
+  /** Elementwise difference a − b (the IVF residual): per-element IEEE
+    * double subtraction — exactly rounded, no fold, no reordering — so
+    * both engines agree bit-for-bit ([[vsubSql]]).
+    */
+  def vsub(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x - y)
+
   /** Sign-bit bucket over the first `nBits` dimensions — an axis-aligned
     * locality-sensitive hash (random-hyperplane LSH with unit-axis planes).
     * Exact on floats, so Spark and the SQL oracle always agree.
@@ -86,6 +92,10 @@ object VectorFunctions {
 
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  /** DuckDB elementwise difference mirroring [[vsub]]. */
+  def vsubSql(a: String, b: String): String =
+    s"list_transform(list_zip($a, $b), p -> p[1] - p[2])"
 
   /** DuckDB squared L2 distance with the same fold order as [[dist2]]. */
   def dist2Sql(a: String, b: String): String =

@@ -70,6 +70,15 @@ object CurationQueries {
   // here; production reads a per-source map — the cut arithmetic below
   // is the same either way.
   private val MixTokenBudget = 4096L
+  // curation_budget: global token budget for quality-ranked selection,
+  // and the score-quantization band count for the two-level running sum
+  // (score ∈ [-1, 1] ⇒ ≤ 2·QualityBuckets+1 bands, bounded by DESIGN).
+  private val BudgetTokens = 8192L
+  private val QualityBuckets = 4096
+  // corpus_mix_temperature: fixed-point scale for the sqrt weights and
+  // the token budget the integer allocation divides up.
+  private val TempScale = 1L << 20
+  private val TempBudgetTokens = 65536L
   private val TopN = 3         // docs kept per language stratum
   private val DecontamN = 8    // decontamination shingle width (PaLM-style)
   private val TfIdfK = 3       // keywords kept per document
@@ -1097,6 +1106,86 @@ object CurationQueries {
               .otherwise(round(x / col("scale")).cast("int"))
               .cast("string")))).as("qhash"))
         .orderBy("vec_id")
+    }),
+
+    // ---- quality-ranked selection under a global token budget ----
+    // The data-selection step after scoring: order the corpus by
+    // (quality DESC, doc_id) and keep documents while the running token
+    // total stays inside [[BudgetTokens]] — "spend the budget on the
+    // best data first". The running total is NOT one global sort window
+    // (a single unpartitioned cumulative window funnels the corpus into
+    // one task): the score is first quantized to [[QualityBuckets]]
+    // bands — floor is monotone, so band order IS a prefix of the score
+    // order — and the offset is two-level (corpus_mix_tokens' rule):
+    // per-band inclusive window sums plus an unpartitioned window over
+    // the ≤ 2·QualityBuckets+1 band SUBTOTALS (bounded by the score
+    // formula's [-1, 1] range, by DESIGN, not data). All arithmetic is
+    // exact BIGINT sums; floor(double × int) is exactly rounded then
+    // exact, so both engines quantize identically. Tokenless docs score
+    // −1.0 (dedup_canonical's COALESCE rule) and cost 0 tokens — they
+    // sort last and never displace real data.
+    "curation_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0))
+            .as("qscore"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("qb", floor(col("qscore") * QualityBuckets).cast("long"))
+      val wb = Window.orderBy(col("qb").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bbase = d.groupBy("qb").agg(sum("n_tokens").as("btok"))
+        .withColumn("bbase", coalesce(sum(col("btok")).over(wb), lit(0L)))
+        .select("qb", "bbase")
+      val wi = Window.partitionBy("qb")
+        .orderBy(col("qscore").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.join(broadcast(bbase), Seq("qb"))
+        .withColumn("cum_tokens",
+          col("bbase") + coalesce(sum(col("n_tokens")).over(wi), lit(0L)) +
+            col("n_tokens"))
+        .filter(col("cum_tokens") <= BudgetTokens)
+        .select(col("doc_id"), col("qscore"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- temperature-scaled source mixing weights ----
+    // The multilingual/multi-source sampling rule (the mT5/XLM-R shape):
+    // source i is sampled ∝ p_i^α with α < 1, flattening the size
+    // distribution so head sources stop drowning the tail. α is PINNED
+    // to 1/2 and computed as sqrt: IEEE sqrt is correctly rounded on
+    // both engines where a general pow(x, α) is libm-dependent — the
+    // repo's log-free determinism rule, documented as the surrogate
+    // (α = 1/4 = sqrt∘sqrt is the other exactly-rounded point). The
+    // weights are fixed-point BIGINTs (floor(sqrt·2²⁰)) so the
+    // normalizing sum is exact and order-free; shares are one double
+    // division each, and the per-source token allocation is INTEGER
+    // arithmetic end-to-end: (wfp·budget) div Σwfp, never a float ratio
+    // times a budget. Everything after the per-source aggregate is a
+    // ≤ |sources|-row relation — bounded broadcast, no second corpus
+    // pass. Overflow headroom: wfp ≤ floor(sqrt(2⁵³)·2²⁰) < 10¹⁴ and
+    // the 2¹⁶ budget keeps wfp·budget < 2³⁶·2²⁰·2¹⁶ = 2⁷² … loudly
+    // guarded instead (require below) since 2⁶³ is the real ceiling.
+    "corpus_mix_temperature" -> ((s, dir) => {
+      require(TempBudgetTokens <= (1L << 16),
+        s"TempBudgetTokens=$TempBudgetTokens: wfp·budget must stay under 2^63 (wfp < 2^47)")
+      val per = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .withColumn("wfp",
+          floor(sqrt(col("n_tokens").cast("double")) * TempScale).cast("long"))
+      val tot = per.agg(sum(col("wfp")).as("totw"), sum(col("n_tokens")).as("tott"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("tott").cast("double"))
+            .as("raw_share"),
+          (col("wfp").cast("double") / col("totw").cast("double"))
+            .as("temp_share"),
+          expr(s"(wfp * ${TempBudgetTokens}L) div totw").as("alloc_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -1509,6 +1598,34 @@ object CurationQueries {
          |  md5(array_to_string(list_transform(v, x ->
          |    CAST(CASE WHEN maxabs = 0.0 THEN 0
          |              ELSE CAST(round(x / (maxabs / 127.0)) AS INT) END AS VARCHAR)), ',')) AS qhash
-         |FROM m ORDER BY vec_id""".stripMargin
+         |FROM m ORDER BY vec_id""".stripMargin,
+
+    // One global cumulative window — the oracle states the SEMANTICS;
+    // the Spark side's two-level banded form is the scale plan.
+    "curation_budget" ->
+      s"""WITH d AS (SELECT doc_id,
+         |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS qscore,
+         |        CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+         |      FROM documents WHERE doc_id IS NOT NULL),
+         |c AS (SELECT doc_id, qscore, n_tokens,
+         |        CAST(SUM(n_tokens) OVER (ORDER BY qscore DESC, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |      FROM d)
+         |SELECT doc_id, qscore, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= $BudgetTokens ORDER BY doc_id""".stripMargin,
+
+    "corpus_mix_temperature" ->
+      s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(CAST(len(${tokensSql("text")}) AS BIGINT)) AS BIGINT) AS n_tokens
+         |      FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+         |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * $TempScale.0) AS BIGINT) AS wfp
+         |      FROM per),
+         |t AS (SELECT CAST(SUM(wfp) AS BIGINT) AS totw,
+         |             CAST(SUM(n_tokens) AS BIGINT) AS tott FROM w)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(tott AS DOUBLE) AS raw_share,
+         |  CAST(wfp AS DOUBLE) / CAST(totw AS DOUBLE) AS temp_share,
+         |  CAST((wfp * $TempBudgetTokens) // totw AS BIGINT) AS alloc_tokens
+         |FROM w CROSS JOIN t ORDER BY source""".stripMargin
   )
 }

@@ -1343,6 +1343,50 @@ object DedupQueries {
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
         .orderBy("doc_id")
+    }),
+
+    // ---- measured precision/recall: candidate tiers vs n-gram truth ----
+    // The ann_recall posture transposed to the dedup family: before a
+    // production run trusts an approximate candidate generator, its pair
+    // output is SCORED against a reference notion of "true near-dup" —
+    // here the exact rare-shingle Jaccard ≥ 0.2 pairs
+    // (dedup_ngram_jaccard). n_hit = candidate pairs inside the truth
+    // set; precision = n_hit/n_cand (how much of the tier's output is
+    // real), recall = n_hit/n_true (how much of the truth the tier
+    // reaches). The tiers measure DIFFERENT signals (minhash estimates
+    // Jaccard directly; simhash pairs are Hamming ≤ 3 near-dups;
+    // winnowing pairs share ≥ MinSharedFp fingerprints), so sub-1.0
+    // numbers are the honest trade being measured, not defects. The
+    // truth itself is hot-shingle-capped (the same cap every tier
+    // carries), so this is INDEX-REACHABLE truth — the caps' recall
+    // cost is shared, not hidden. The truth frame is checkpointed once;
+    // the three tier branches probe ONE materialized relation (the
+    // ann_recall bf precedent), every count is exact, and the two
+    // divisions per row are the repo float rule (NULL-guarded so an
+    // empty tier emits NULL, never NaN).
+    "dedup_recall" -> ((s, dir) => {
+      val truth = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.fresh(
+          queries("dedup_ngram_jaccard")(s, dir).select(col("d1"), col("d2"))))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      Seq("dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_winnowing")
+        .map { name =>
+          val cand = queries(name)(s, dir).select(col("d1"), col("d2"))
+          val nc = cand.agg(count(lit(1)).as("n_cand"))
+          val hit = cand.join(truth, Seq("d1", "d2"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+          nc.crossJoin(hit).crossJoin(nTrue)
+            .select(lit(name).as("method"), col("n_cand"), col("n_hit"),
+              col("n_true"))
+        }.reduce(_ union _)
+        .select(col("method"), col("n_cand"), col("n_hit"), col("n_true"),
+          when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand").cast("double"))
+            .as("precision"),
+          when(col("n_true") > 0,
+            col("n_hit").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+        .orderBy("method")
     })
   )
 
@@ -1574,7 +1618,12 @@ object DedupQueries {
        |ORDER BY d1, d2""".stripMargin
   }
 
-  def oracles: Map[String, String] = Map(
+  /** The per-query oracle strings; [[oracles]] adds dedup_recall, which
+    * SPLICES the measured tiers' own strings as sub-selects (nested WITH
+    * inside a parenthesized subquery — DuckDB-legal; the ann_recall
+    * precedent) so the harness and the tiers it measures cannot drift.
+    */
+  private lazy val oraclesBase: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_hash,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id,
@@ -1820,4 +1869,27 @@ object DedupQueries {
          |    / count(*) AS novelty
          |FROM sh0 s JOIN f USING (sh) GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
+
+  def oracles: Map[String, String] = oraclesBase + ("dedup_recall" -> {
+    val tiers = Seq("dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_winnowing")
+    val ctes = tiers.zipWithIndex.map { case (n, i) =>
+      s"t$i AS (SELECT d1, d2 FROM (${oraclesBase(n)}) x)"
+    }.mkString(",\n")
+    val rows = tiers.zipWithIndex.map { case (n, i) =>
+      s"""SELECT '$n' AS method,
+         |  CAST((SELECT COUNT(*) FROM t$i) AS BIGINT) AS n_cand,
+         |  CAST((SELECT COUNT(*) FROM t$i WHERE EXISTS (
+         |    SELECT 1 FROM tr WHERE tr.d1 = t$i.d1 AND tr.d2 = t$i.d2)) AS BIGINT) AS n_hit""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tr AS (SELECT d1, d2 FROM (${oraclesBase("dedup_ngram_jaccard")}) x),
+       |$ctes,
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tr)
+       |SELECT method, n_cand, n_hit, n_true,
+       |  CASE WHEN n_cand > 0
+       |       THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS precision,
+       |  CASE WHEN n_true > 0
+       |       THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+       |FROM ($rows) CROSS JOIN nt
+       |ORDER BY method""".stripMargin
+  })
 }

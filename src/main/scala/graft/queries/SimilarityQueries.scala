@@ -159,6 +159,45 @@ object SimilarityQueries {
       .select(col("label").as("cell"), col("v").as("rv"))
   }
 
+  /** The ≤ [[MaxCells]] cell-representative frame with the loud overflow
+    * check (shared by ann_ivf_nprobe and ann_ivfpq): the limit makes the
+    * rep side's bound STATIC (maxRows) for the structural join audit, but
+    * limit() past MaxCells rows would TRUNCATE nondeterministically and
+    * silently diverge from the oracle — so overflow fails loudly first
+    * (one count over the checkpointed broadcast-sized rep frame; eager
+    * driver-side actions at build time are the dedup_clusters precedent).
+    */
+  private def boundedReps(name: String, e: DataFrame): DataFrame = {
+    val repsAll = graft.operators.Checkpoints.retire(
+      cellReps(e).transform(graft.operators.Checkpoints.fresh))
+    val nCells = repsAll.count()
+    require(nCells <= MaxCells,
+      s"$name: $nCells cells exceed MaxCells=$MaxCells — " +
+        "raise MaxCells (nlist is a design constant) rather than let limit() truncate")
+    repsAll.limit(MaxCells)
+  }
+
+  /** The nprobe probe relation (qid, pcell): the query's OWN assignment
+    * cell ∪ the top-(NProbe−1) rep-ranked OTHER cells — the r12 recall
+    * fix (ivf ⊆ nprobe holds for ANY representative; see
+    * ann_ivf_nprobe's rationale). Cell ranking runs through the TopK
+    * aggregator (map-side pruning); the rep-scoring join is a broadcast
+    * nested-loop over |queries| × nlist rows, both design constants.
+    */
+  private def probedCells(q: DataFrame, reps: DataFrame): DataFrame = {
+    val cellK = udaf(new graft.functions.TopK(NProbe - 1))
+    // own cell excluded from the ranking (it is probed unconditionally
+    // below), so the union can never emit a duplicate probe row
+    val others = q.crossJoin(broadcast(reps))
+      .filter(col("cell") =!= col("qcell"))
+      .select(col("qid"), cosine(col("qv"), col("rv")).as("csim"), col("cell"))
+      .groupBy("qid")
+      .agg(cellK(col("csim"), col("cell").cast("long")).as("cells"))
+      .select(col("qid"), explode(col("cells")).as("c"))
+      .select(col("qid"), col("c.nn_id").cast("int").as("pcell"))
+    others.union(q.select(col("qid"), col("qcell").as("pcell")))
+  }
+
   // ===== k-means (Lloyd's algorithm, the SemDeDup clustering stage) =====
 
   /** Deterministic init: the `k` vectors with the smallest
@@ -354,22 +393,66 @@ object SimilarityQueries {
     */
   private[graft] def pqCodebook(s: SparkSession, dir: String): DataFrame =
     graft.operators.SessionCache.frame(s, dir, "pq-codebook") {
-      val e = vecs(s, dir).filter(col("v").isNotNull).select("vec_id", "v")
-        .repartition(s.sparkContext.defaultParallelism)
-      val sub = graft.operators.Checkpoints.corpusScaled(pqSub(e))
-      val w = Window.orderBy(col("h"), col("vec_id"))
-      val seed = e.withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id")).limit(PqK)
-        .withColumn("cid", (row_number().over(w) - 1).cast("int"))
-        .select(col("cid"), col("v"))
-      var c = seed
-        .select(col("cid"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("v"))
-        .select(col("j"), col("cid"),
-          slice(col("v"), col("j") * lit(PqDsub) + lit(1), lit(PqDsub)).as("c"))
-      for (_ <- 1 to KmIter) c = pqUpdate(pqAssign(sub, c))
-      val trained = graft.operators.Checkpoints.fresh(c)
-      graft.operators.Checkpoints.free(sub)
-      trained
+      trainPqCodebook(
+        vecs(s, dir).filter(col("v").isNotNull).select("vec_id", "v"),
+        s.sparkContext.defaultParallelism)
+    }
+
+  /** The keyed Lloyd training body over ANY (vec_id, v) frame — shared by
+    * [[pqCodebook]] (raw vectors) and [[ivfpqCodebook]] (IVF residuals);
+    * one spelling so the two codebooks' training recipes cannot drift.
+    */
+  private def trainPqCodebook(e0: DataFrame, parallelism: Int): DataFrame = {
+    val e = e0.repartition(parallelism)
+    val sub = graft.operators.Checkpoints.corpusScaled(pqSub(e))
+    val w = Window.orderBy(col("h"), col("vec_id"))
+    val seed = e.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .withColumn("cid", (row_number().over(w) - 1).cast("int"))
+      .select(col("cid"), col("v"))
+    var c = seed
+      .select(col("cid"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("v"))
+      .select(col("j"), col("cid"),
+        slice(col("v"), col("j") * lit(PqDsub) + lit(1), lit(PqDsub)).as("c"))
+    for (_ <- 1 to KmIter) c = pqUpdate(pqAssign(sub, c))
+    val trained = graft.operators.Checkpoints.fresh(c)
+    graft.operators.Checkpoints.free(sub)
+    trained
+  }
+
+  // ===== IVF-PQ (IVFADC — Jégou/Douze/Schmid, TPAMI 2011 §IV) =====
+  // The coarse-partition + compressed-residual composition production ANN
+  // actually deploys: PQ alone scans every code; IVF alone stores full
+  // vectors. IVFADC stores each vector as (cell, PQ codes of its RESIDUAL
+  // v − centroid(cell)) and answers a query by probing nprobe cells,
+  // building one ADC table per (query, probed cell) in the probed cell's
+  // residual frame, and scanning only those cells' codes. Residuals are
+  // against the cell's min-vec_id medoid surrogate (cellReps — the
+  // ann_ivf_nprobe determinism argument: a float centroid MEAN is
+  // summation-order-dependent), and the subtraction is elementwise IEEE —
+  // exactly rounded, so the whole chain mirrors in DuckDB.
+
+  /** Residual relation (vec_id, label, v = vector − its cell's
+    * representative). Broadcast join against the ≤ MaxCells rep frame —
+    * one projection pass, no corpus shuffle.
+    */
+  private def ivfResiduals(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir).filter(col("label").isNotNull && col("v").isNotNull)
+    e.join(broadcast(cellReps(e)), col("label") === col("cell"))
+      .select(col("vec_id"), col("label"), vsub(col("v"), col("rv")).as("v"))
+  }
+
+  /** Train-once RESIDUAL codebooks (j, cid, c) — [[pqCodebook]]'s
+    * lifecycle (PqM·PqK rows, SessionCache-admissible) over
+    * [[ivfResiduals]]. Residual PQ is what makes the composition work:
+    * residual magnitudes are small and centered, so PqK codewords spend
+    * their resolution on within-cell structure instead of re-encoding
+    * cell positions.
+    */
+  private[graft] def ivfpqCodebook(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionCache.frame(s, dir, "ivfpq-codebook") {
+      trainPqCodebook(ivfResiduals(s, dir).select("vec_id", "v"),
+        s.sparkContext.defaultParallelism)
     }
 
   /** Encode pass: every vector's PqM codes against the trained
@@ -577,7 +660,6 @@ object SimilarityQueries {
     // nested-loop over |queries| × nlist rows, both factors design
     // constants (see [[MaxCells]]).
     "ann_ivf_nprobe" -> ((s, dir) => {
-      val cellK = udaf(new graft.functions.TopK(NProbe - 1))
       val topk = udaf(new graft.functions.TopK(TopK))
       // label.isNotNull like embedding_outliers: the cell id feeds the
       // typed aggregator's primitive Long field — a null-label rep row
@@ -588,30 +670,8 @@ object SimilarityQueries {
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("label").as("qcell"),
           col("v").as("qv"))
-      // the limit makes the rep side's bound STATIC (maxRows) for the
-      // structural join audit, but limit() past MaxCells rows would
-      // TRUNCATE nondeterministically and silently diverge from the
-      // oracle — so overflow fails loudly first (one count over the
-      // checkpointed broadcast-sized rep frame; eager driver-side
-      // actions at build time are the dedup_clusters precedent)
-      val repsAll = graft.operators.Checkpoints.retire(
-        cellReps(e).transform(graft.operators.Checkpoints.fresh))
-      val nCells = repsAll.count()
-      require(nCells <= MaxCells,
-        s"ann_ivf_nprobe: $nCells cells exceed MaxCells=$MaxCells — " +
-          "raise MaxCells (nlist is a design constant) rather than let limit() truncate")
-      val reps = repsAll.limit(MaxCells)
-      // own cell excluded from the ranking (it is probed unconditionally
-      // below), so the union can never emit a duplicate probe row
-      val others = q.crossJoin(broadcast(reps))
-        .filter(col("cell") =!= col("qcell"))
-        .select(col("qid"), cosine(col("qv"), col("rv")).as("csim"), col("cell"))
-        .groupBy("qid")
-        .agg(cellK(col("csim"), col("cell").cast("long")).as("cells"))
-        .select(col("qid"), explode(col("cells")).as("c"))
-        .select(col("qid"), col("c.nn_id").cast("int").as("pcell"))
-      val probes = others
-        .union(q.select(col("qid"), col("qcell").as("pcell")))
+      val reps = boundedReps("ann_ivf_nprobe", e)
+      val probes = probedCells(q, reps)
         .join(q.select(col("qid"), col("qv")), Seq("qid"))
       e.join(broadcast(probes),
           col("label") === col("pcell") && col("vec_id") =!= col("qid"))
@@ -802,6 +862,72 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
+    // ---- IVF-PQ (IVFADC): probed coarse cells, residual-PQ ADC scan ----
+    // The composition production ANN deploys at 100 TB: the corpus is
+    // coarse-partitioned (IVF cells = `label`, the ann_ivf data model),
+    // each vector stored as PqM codes of its RESIDUAL against its cell's
+    // representative, and a query (a) probes own-cell ∪ top-(nprobe−1)
+    // rep-ranked cells (the r12 recall-fix probe rule, shared stage), (b)
+    // builds one integer ADC table per (query, probed cell) — the IVFADC
+    // subtlety: distances must be computed in the PROBED cell's residual
+    // frame, so the LUT keys on (qid, pcell), not qid — and (c) scans
+    // ONLY the probed cells' codes: nprobe/nlist of the corpus touched,
+    // integer map probes per row, no float math. That is the scale
+    // argument over ann_pq (which scans every code) and over
+    // ann_ivf_nprobe (which reads full vectors in probed cells); the
+    // cost is approximation on both axes, which ann_recall measures.
+    // All arithmetic inherits the PQ determinism contract (md5 seed,
+    // d2-then-cid tie-break, fixed-point sums; residual subtraction is
+    // elementwise IEEE — exactly rounded).
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = vecs(s, dir).filter(col("label").isNotNull)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qcell"),
+          col("v").as("qv"))
+      val reps = boundedReps("ann_ivfpq", e)
+      val cb = ivfpqCodebook(s, dir)
+      // per (query, probed cell): the query's residual AGAINST THAT CELL
+      val pres = probedCells(q, reps)
+        .join(q.select(col("qid"), col("qv")), Seq("qid"))
+        .join(broadcast(reps), col("pcell") === col("cell"))
+        .select(col("qid"), col("pcell"), vsub(col("qv"), col("rv")).as("qres"))
+      val qsub = pres
+        .select(col("qid"), col("pcell"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("qres"))
+        .select(col("qid"), col("pcell"), col("j"),
+          slice(col("qres"), col("j") * lit(PqDsub) + lit(1), lit(PqDsub)).as("qs"))
+      val lut = qsub.join(cb, Seq("j"))
+        .select(col("qid"), col("pcell"), (col("j") * PqK + col("cid")).as("slot"),
+          floor(dist2(col("qs"), col("c")) * KmScale).cast("long").as("lfp"))
+        .groupBy("qid", "pcell")
+        .agg(map_from_arrays(collect_list(col("slot")),
+          collect_list(col("lfp"))).as("lut"))
+      // residual codes + owning cell: the label join-back is 1:1 on the
+      // aggregation key, so the groupBy's vec_id partitioning is reused
+      // on the left and the right moves only (vec_id, label) pairs
+      val codes = pqAssign(pqSub(ivfResiduals(s, dir).select("vec_id", "v")), cb)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("jc"))
+        .select(col("vec_id"),
+          transform(col("jc"), x => x.getField("code")).as("codes"))
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      // the cell-equi broadcast join IS the "scan only probed cells"
+      // step: everything outside the nprobe cells is filtered at the
+      // join, before any ADC arithmetic
+      codes.join(broadcast(lut),
+          col("label") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          aggregate(
+            zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+              (cd, j) => element_at(col("lut"), j * lit(PqK) + cd)),
+            lit(0L), (acc, x) => acc + x).as("adc_fp"))
+        .groupBy("qid")
+        .agg(min(struct(col("adc_fp"), col("nn_id"))).as("b"))
+        .select(col("qid"), col("b").getField("nn_id").as("nn_id"),
+          col("b").getField("adc_fp").as("adc_fp"))
+        .orderBy("qid")
+    }),
+
     // ---- measured recall: every approximate tier vs the exact answer ----
     // The evaluation harness a production ANN deployment runs before
     // trusting an index: each tier's returned neighbors are scored
@@ -818,9 +944,7 @@ object SimilarityQueries {
       val bf = graft.operators.Checkpoints.retire(
         graft.operators.Checkpoints.fresh(
           queries("ann_bruteforce")(s, dir).select(col("qid"), col("nn_id"))))
-      val methods = Seq("ann_topk_agg", "ann_ivf", "ann_ivf_nprobe",
-        "ann_pq", "ann_pq_rerank")
-      methods.map { name =>
+      recallTiers.map { name =>
         val m = queries(name)(s, dir).select(col("qid"), col("nn_id"))
         val hits = m.join(bf, Seq("qid", "nn_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
@@ -834,6 +958,13 @@ object SimilarityQueries {
         .orderBy("method")
     })
   )
+
+  /** The tiers ann_recall scores — ONE list consumed by the Spark query,
+    * the spliced oracle, and graft.RecallProbe, so adding a tier (as
+    * ann_ivfpq did) updates all three in lockstep.
+    */
+  private[graft] val recallTiers: Seq[String] = Seq("ann_topk_agg", "ann_ivf",
+    "ann_ivf_nprobe", "ann_pq", "ann_pq_rerank", "ann_ivfpq")
 
   private val eSql = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
@@ -925,6 +1056,35 @@ object SimilarityQueries {
   private[queries] val pqFinalAsg = s"q${KmIter + 1}"
   private[queries] val pqFinalBook = s"p$KmIter"
 
+  // ===== IVF-PQ oracle: the residual chain, then the keyed Lloyd loop =====
+  // pqCtes with the training frame swapped: `r` is the residual relation
+  // (vector − its cell's min-vec_id representative, elementwise — vsubSql
+  // mirrors zip_with subtraction exactly), `sub`/`p0` are built FROM r, and
+  // the loop reuses pqAssignSql/pqUpdateSql verbatim (they reference `sub`
+  // by name). The e/rid/reps fragments are ann_ivf_nprobe's.
+  private def ivfpqCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |      WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL),
+         |rid AS (SELECT label, min(vec_id) AS rid FROM e GROUP BY 1),
+         |reps AS (SELECT e.label AS cell, e.v AS rv FROM e JOIN rid ON e.vec_id = rid.rid),
+         |r AS (SELECT e.vec_id, e.label, ${vsubSql("e.v", "reps.rv")} AS v
+         |      FROM e JOIN reps ON e.label = reps.cell),
+         |sub AS (SELECT vec_id, j, v[(j*$PqDsub+1):(j*$PqDsub+$PqDsub)] AS sv
+         |        FROM r CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)),
+         |p0 AS (SELECT s.j, d.cid, s.sv AS c FROM (
+         |        SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cid FROM (
+         |          SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |          FROM r)
+         |        WHERE rn <= $PqK) d JOIN sub s ON s.vec_id = d.vec_id)""".stripMargin)
+    for (i <- 1 to KmIter + 1) {
+      sb.append(",\n").append(pqAssignSql(s"q$i", s"p${i - 1}"))
+      if (i <= KmIter) sb.append(",\n").append(pqUpdateSql(s"p$i", s"q$i"))
+    }
+    sb.toString
+  }
+
   /** The per-method oracle strings; [[oracles]] adds ann_recall, which
     * SPLICES these as sub-selects (nested WITH — DuckDB-legal inside a
     * parenthesized subquery) so the recall harness and the tiers it
@@ -994,6 +1154,39 @@ object SimilarityQueries {
          |  SELECT qid, nn_id, d2,
          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nn_id) AS rn
          |  FROM rer) WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    // Probe ranking mirrors probedCells (cosine DESC, cell — the TopK
+    // aggregator's ordering); the ADC join pins each corpus code row to
+    // its OWN cell's LUT via l.pcell = r.label, the (query, probed cell)
+    // keying the IVFADC recipe requires. Both SUM casts are the
+    // HUGEINT→BIGINT convention.
+    "ann_ivfpq" ->
+      s"""WITH $ivfpqCtes,
+         |q AS (SELECT vec_id AS qid, label AS qcell, v AS qv FROM e WHERE vec_id < $NQueries),
+         |ranked AS (SELECT qid, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |                       ORDER BY ${cosineSql("qv", "rv")} DESC, cell) AS crk
+         |  FROM q CROSS JOIN reps WHERE cell <> qcell),
+         |probes AS (SELECT qid, cell AS pcell FROM ranked WHERE crk <= ${NProbe - 1}
+         |           UNION ALL SELECT qid, qcell AS pcell FROM q),
+         |pres AS (SELECT p.qid, p.pcell, ${vsubSql("q.qv", "reps.rv")} AS qres
+         |         FROM probes p JOIN q ON q.qid = p.qid
+         |                       JOIN reps ON reps.cell = p.pcell),
+         |qs AS (SELECT qid, pcell, j, qres[(j*$PqDsub+1):(j*$PqDsub+$PqDsub)] AS qsv
+         |       FROM pres CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)),
+         |lut AS (SELECT x.qid, x.pcell, c.j, c.cid,
+         |               CAST(floor(${dist2Sql("x.qsv", "c.c")} * $KmScale.0) AS BIGINT) AS lfp
+         |        FROM qs x JOIN $pqFinalBook c ON x.j = c.j),
+         |adc AS (SELECT l.qid, cd.vec_id AS nn_id, CAST(SUM(l.lfp) AS BIGINT) AS adc_fp
+         |        FROM $pqFinalAsg cd
+         |        JOIN r ON r.vec_id = cd.vec_id
+         |        JOIN lut l ON l.j = cd.j AND l.cid = cd.code
+         |                  AND l.pcell = r.label AND cd.vec_id <> l.qid
+         |        GROUP BY 1, 2)
+         |SELECT qid, nn_id, adc_fp FROM (
+         |  SELECT qid, nn_id, adc_fp,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, nn_id) AS rn
+         |  FROM adc) WHERE rn = 1 ORDER BY qid""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH e AS ($eSql),
@@ -1132,12 +1325,10 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = oraclesBase + ("ann_recall" -> {
-    val methods = Seq("ann_topk_agg", "ann_ivf", "ann_ivf_nprobe",
-      "ann_pq", "ann_pq_rerank")
-    val ctes = methods.zipWithIndex.map { case (n, i) =>
+    val ctes = recallTiers.zipWithIndex.map { case (n, i) =>
       s"m$i AS (SELECT qid, nn_id FROM (${oraclesBase(n)}) t)"
     }.mkString(",\n")
-    val rows = methods.zipWithIndex.map { case (n, i) =>
+    val rows = recallTiers.zipWithIndex.map { case (n, i) =>
       s"""SELECT '$n' AS method,
          |  CAST((SELECT COUNT(*) FROM m$i) AS BIGINT) AS n_ret,
          |  CAST((SELECT COUNT(*) FROM m$i WHERE EXISTS (

@@ -87,7 +87,7 @@ object TextAnalysisQueries {
     * column — also the ranking signal for [[CurationQueries]]. NULL for
     * tokenless docs (0/0); both consumers mirror that in their oracles.
     */
-  private[queries] def qualityExpr(text: Column): Column = {
+  private[graft] def qualityExpr(text: Column): Column = {
     val toks = tokens(cleanLine(text))
     val nTok = size(toks).cast("long")
     val nChars = length(text).cast("long")
@@ -121,7 +121,15 @@ object TextAnalysisQueries {
     * Whitespace as an explicit class (`\s` differs between Java and RE2
     * on vertical tab — see TextFunctions.WsClass).
     */
-  private val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
+  // private[graft]: QueriesSpec recomputes the pair ranking driver-side
+  // with the SAME pattern (Java regex both places), not a copy that can
+  // drift.
+  private[graft] val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
+
+  /** bpe_pair_counts: merge candidates kept per round — the rank window
+    * after the top-k limit runs over exactly this many rows.
+    */
+  private[graft] val BpeTopK = 16
 
   /** URL / email patterns — explicit character classes only, so the same
     * literal pattern is Java-regex and RE2 (DuckDB) compatible with no
@@ -840,6 +848,39 @@ object TextAnalysisQueries {
       g.select(col("source"), col("bucket"), col("n_src"), col("n_rest"),
           col("ts").as("t_src"), col("t_rest"), contrib.as("contrib"))
         .orderBy("source", "bucket")
+    }),
+
+    // ---- BPE merge statistics: top adjacent-symbol-pair frequencies ----
+    // The inner loop of byte-pair-encoding tokenizer TRAINING at corpus
+    // scale: count every adjacent pair of pre-tokens (the [[BpeRegex]]
+    // alphabet token_stats already exposes) and rank the merge
+    // candidates — the highest-count pair is the merge BPE would apply
+    // next. One linear pass: the zip of a token list with its own tail
+    // is a projection (rows ≈ tokens, no shuffle), pair counting is a
+    // partial-aggregable groupBy (map-side combine eats the Zipf head
+    // before the exchange), and the top-k is TakeOrderedAndProject —
+    // never a global sort. The rank window runs AFTER the limit, over
+    // [[BpeTopK]] rows — bounded by design. Ordering is total
+    // (n DESC, lhs, rhs), so the boundary is deterministic on both
+    // engines; production would loop this query, applying the winning
+    // merge between rounds — each round is this same plan.
+    "bpe_pair_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(regexp_extract_all(col("text"), lit(BpeRegex), lit(0)).as("tv"))
+        .filter(size(col("tv")) >= 2)
+        .select(explode(zip_with(
+          slice(col("tv"), lit(1), size(col("tv")) - 1),
+          slice(col("tv"), lit(2), size(col("tv")) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+        .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      val w = Window.orderBy(col("n").desc, col("lhs"), col("rhs"))
+      pairs.groupBy("lhs", "rhs").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(BpeTopK)
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .select(col("rank"), col("lhs"), col("rhs"), col("n"))
+        .orderBy("rank")
     })
   )
 
@@ -1176,7 +1217,19 @@ object TextAnalysisQueries {
            |     - CAST(nb - n_src AS DOUBLE) * CAST(ts AS DOUBLE)))
            |  / ((CAST(ts AS DOUBLE) * CAST(tall - ts AS DOUBLE))
            |     * (CAST(n_src AS DOUBLE) + CAST(nb - n_src AS DOUBLE))) END AS contrib
-           |FROM g ORDER BY source, bucket""".stripMargin
+           |FROM g ORDER BY source, bucket""".stripMargin,
+
+      // zipped unnest of the list against its own tail = zip_with's pairs
+      "bpe_pair_counts" ->
+        s"""WITH tv AS (SELECT regexp_extract_all(text, '$BpeRegex') AS tv
+           |            FROM documents WHERE doc_id IS NOT NULL),
+           |p AS (SELECT unnest(tv[1:len(tv)-1]) AS lhs, unnest(tv[2:len(tv)]) AS rhs
+           |      FROM tv WHERE len(tv) >= 2),
+           |c AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+           |SELECT CAST(rn AS INT) AS rank, lhs, rhs, n FROM (
+           |  SELECT lhs, rhs, n,
+           |         ROW_NUMBER() OVER (ORDER BY n DESC, lhs, rhs) AS rn FROM c)
+           |WHERE rn <= $BpeTopK ORDER BY rank""".stripMargin
     )
   }
 }

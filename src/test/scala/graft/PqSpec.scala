@@ -133,6 +133,71 @@ class PqSpec extends AnyFunSuite {
       assert(got(qid) == exp, s"qid=$qid: engine ${got(qid)} vs recomputed $exp")
   }
 
+  test("ann_ivfpq matches a driver-side IVFADC recomputation") {
+    import org.apache.spark.sql.functions._
+    // the engine's cosine: left-fold dot, sqrt norms
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    val rows = spark.read.parquet(dir + "/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v", "label")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    val vecsById = rows.map(r => r._1 -> r._2).toMap
+    val labelById = rows.map(r => r._1 -> r._3).toMap
+    // cell representative = min-vec_id member; residual = v − rep(cell)
+    val reps = rows.groupBy(_._3).map { case (cell, rs) =>
+      cell -> vecsById(rs.map(_._1).min)
+    }
+    val resid = rows.map { case (vid, v, cell) =>
+      vid -> v.zip(reps(cell)).map { case (x, y) => x - y }
+    }.toMap
+    // independent re-encode of every residual against the trained book
+    val cb = graft.queries.SimilarityQueries.ivfpqCodebook(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val cidsByJ = cb.keys.groupBy(_._1).map { case (j, ks) => j -> ks.map(_._2).toSeq.sorted }
+    val codes = resid.map { case (vid, rv) =>
+      vid -> (0 until 8).map { j =>
+        cidsByJ(j).map(cid => (dist2(rv.slice(j * 8, j * 8 + 8), cb((j, cid))), cid)).min._2
+      }
+    }
+
+    val expected = (0L until 8L).map { qid =>
+      val (qv, qcell) = (vecsById(qid), labelById(qid))
+      // probe rule: own cell ∪ top-(NProbe−1 = 1) rep-ranked others
+      val topOther = reps.toSeq.filter(_._1 != qcell)
+        .map { case (cell, rv) => (-cos(qv, rv), cell) }.min._2
+      val probed = Set(qcell, topOther)
+      val scored = probed.toSeq.flatMap { pcell =>
+        val qres = qv.zip(reps(pcell)).map { case (x, y) => x - y }
+        val lut = cb.map { case ((j, cid), c) =>
+          (j, cid) -> fp(dist2(qres.slice(j * 8, j * 8 + 8), c))
+        }
+        codes.toSeq.collect {
+          case (vid, cs) if vid != qid && labelById(vid) == pcell =>
+            (cs.zipWithIndex.map { case (c, j) => lut((j, c)) }.sum, vid)
+        }
+      }
+      val best = scored.min
+      // the query's exact duplicate (qid+100, byte-identical, same label)
+      // sits in the always-probed own cell with identical residual codes:
+      // the winner can never score above it (the IVFADC analogue of the
+      // ivf ⊆ nprobe own-cell pin)
+      val dupScore = scored.collectFirst { case (s, vid) if vid == qid + 100 => s }
+      assert(dupScore.nonEmpty, s"qid=$qid: duplicate not in the probed scan")
+      assert(best._1 <= dupScore.get,
+        s"qid=$qid: winner ${best._1} scored above the own-cell duplicate ${dupScore.get}")
+      qid -> best
+    }.toMap
+
+    val got = SparkEntry.queries("ann_ivfpq")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((qid, exp) <- expected)
+      assert(got(qid) == exp, s"qid=$qid: engine ${got(qid)} vs recomputed $exp")
+  }
+
   test("recon_err_fp equals the per-subspace quantization error sum") {
     val cb = graft.queries.SimilarityQueries.pqCodebook(spark, dir)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap

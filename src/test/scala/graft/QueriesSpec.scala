@@ -1793,7 +1793,7 @@ class QueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val out = SparkEntry.queries("ann_recall")(spark, Sf0001)
       .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    assert(out.size == 5)
+    assert(out.size == 6) // recallTiers, ann_ivfpq included since r13
     out.values.foreach { case (m, nRet, nHits, rate) =>
       assert(nRet > 0 && nHits >= 0 && nHits <= nRet, s"$m: hits outside [0, ret]")
       assert(math.abs(rate - nHits.toDouble / nRet) == 0.0)
@@ -1844,5 +1844,96 @@ class QueriesSpec extends AnyFunSuite {
     val meanDrop = dropW.map(_._5).sum / dropW.length
     assert(meanKept > meanDrop,
       s"target-slice docs must score more target-like: kept=$meanKept drop=$meanDrop")
+  }
+
+  test("dedup_recall: counts are the recomputed set intersections against n-gram truth") {
+    import spark.implicits._
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, Sf0001)
+        .select(col("d1").cast("long"), col("d2").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val truth = pairs("dedup_ngram_jaccard")
+    val out = SparkEntry.queries("dedup_recall")(spark, Sf0001)
+      .select("method", "n_cand", "n_hit", "n_true", "precision", "recall")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet ==
+      Set("dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_winnowing"))
+    for ((name, (_, nCand, nHit, nTrue, p, r)) <- out) {
+      val cand = pairs(name)
+      assert(nCand == cand.size, s"$name: n_cand")
+      assert(nHit == (cand & truth).size, s"$name: n_hit is the intersection")
+      assert(nTrue == truth.size, s"$name: n_true is the shared truth size")
+      assert(p.contains(nHit.toDouble / nCand), s"$name: precision ratio")
+      assert(r.contains(nHit.toDouble / nTrue), s"$name: recall ratio")
+    }
+  }
+
+  test("curation_budget: exactly the maximal quality-ordered prefix within budget") {
+    import spark.implicits._
+    val docs = Tables(spark, Sf0001, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        coalesce(graft.queries.TextAnalysisQueries.qualityExpr(col("text")),
+          lit(-1.0)).as("q"),
+        size(tokens(col("text"))).cast("long").as("t"))
+      .as[(Long, Double, Long)].collect()
+      .sortBy { case (id, q, _) => (-q, id) }
+    val budget = 8192L
+    var cum = 0L
+    val expected = docs.iterator.map { case (id, _, t) =>
+      cum += t; (id, cum)
+    }.takeWhile(_._2 <= budget).toMap
+    val got = SparkEntry.queries("curation_budget")(spark, Sf0001)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      s"selection mismatch: ${got.size} selected vs ${expected.size} expected")
+  }
+
+  test("corpus_mix_temperature: exact integer allocation, flattened shares") {
+    import spark.implicits._
+    val out = SparkEntry.queries("corpus_mix_temperature")(spark, Sf0001)
+      .select("source", "n_tokens", "raw_share", "temp_share", "alloc_tokens")
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(out.length > 1)
+    // exact recomputation of the fixed-point weight chain
+    val wfp = out.map { case (_, t, _, _, _) =>
+      math.floor(math.sqrt(t.toDouble) * (1L << 20)).toLong
+    }
+    val totw = wfp.sum
+    out.zip(wfp).foreach { case ((src, _, _, ts, alloc), w) =>
+      assert(ts == w.toDouble / totw.toDouble, s"$src: temp_share")
+      assert(alloc == w * 65536L / totw, s"$src: integer allocation")
+    }
+    // the allocation never overspends, and rounding leaves < |sources| · 1
+    val spent = out.map(_._5).sum
+    assert(spent <= 65536L && spent > 65536L - out.length * (65536L / totw + 1))
+    // temperature < 1 flattens: the head source's share shrinks, the
+    // tail's grows, so the max/min ratio strictly contracts
+    val rawRatio = out.map(_._3).max / out.map(_._3).min
+    val tempRatio = out.map(_._4).max / out.map(_._4).min
+    assert(tempRatio < rawRatio,
+      s"sqrt temperature must flatten the mix: $tempRatio !< $rawRatio")
+  }
+
+  test("bpe_pair_counts: the driver-side recount of adjacent pairs agrees") {
+    import spark.implicits._
+    val re = graft.queries.TextAnalysisQueries.BpeRegex.r
+    val counts = new scala.collection.mutable.HashMap[(String, String), Long]
+    Tables(spark, Sf0001, "documents")
+      .filter(col("doc_id").isNotNull).select("text").as[String].collect()
+      .foreach { text =>
+        val tv = re.findAllIn(text).toArray
+        tv.indices.dropRight(1).foreach { i =>
+          counts((tv(i), tv(i + 1))) =
+            counts.getOrElse((tv(i), tv(i + 1)), 0L) + 1L
+        }
+      }
+    val expected = counts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(16)
+      .zipWithIndex.map { case (((a, b), n), i) => (i + 1, a, b, n) }
+    val got = SparkEntry.queries("bpe_pair_counts")(spark, Sf0001)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == expected)
   }
 }
