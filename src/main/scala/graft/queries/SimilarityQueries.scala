@@ -928,6 +928,70 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
+    // ---- IVFADC+R: the IVF-PQ scan nominates, exact distance re-ranks ----
+    // ann_pq_rerank's two-stage shape composed over ann_ivfpq's probed
+    // scan (Jégou et al.'s IVFADC with re-ranking): the integer ADC
+    // shortlists PqRerank candidates per query FROM THE PROBED CELLS
+    // ONLY, then exact float distance re-reads just those full vectors.
+    // At 100 TB the scan touches nprobe/nlist of the 64×-compressed
+    // index and the re-rank reads PqRerank vectors per query — the
+    // measured RECALL ladder shows the re-rank recovering the raw
+    // 4-bit tier's misses (0.875 → 1.0 on the replica geometry).
+    // Shortlist membership is deterministic (integer scores, nn_id
+    // ties), so both engines shortlist the SAME set.
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      val e = vecs(s, dir).filter(col("label").isNotNull)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qcell"),
+          col("v").as("qv"))
+      val reps = boundedReps("ann_ivfpq_rerank", e)
+      val cb = ivfpqCodebook(s, dir)
+      val pres = probedCells(q, reps)
+        .join(q.select(col("qid"), col("qv")), Seq("qid"))
+        .join(broadcast(reps), col("pcell") === col("cell"))
+        .select(col("qid"), col("pcell"), vsub(col("qv"), col("rv")).as("qres"))
+      val qsub = pres
+        .select(col("qid"), col("pcell"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("qres"))
+        .select(col("qid"), col("pcell"), col("j"),
+          slice(col("qres"), col("j") * lit(PqDsub) + lit(1), lit(PqDsub)).as("qs"))
+      val lut = qsub.join(cb, Seq("j"))
+        .select(col("qid"), col("pcell"), (col("j") * PqK + col("cid")).as("slot"),
+          floor(dist2(col("qs"), col("c")) * KmScale).cast("long").as("lfp"))
+        .groupBy("qid", "pcell")
+        .agg(map_from_arrays(collect_list(col("slot")),
+          collect_list(col("lfp"))).as("lut"))
+      val codes = pqAssign(pqSub(ivfResiduals(s, dir).select("vec_id", "v")), cb)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("jc"))
+        .select(col("vec_id"),
+          transform(col("jc"), x => x.getField("code")).as("codes"))
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val topk = udaf(new graft.functions.TopK(PqRerank))
+      // TopK ranks (score DESC, id ASC); negated integer ADC = adc ASC
+      // (≤ 2³⁰ longs negate into exactly-representable doubles)
+      val shortlist = codes.join(broadcast(lut),
+          col("label") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          aggregate(
+            zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+              (cd, j) => element_at(col("lut"), j * lit(PqK) + cd)),
+            lit(0L), (acc, x) => acc + x).as("adc_fp"))
+        .groupBy("qid")
+        .agg(topk((-col("adc_fp")).cast("double"), col("nn_id")).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.nn_id").as("nn_id"))
+      shortlist
+        .join(e.select(col("vec_id").as("nn_id"), col("v")), Seq("nn_id"))
+        .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+        .select(col("qid"), col("nn_id"), dist2(col("qv"), col("v")).as("d2"))
+        .groupBy("qid")
+        .agg(min(struct(col("d2"), col("nn_id"))).as("b"))
+        .select(col("qid"), col("b").getField("nn_id").as("nn_id"),
+          col("b").getField("d2").as("d2"))
+        .orderBy("qid")
+    }),
+
     // ---- measured recall: every approximate tier vs the exact answer ----
     // The evaluation harness a production ANN deployment runs before
     // trusting an index: each tier's returned neighbors are scored
@@ -964,7 +1028,8 @@ object SimilarityQueries {
     * ann_ivfpq did) updates all three in lockstep.
     */
   private[graft] val recallTiers: Seq[String] = Seq("ann_topk_agg", "ann_ivf",
-    "ann_ivf_nprobe", "ann_pq", "ann_pq_rerank", "ann_ivfpq")
+    "ann_ivf_nprobe", "ann_pq", "ann_pq_rerank", "ann_ivfpq",
+    "ann_ivfpq_rerank")
 
   private val eSql = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
@@ -1187,6 +1252,41 @@ object SimilarityQueries {
          |  SELECT qid, nn_id, adc_fp,
          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, nn_id) AS rn
          |  FROM adc) WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    "ann_ivfpq_rerank" ->
+      s"""WITH $ivfpqCtes,
+         |q AS (SELECT vec_id AS qid, label AS qcell, v AS qv FROM e WHERE vec_id < $NQueries),
+         |ranked AS (SELECT qid, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |                       ORDER BY ${cosineSql("qv", "rv")} DESC, cell) AS crk
+         |  FROM q CROSS JOIN reps WHERE cell <> qcell),
+         |probes AS (SELECT qid, cell AS pcell FROM ranked WHERE crk <= ${NProbe - 1}
+         |           UNION ALL SELECT qid, qcell AS pcell FROM q),
+         |pres AS (SELECT p.qid, p.pcell, ${vsubSql("q.qv", "reps.rv")} AS qres
+         |         FROM probes p JOIN q ON q.qid = p.qid
+         |                       JOIN reps ON reps.cell = p.pcell),
+         |qs AS (SELECT qid, pcell, j, qres[(j*$PqDsub+1):(j*$PqDsub+$PqDsub)] AS qsv
+         |       FROM pres CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)),
+         |lut AS (SELECT x.qid, x.pcell, c.j, c.cid,
+         |               CAST(floor(${dist2Sql("x.qsv", "c.c")} * $KmScale.0) AS BIGINT) AS lfp
+         |        FROM qs x JOIN $pqFinalBook c ON x.j = c.j),
+         |adc AS (SELECT l.qid, cd.vec_id AS nn_id, CAST(SUM(l.lfp) AS BIGINT) AS adc_fp
+         |        FROM $pqFinalAsg cd
+         |        JOIN r ON r.vec_id = cd.vec_id
+         |        JOIN lut l ON l.j = cd.j AND l.cid = cd.code
+         |                  AND l.pcell = r.label AND cd.vec_id <> l.qid
+         |        GROUP BY 1, 2),
+         |short AS (SELECT qid, nn_id FROM (
+         |  SELECT qid, nn_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, nn_id) AS rn
+         |  FROM adc) WHERE rn <= $PqRerank),
+         |rer AS (SELECT s.qid, s.nn_id, ${dist2Sql("x.v", "c.v")} AS d2
+         |        FROM short s JOIN e x ON x.vec_id = s.qid
+         |                     JOIN e c ON c.vec_id = s.nn_id)
+         |SELECT qid, nn_id, d2 FROM (
+         |  SELECT qid, nn_id, d2,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nn_id) AS rn
+         |  FROM rer) WHERE rn = 1 ORDER BY qid""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH e AS ($eSql),

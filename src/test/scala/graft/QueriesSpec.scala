@@ -1793,7 +1793,7 @@ class QueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val out = SparkEntry.queries("ann_recall")(spark, Sf0001)
       .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    assert(out.size == 6) // recallTiers, ann_ivfpq included since r13
+    assert(out.size == 7) // recallTiers — ivfpq + ivfpq_rerank since r13
     out.values.foreach { case (m, nRet, nHits, rate) =>
       assert(nRet > 0 && nHits >= 0 && nHits <= nRet, s"$m: hits outside [0, ret]")
       assert(math.abs(rate - nHits.toDouble / nRet) == 0.0)
@@ -1804,6 +1804,8 @@ class QueriesSpec extends AnyFunSuite {
     // exact re-ranking a shortlist can only improve on raw ADC rank-1
     assert(out("ann_pq_rerank")._4 >= out("ann_pq")._4,
       "re-ranked PQ must not score below raw ADC")
+    assert(out("ann_ivfpq_rerank")._4 >= out("ann_ivfpq")._4,
+      "re-ranked IVFPQ must not score below its raw ADC scan")
     // nprobe probes the query's own cell unconditionally plus nprobe-1
     // others, so its searched set is a SUPERSET of single-cell IVF's —
     // the structural guarantee the RECALL_sf1/sf10 probes showed the
