@@ -1,0 +1,30 @@
+package graft
+
+/** Scale probe for the dedup candidate-tier precision/recall harness —
+  * RecallProbe's shape over `dedup_recall`: runs the oracle-checked
+  * query at a given SF dir and prints one JSON line for a committed
+  * DEDUPRECALL_sf* artifact. The driver's DuckDB gate pins the VALUES
+  * at sf0.01; this snapshot is the evidence that each tier's
+  * precision/recall trade against exact rare-shingle Jaccard truth
+  * holds where the oracle can't follow (sf1/sf10 replicas).
+  */
+object DedupRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(".localdata/sf1")
+    val spark = EngineSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "dedup-recall-probe")
+    val rows = SparkEntry.queries("dedup_recall")(spark, dir)
+      .collect()
+      .map { r =>
+        // NULL-guarded ratios (an empty tier emits NULL, not NaN) —
+        // mirror them as JSON null
+        def ratio(i: Int): String =
+          if (r.isNullAt(i)) "null" else r.getDouble(i).toString
+        s"""{"method":"${r.getString(0)}","n_cand":${r.getLong(1)},""" +
+          s""""n_hit":${r.getLong(2)},"n_true":${r.getLong(3)},""" +
+          s""""precision":${ratio(4)},"recall":${ratio(5)}}"""
+      }
+    println(s"""{"metric":"dedup_recall","dir":"$dir","tiers":[${rows.mkString(",")}]}""")
+    spark.stop()
+  }
+}

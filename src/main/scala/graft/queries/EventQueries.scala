@@ -176,6 +176,36 @@ object EventQueries {
           (col("wk") - col("cohort_wk")).cast("int").as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_wk", "week_offset")
+    }),
+
+    // ---- last-touch attribution: each purchase's most recent prior
+    // touchpoint (click/view) by the same user. The classic conversion-
+    // attribution operator: ONE window pass partitioned by user —
+    // millions of partitions at scale, no funnel — with the
+    // ignore-nulls LAST_VALUE over the preceding frame picking the
+    // latest touch; all three touch columns ride the SAME window (one
+    // sort), and the (ts, event_id) ordering is total, so the pick is
+    // deterministic on both engines. A purchase with no prior touch
+    // emits NULLs (organic conversion — the report's left-join
+    // semantics). Microsecond integer arithmetic throughout
+    // (event_sessions' epoch convention). ----
+    "event_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = col("event_type").isin("click", "view")
+      Tables(s, dir, "events")
+        .withColumn("touch_id",
+          last(when(touch, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("touch_type",
+          last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("touch_us",
+          last(when(touch, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("touch_id"), col("touch_type"),
+          when(col("touch_id").isNotNull,
+            unix_micros(col("ts")) - col("touch_us")).as("us_since_touch"))
+        .orderBy("purchase_id")
     })
   )
 
@@ -269,6 +299,22 @@ object EventQueries {
         |SELECT c.cohort_wk, CAST(uw.wk - c.cohort_wk AS INT) AS week_offset,
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM uw JOIN c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "event_attribution" ->
+      """WITH a AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN event_id END
+        |               IGNORE NULLS) OVER w AS touch_id,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN event_type END
+        |               IGNORE NULLS) OVER w AS touch_type,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN epoch_us(ts) END
+        |               IGNORE NULLS) OVER w AS touch_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
+        |  CASE WHEN touch_id IS NOT NULL THEN us - touch_us END AS us_since_touch
+        |FROM a WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
   )
 }

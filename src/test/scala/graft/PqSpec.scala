@@ -196,6 +196,33 @@ class PqSpec extends AnyFunSuite {
     assert(got.keySet == expected.keySet)
     for ((qid, exp) <- expected)
       assert(got(qid) == exp, s"qid=$qid: engine ${got(qid)} vs recomputed $exp")
+
+    // IVFADC+R: the same probed ADC scores, 32-wide shortlist by
+    // (adc_fp, nn_id), exact distance re-rank — the full two-stage
+    // recomputation against ann_ivfpq_rerank
+    val expectedRr = (0L until 8L).map { qid =>
+      val (qv, qcell) = (vecsById(qid), labelById(qid))
+      val topOther = reps.toSeq.filter(_._1 != qcell)
+        .map { case (cell, rv) => (-cos(qv, rv), cell) }.min._2
+      val probed = Set(qcell, topOther)
+      val scored = probed.toSeq.flatMap { pcell =>
+        val qres = qv.zip(reps(pcell)).map { case (x, y) => x - y }
+        val lut = cb.map { case ((j, cid), c) =>
+          (j, cid) -> fp(dist2(qres.slice(j * 8, j * 8 + 8), c))
+        }
+        codes.toSeq.collect {
+          case (vid, cs) if vid != qid && labelById(vid) == pcell =>
+            (cs.zipWithIndex.map { case (c, j) => lut((j, c)) }.sum, vid)
+        }
+      }
+      val shortlist = scored.sorted.take(32).map(_._2)
+      qid -> shortlist.map(vid => (dist2(qv, vecsById(vid)), vid)).min
+    }.toMap
+    val gotRr = SparkEntry.queries("ann_ivfpq_rerank")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(1)))).toMap
+    assert(gotRr.keySet == expectedRr.keySet)
+    for ((qid, exp) <- expectedRr)
+      assert(gotRr(qid) == exp, s"qid=$qid: rerank engine ${gotRr(qid)} vs recomputed $exp")
   }
 
   test("recon_err_fp equals the per-subspace quantization error sum") {

@@ -1918,6 +1918,35 @@ class QueriesSpec extends AnyFunSuite {
       s"sqrt temperature must flatten the mix: $tempRatio !< $rawRatio")
   }
 
+  test("event_attribution: the driver-side replay of last-touch agrees") {
+    import spark.implicits._
+    val events = Tables(spark, Sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val expected = events.groupBy(_._2).iterator.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._4, e._1))
+      var lastTouch: Option[(Long, String, Long)] = None
+      ordered.flatMap { case (id, _, tpe, us) =>
+        val out =
+          if (tpe == "purchase")
+            Some(id -> lastTouch.map { case (tid, ttpe, tus) =>
+              (tid, ttpe, us - tus)
+            })
+          else None
+        if (tpe == "click" || tpe == "view") lastTouch = Some((id, tpe, us))
+        out
+      }
+    }.toMap
+    val got = SparkEntry.queries("event_attribution")(spark, Sf0001)
+      .select("purchase_id", "touch_id", "touch_type", "us_since_touch")
+      .as[(Long, Option[Long], Option[String], Option[Long])].collect()
+      .map { case (pid, tid, ttpe, dus) =>
+        pid -> tid.map(t => (t, ttpe.get, dus.get))
+      }.toMap
+    assert(got == expected)
+  }
+
   test("bpe_pair_counts: the driver-side recount of adjacent pairs agrees") {
     import spark.implicits._
     val re = graft.queries.TextAnalysisQueries.BpeRegex.r
