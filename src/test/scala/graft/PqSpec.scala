@@ -225,6 +225,28 @@ class PqSpec extends AnyFunSuite {
       assert(gotRr(qid) == exp, s"qid=$qid: rerank engine ${gotRr(qid)} vs recomputed $exp")
   }
 
+  test("ann_pq_indexed: index-served answers are frame-equal to compute-served") {
+    val fromVectors = SparkEntry.queries("ann_pq")(spark, dir)
+    val fromIndex = SparkEntry.queries("ann_pq_indexed")(spark, dir)
+    assert(fromIndex.exceptAll(fromVectors).count() == 0)
+    assert(fromVectors.exceptAll(fromIndex).count() == 0)
+    // the serve-side artifact is genuinely small: the packed-code file
+    // holds ONE BIGINT per vector vs the 64-float embedding rows
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      if (d.isFile) d.length
+      else Option(d.listFiles).map(_.map(f => bytes(f.getPath)).sum).getOrElse(0L)
+    }
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val idx = s"${sys.props("java.io.tmpdir")}/graft-pq-index/$key-k${graft.queries.SimilarityQueries.PqK}"
+    val codesBytes = bytes(s"$idx/codes")
+    val embBytes = bytes(s"$dir/embeddings.parquet")
+    assert(codesBytes > 0 && embBytes > 0)
+    assert(codesBytes < embBytes,
+      s"index codes ($codesBytes B) must undercut the embeddings ($embBytes B)")
+  }
+
   test("recon_err_fp equals the per-subspace quantization error sum") {
     val cb = graft.queries.SimilarityQueries.pqCodebook(spark, dir)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
