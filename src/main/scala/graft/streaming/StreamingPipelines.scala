@@ -9,6 +9,10 @@ import org.apache.spark.sql.types._
 /** Per-user running totals emitted by [[StreamingPipelines.userRunningTotals]]. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+case class Attribution(purchase_id: Long, user_id: Long,
+  touch_id: Option[Long], touch_type: Option[String],
+  us_since_touch: Option[Long])
+
 /** A closed session emitted by [[StreamingPipelines.closedSessions]]. */
 case class ClosedSession(
     user_id: Long, session_start: java.sql.Timestamp,
@@ -462,6 +466,45 @@ object StreamingPipelines {
           closed.sortBy(_._1).iterator.map { case (s, e, n) =>
             ClosedSession(uid, tsOf(s), tsOf(e), n)
           }
+      }
+  }
+
+  /** Streaming last-touch attribution — the batch `event_attribution`
+    * query incrementally (`flatMapGroupsWithState`, no timeout): state is
+    * ONE (touch_id, touch_type, touch_us) triple per user — the latest
+    * click/view seen so far — and each purchase emits its attribution row
+    * in the micro-batch it arrives in. Within a batch the group's rows
+    * are replayed in (event-time, event_id) order, so a same-batch
+    * touch→purchase pair attributes exactly as the batch window would;
+    * across batches the state triple carries forward — O(1) state per
+    * user where the batch form re-sorts each user's full history every
+    * run. Append-mode trade, stated: a touch arriving LATE (after a
+    * later-timestamped purchase was already emitted in a previous batch)
+    * does not retract that purchase's row — the batch query is the
+    * replay oracle when order matters end-to-end (the keyed LSM sink's
+    * contract, transposed).
+    */
+  def attributionStream(events: DataFrame): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, String, Long), Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Long, String, Long)]) =>
+          var touch = state.getOption
+          val out = List.newBuilder[Attribution]
+          rows.toSeq.sortBy(r => (r._4, r._1)).foreach { case (id, _, tpe, us) =>
+            if (tpe == "purchase")
+              out += Attribution(id, uid, touch.map(_._1), touch.map(_._2),
+                touch.map(t => us - t._3))
+            if (tpe == "click" || tpe == "view") touch = Some((id, tpe, us))
+          }
+          touch.foreach(state.update)
+          out.result().iterator
       }
   }
 

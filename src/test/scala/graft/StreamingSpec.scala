@@ -27,10 +27,11 @@ class StreamingSpec extends AnyFunSuite {
     * directory under ONE declared schema, so a mixed-type append breaks
     * the source, not just this row).
     */
-  private def appendLateEvent(dir: String, eventId: Long, us: Long, userId: Long): Unit = {
+  private def appendLateEvent(dir: String, eventId: Long, us: Long, userId: Long,
+      eventType: String = "click"): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    val base = Seq((eventId, us, userId, "click", 1.0, "{}"))
+    val base = Seq((eventId, us, userId, eventType, 1.0, "{}"))
       .toDF("event_id", "us", "user_id", "event_type", "value", "props")
     val withTs = spark.read.parquet(dir).schema("ts").dataType match {
       case LongType => base.withColumn("ts", col("us") * 1000L)
@@ -643,6 +644,45 @@ class StreamingSpec extends AnyFunSuite {
         .toSet
       assert(streamed == batch,
         s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming last-touch attribution: batch-equal in one batch, state carries across batches") {
+    val dir = eventsDir()
+    val q = StreamingPipelines.attributionStream(
+        StreamingPipelines.eventStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib_stream")
+      .trigger(Trigger.ProcessingTime(200))
+      .start()
+    try {
+      q.processAllAvailable()
+      def streamed() = spark.sql(
+        "SELECT purchase_id, touch_id, touch_type, us_since_touch FROM attrib_stream")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None
+           else Some((r.getLong(1), r.getString(2), r.getLong(3))))).toMap
+      val batch = SparkEntry.queries("event_attribution")(spark, SparkTestBase.Sf0001)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None
+           else Some((r.getLong(2), r.getString(3), r.getLong(4))))).toMap
+      assert(streamed() == batch,
+        "one micro-batch replays the whole corpus in event order — must equal the batch query")
+
+      // cross-batch state: a later purchase attributes to the latest
+      // touch the FIRST batch left in the user's state triple
+      val events = Tables(spark, SparkTestBase.Sf0001, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      val (uid, lastTouch) = events.filter(e => e._3 == "click" || e._3 == "view")
+        .groupBy(_._1).view.mapValues(_.maxBy(e => (e._4, e._2))).head
+      val purchaseUs = events.map(_._4).max + 3600L * 1000000L
+      appendLateEvent(dir.toString, 99997L, purchaseUs, uid, eventType = "purchase")
+      q.processAllAvailable()
+      assert(streamed().get(99997L).contains(
+        Some((lastTouch._2, lastTouch._3, purchaseUs - lastTouch._4))),
+        s"late purchase must attribute to the state-carried touch $lastTouch")
     } finally q.stop()
   }
 
