@@ -1131,7 +1131,13 @@ object CurationQueries {
         .select(col("doc_id"),
           coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0))
             .as("qscore"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"))
+          // NULL-text docs cost 0 tokens on BOTH sides: without the
+          // coalesce, Spark's cum (bbase + win + n_tokens) goes NULL and
+          // drops the row where the oracle's window SUM (which ignores
+          // NULLs) would keep it — a latent engine split on data this
+          // corpus happens not to contain
+          coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+            .as("n_tokens"))
         .withColumn("qb", floor(col("qscore") * QualityBuckets).cast("long"))
       val wb = Window.orderBy(col("qb").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1605,7 +1611,7 @@ object CurationQueries {
     "curation_budget" ->
       s"""WITH d AS (SELECT doc_id,
          |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS qscore,
-         |        CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+         |        COALESCE(CAST(len(${tokensSql("text")}) AS BIGINT), 0) AS n_tokens
          |      FROM documents WHERE doc_id IS NOT NULL),
          |c AS (SELECT doc_id, qscore, n_tokens,
          |        CAST(SUM(n_tokens) OVER (ORDER BY qscore DESC, doc_id
