@@ -1369,7 +1369,7 @@ object DedupQueries {
         graft.operators.Checkpoints.fresh(
           queries("dedup_ngram_jaccard")(s, dir).select(col("d1"), col("d2"))))
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
-      Seq("dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_winnowing")
+      dedupRecallTiers
         .map { name =>
           val cand = queries(name)(s, dir).select(col("d1"), col("d2"))
           val nc = cand.agg(count(lit(1)).as("n_cand"))
@@ -1617,6 +1617,13 @@ object DedupQueries {
        |WHERE p.sim >= $SemTau AND NOT isnan(p.sim)
        |ORDER BY d1, d2""".stripMargin
   }
+
+  /** The tiers dedup_recall scores — ONE list consumed by the Spark
+    * query and the spliced oracle (the recallTiers rule), so adding a
+    * tier updates both in lockstep.
+    */
+  private val dedupRecallTiers: Seq[String] =
+    Seq("dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_winnowing")
 
   /** The per-query oracle strings; [[oracles]] adds dedup_recall, which
     * SPLICES the measured tiers' own strings as sub-selects (nested WITH
@@ -1871,11 +1878,10 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = oraclesBase + ("dedup_recall" -> {
-    val tiers = Seq("dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_winnowing")
-    val ctes = tiers.zipWithIndex.map { case (n, i) =>
+    val ctes = dedupRecallTiers.zipWithIndex.map { case (n, i) =>
       s"t$i AS (SELECT d1, d2 FROM (${oraclesBase(n)}) x)"
     }.mkString(",\n")
-    val rows = tiers.zipWithIndex.map { case (n, i) =>
+    val rows = dedupRecallTiers.zipWithIndex.map { case (n, i) =>
       s"""SELECT '$n' AS method,
          |  CAST((SELECT COUNT(*) FROM t$i) AS BIGINT) AS n_cand,
          |  CAST((SELECT COUNT(*) FROM t$i WHERE EXISTS (
