@@ -131,6 +131,9 @@ object TextAnalysisQueries {
     */
   private[graft] val BpeTopK = 16
 
+  /** sample_stratified: docs kept per stratum. */
+  private[graft] val SampleK = 5
+
   /** URL / email patterns — explicit character classes only, so the same
     * literal pattern is Java-regex and RE2 (DuckDB) compatible with no
     * escaping subtleties.
@@ -415,6 +418,38 @@ object TextAnalysisQueries {
         .select(col("doc_id"), h2.as("bucket"),
           when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test").as("split"))
         .orderBy("doc_id")
+    }),
+
+    // ---- exact-k stratified sampling (eval-set construction) ----
+    // sample_split's md5 rule gives a FRACTION per doc; eval sets need
+    // exactly k docs PER STRATUM (here: language), ranked by the same
+    // deterministic md5 order so the sample is stable across runs,
+    // partitionings and engines. A single per-stratum rank window is the
+    // obvious spelling but funnels each stratum's whole corpus into one
+    // task (strata are FEW — the window_rank contrast). Two phases
+    // instead: rank within (stratum, 2-hex md5 shard) — 256 shards per
+    // stratum, bounded partitions — keep k per shard (the stratum's true
+    // top-k must be among them: each survivor beat everything in its own
+    // shard), then rank the ≤ 256·k survivors per stratum. The stage-2
+    // window still partitions by stratum, but over a DESIGN-bounded
+    // input. Total order (md5, doc_id) is engine-identical; the oracle
+    // states the one-window semantics.
+    "sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("sample_key"))
+        .withColumn("shard", substring(col("sample_key"), 1, 2))
+      val w1 = Window.partitionBy("lang", "shard")
+        .orderBy(col("sample_key"), col("doc_id"))
+      val w2 = Window.partitionBy("lang")
+        .orderBy(col("sample_key"), col("doc_id"))
+      d.withColumn("srn", row_number().over(w1)).filter(col("srn") <= SampleK)
+        .withColumn("rank", row_number().over(w2).cast("int"))
+        .filter(col("rank") <= SampleK)
+        .select(col("lang"), col("rank"), col("doc_id"), col("sample_key"))
+        .orderBy("lang", "rank")
     }),
 
     // ---- PII/URL scrubbing (C4-style corpus hygiene): redact URLs and
@@ -959,6 +994,14 @@ object TextAnalysisQueries {
           |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
           |       ELSE 'test' END AS split
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "sample_stratified" ->
+        s"""SELECT lang, CAST(rn AS INT) AS rank, doc_id, sample_key FROM (
+           |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           |  FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL)
+           |WHERE rn <= $SampleK ORDER BY lang, rank""".stripMargin,
 
       "text_scrub" ->
         s"""SELECT doc_id,

@@ -1918,6 +1918,22 @@ class QueriesSpec extends AnyFunSuite {
       s"sqrt temperature must flatten the mix: $tempRatio !< $rawRatio")
   }
 
+  test("sample_stratified: the two-phase plan equals the one-window semantics") {
+    import spark.implicits._
+    val docs = Tables(spark, Sf0001, "documents")
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .as[(String, Long, String)].collect()
+    val expected = docs.groupBy(_._1).iterator.flatMap { case (lang, ds) =>
+      ds.sortBy(d => (d._3, d._2)).take(5).zipWithIndex
+        .map { case ((_, id, h), i) => (lang, i + 1, id, h) }
+    }.toSet
+    val got = SparkEntry.queries("sample_stratified")(spark, Sf0001)
+      .as[(String, Int, Long, String)].collect().toSet
+    assert(got == expected)
+  }
+
   test("event_attribution: the driver-side replay of last-touch agrees") {
     import spark.implicits._
     val events = Tables(spark, Sf0001, "events")
