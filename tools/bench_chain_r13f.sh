@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-13 chain e — third floor rep at the 130-query final HEAD.
+# Round-13 chain f — third floor rep at the 130-query final HEAD.
 # plus event_attribution and ann_pq_indexed). Same regenerated replicas
 # as r13d, so sf1/sf10 floors are same-replica comparable with it.
 # Do NOT compile or run sbt while this chain runs (bench protocol).
