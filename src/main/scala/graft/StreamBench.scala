@@ -106,6 +106,44 @@ object StreamBench {
         .incrementalChunkDedupStream(spark, in, hist, out, ckpt),
       out => graft.sources.Sinks.readKeyedParquet(spark, out).count())
 
+    // ---- last-touch attribution replay (the O(1)-state claim's floor) ----
+    // Events arrive as nBatches TIME-ordered slices (the i-th N-tile of
+    // the event-time range — state carry only means anything if batches
+    // arrive in order), each one micro-batch. The flatness claim: state
+    // per user is one triple, so batch cost tracks the BATCH's rows, not
+    // the accumulated history — unlike the dedup streams there is no
+    // history-proportional probe term at all.
+    val (atTimes, atRows, atOut) = {
+      val events = Tables(spark, sfDir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+      val work = Files.createTempDirectory("graft-streambench-attr").toString
+      val in = s"$work/in"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
+      Files.createDirectories(java.nio.file.Paths.get(in))
+      val us = unix_micros(col("ts"))
+      val mm = events.agg(min(us).as("mn"), max(us).as("mx")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val span = math.max(mx - mn + 1, 1L)
+      val batchOf = least(lit(nBatches - 1),
+        floor(((us - lit(mn)) * nBatches) / lit(span))).cast("int")
+      val q = graft.streaming.StreamingPipelines.attributionStream(
+          spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "16").parquet(in))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      val times = Seq.newBuilder[Double]
+      val rows = Seq.newBuilder[Long]
+      for (i <- 0 until nBatches) {
+        val slice = events.filter(batchOf === i)
+        slice.repartition(1).write.mode("append").parquet(in)
+        rows += slice.count()
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        times += (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      (times.result(), rows.result(), spark.read.parquet(out).count())
+    }
+
     def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     def arrL(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
     def attrJson(ts: Seq[Double], as: Seq[BatchAttribution]): String = {
@@ -122,7 +160,8 @@ object StreamBench {
       s""""doc_sec":${arr(docTimes)},"doc_rows":${arrL(docRows)},"doc_published":$docOut,""" +
       s""""doc_attr":{${attrJson(docTimes, docAttr)}},""" +
       s""""chunk_sec":${arr(chTimes)},"chunk_rows":${arrL(chRows)},"chunk_published":$chOut,""" +
-      s""""chunk_attr":{${attrJson(chTimes, chAttr)}}}"""
+      s""""chunk_attr":{${attrJson(chTimes, chAttr)}},""" +
+      s""""attr_sec":${arr(atTimes)},"attr_rows":${arrL(atRows)},"attr_published":$atOut}"""
     println(full)
     // compact final line (Bench's truncation-proof convention): totals +
     // the first/last-batch ratios the flatness claim rides on — both raw
@@ -130,7 +169,7 @@ object StreamBench {
     def ratio(xs: Seq[Double]): Double = xs.last / math.max(xs.head, 1e-9)
     def exclCompact(ts: Seq[Double], as: Seq[BatchAttribution]): Seq[Double] =
       ts.zip(as).map { case (t, a) => math.max(t - a.compactSec, 1e-9) }
-    println(f"""{"metric":"stream_total","doc_sec_total":${docTimes.sum}%.3f,"chunk_sec_total":${chTimes.sum}%.3f,"doc_last_over_first":${ratio(docTimes)}%.2f,"chunk_last_over_first":${ratio(chTimes)}%.2f,"doc_excl_compact_lof":${ratio(exclCompact(docTimes, docAttr))}%.2f,"chunk_excl_compact_lof":${ratio(exclCompact(chTimes, chAttr))}%.2f,"batches":$nBatches,"sf":"$sfDir"}""")
+    println(f"""{"metric":"stream_total","doc_sec_total":${docTimes.sum}%.3f,"chunk_sec_total":${chTimes.sum}%.3f,"attr_sec_total":${atTimes.sum}%.3f,"doc_last_over_first":${ratio(docTimes)}%.2f,"chunk_last_over_first":${ratio(chTimes)}%.2f,"attr_last_over_first":${ratio(atTimes)}%.2f,"doc_excl_compact_lof":${ratio(exclCompact(docTimes, docAttr))}%.2f,"chunk_excl_compact_lof":${ratio(exclCompact(chTimes, chAttr))}%.2f,"batches":$nBatches,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -141,6 +141,22 @@ object DedupQueries {
       .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
       .distinct()
 
+  /** Per-doc FULL k-min shingle signature (doc_id, ssig): md5 of the
+    * concatenated h0..h{K-1} mins — the same mins [[minhashBands]]
+    * derives, collapsed to one grouping key. Signature-equality grouping
+    * is the UNCAPPED exact-duplicate catcher the LSH cap's recall
+    * defense leans on (a pair sharing all K mins has estimated Jaccard
+    * 1.0); dedup_recall's union tier turns that defense into a number.
+    * Linear: one partial-aggregable groupBy over the shingle table.
+    */
+  private def shingleSigs(s: SparkSession, dir: String): DataFrame = {
+    val mins = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+    shingleTable(s, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        md5(concat_ws("|", (0 until K).map(i => col(s"h$i")): _*)).as("ssig"))
+  }
+
   /** Distinct (doc_id, token) pairs (isNotNull: see [[shingleTable]]). */
   private def tokenTable(s: SparkSession, dir: String): DataFrame =
     tokensOf(Tables(s, dir, "documents"))
@@ -1364,21 +1380,65 @@ object DedupQueries {
     // ann_recall bf precedent), every count is exact, and the two
     // divisions per row are the repo float rule (NULL-guarded so an
     // empty tier emits NULL, never NaN).
+    // The r13 verdict's open question — is the measured sf10 LSH recall
+    // collapse (0.157, DEDUPRECALL_sf10_r13) really covered by the
+    // signature grouping the MaxBucket cap's defense points at? — is the
+    // fourth row: the UNION of full-signature groups (every pair of docs
+    // sharing the complete k-min shingle signature — dedup_minhash's
+    // grouping transposed to the LSH family's own shingle signatures,
+    // which is UNCAPPED: grouping is a linear aggregation, only the
+    // pair self-join needed the cap) with the LSH candidate pairs.
+    // Counted by CLUSTER-EQUIVALENCE, never materialized: a same-sig
+    // GROUP of size g implies g(g-1)/2 pairs (exact integer arithmetic
+    // on group sizes), truth pairs are union-hit iff same-sig OR in the
+    // LSH pair set (two 1:1 joins + one left probe), and the overlap
+    // term (LSH pairs already same-sig) closes the inclusion-exclusion
+    // — so the union row costs three linear joins where materializing
+    // hot-group pairs would be quadratic in duplication density,
+    // exactly the door the cap exists to keep shut.
     "dedup_recall" -> ((s, dir) => {
       val truth = graft.operators.Checkpoints.retire(
         graft.operators.Checkpoints.fresh(
           queries("dedup_ngram_jaccard")(s, dir).select(col("d1"), col("d2"))))
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
-      dedupRecallTiers
-        .map { name =>
-          val cand = queries(name)(s, dir).select(col("d1"), col("d2"))
-          val nc = cand.agg(count(lit(1)).as("n_cand"))
-          val hit = cand.join(truth, Seq("d1", "d2"), "left_semi")
-            .agg(count(lit(1)).as("n_hit"))
-          nc.crossJoin(hit).crossJoin(nTrue)
-            .select(lit(name).as("method"), col("n_cand"), col("n_hit"),
-              col("n_true"))
-        }.reduce(_ union _)
+      // the LSH pair frame feeds its own tier row AND the union row —
+      // one materialization (the truth-frame precedent)
+      val lsh = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.fresh(
+          queries("dedup_minhash_lsh")(s, dir).select(col("d1"), col("d2"))))
+      def tierRow(name: String, cand: DataFrame): DataFrame = {
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val hit = cand.join(truth, Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nc.crossJoin(hit).crossJoin(nTrue)
+          .select(lit(name).as("method"), col("n_cand"), col("n_hit"),
+            col("n_true"))
+      }
+      val tierRows = dedupRecallTiers.map {
+        case n @ "dedup_minhash_lsh" => tierRow(n, lsh)
+        case n => tierRow(n, queries(n)(s, dir).select(col("d1"), col("d2")))
+      }
+      val sig = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(shingleSigs(s, dir)))
+      val nSig = sig.groupBy("ssig").agg(count(lit(1)).as("g"))
+        .agg(coalesce(sum(col("g") * (col("g") - lit(1))), lit(0L)).as("t"))
+        .select(expr("t div 2").as("n_sig"))
+      val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+      val s1 = sig.select(col("doc_id").as("d1"), col("ssig").as("s1"))
+      val s2 = sig.select(col("doc_id").as("d2"), col("ssig").as("s2"))
+      val nOverlap = lsh.join(s1, Seq("d1")).join(s2, Seq("d2"))
+        .filter(col("s1") === col("s2"))
+        .agg(count(lit(1)).as("n_overlap"))
+      val uHit = truth.join(s1, Seq("d1")).join(s2, Seq("d2"))
+        .join(lsh.withColumn("inlsh", lit(1)), Seq("d1", "d2"), "left")
+        .agg(coalesce(sum(when(col("s1") === col("s2") ||
+          col("inlsh").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_hit"))
+      val unionRow = nSig.crossJoin(nLsh).crossJoin(nOverlap)
+        .crossJoin(uHit).crossJoin(nTrue)
+        .select(lit("union_sig_lsh").as("method"),
+          (col("n_sig") + col("n_lsh") - col("n_overlap")).as("n_cand"),
+          col("n_hit"), col("n_true"))
+      (tierRows :+ unionRow).reduce(_ union _)
         .select(col("method"), col("n_cand"), col("n_hit"), col("n_true"),
           when(col("n_cand") > 0,
             col("n_hit").cast("double") / col("n_cand").cast("double"))
@@ -1881,14 +1941,35 @@ object DedupQueries {
     val ctes = dedupRecallTiers.zipWithIndex.map { case (n, i) =>
       s"t$i AS (SELECT d1, d2 FROM (${oraclesBase(n)}) x)"
     }.mkString(",\n")
-    val rows = dedupRecallTiers.zipWithIndex.map { case (n, i) =>
+    // the LSH tier's CTE doubles as the union row's pair set
+    val tl = s"t${dedupRecallTiers.indexOf("dedup_minhash_lsh")}"
+    val sigConcat = (0 until K).map(i => s"h$i").mkString(" || '|' || ")
+    val rows = (dedupRecallTiers.zipWithIndex.map { case (n, i) =>
       s"""SELECT '$n' AS method,
          |  CAST((SELECT COUNT(*) FROM t$i) AS BIGINT) AS n_cand,
          |  CAST((SELECT COUNT(*) FROM t$i WHERE EXISTS (
          |    SELECT 1 FROM tr WHERE tr.d1 = t$i.d1 AND tr.d2 = t$i.d2)) AS BIGINT) AS n_hit""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    } :+
+      s"""SELECT 'union_sig_lsh' AS method,
+         |  (SELECT n_sig FROM nsp) + (SELECT n_lsh FROM nlsh)
+         |    - (SELECT n_overlap FROM novl) AS n_cand,
+         |  (SELECT n_hit FROM uhit) AS n_hit""".stripMargin)
+      .mkString("\nUNION ALL\n")
     s"""WITH tr AS (SELECT d1, d2 FROM (${oraclesBase("dedup_ngram_jaccard")}) x),
        |$ctes,
+       |sg AS (SELECT doc_id, md5($sigConcat) AS ssig
+       |       FROM (SELECT doc_id, ${minhashMinsSql(K)}
+       |             FROM ($shSqlRel) GROUP BY doc_id)),
+       |nsp AS (SELECT CAST(COALESCE(SUM(g * (g - 1)), 0) // 2 AS BIGINT) AS n_sig
+       |        FROM (SELECT count(*) AS g FROM sg GROUP BY ssig)),
+       |nlsh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM $tl),
+       |novl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap FROM $tl
+       |         JOIN sg a ON a.doc_id = $tl.d1 JOIN sg b ON b.doc_id = $tl.d2
+       |         WHERE a.ssig = b.ssig),
+       |uhit AS (SELECT CAST(COALESCE(SUM(CASE WHEN a.ssig = b.ssig OR EXISTS (
+       |           SELECT 1 FROM $tl WHERE $tl.d1 = tr.d1 AND $tl.d2 = tr.d2)
+       |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+       |         FROM tr JOIN sg a ON a.doc_id = tr.d1 JOIN sg b ON b.doc_id = tr.d2),
        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tr)
        |SELECT method, n_cand, n_hit, n_true,
        |  CASE WHEN n_cand > 0

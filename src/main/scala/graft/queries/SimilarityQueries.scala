@@ -265,6 +265,15 @@ object SimilarityQueries {
     * its candidate cells. Total cost: KmIter+1 corpus scans, KmIter tiny
     * (K·dim-row) exchanges, zero corpus-scale shuffles.
     */
+  /** The (vec_id, v) Lloyd training/assignment corpus — ONE spelling
+    * shared by [[kmeansAssign]] and knn_join's centroid access, so the
+    * cached-centroid key and the corpus they were trained on cannot
+    * drift. The repartition rationale lives in [[kmeansAssign]].
+    */
+  private def kmCorpus(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).filter(col("v").isNotNull).select("vec_id", "v")
+      .repartition(s.sparkContext.defaultParallelism)
+
   private[graft] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     // The assignment pass is compute-AMPLIFIED: K·dim multiply-adds per
     // row, with K corpus-derived — so a compact-in-bytes embeddings table
@@ -280,8 +289,7 @@ object SimilarityQueries {
     // ReusedExchange, one instance per projection shape); the
     // fixed-point centroid sums are order-free, so the shuffle cannot
     // perturb results.
-    val e = vecs(s, dir).filter(col("v").isNotNull).select("vec_id", "v")
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = kmCorpus(s, dir)
     // Trained centroids are session-cached (K·dim-bounded, K ≤ KmMaxK —
     // a few thousand narrow rows): embedding_kmeans,
     // dedup_semantic_kmeans, and dedup_clusters_multi's edge union all
@@ -291,7 +299,18 @@ object SimilarityQueries {
     // argmin pass. The fixed-point centroid arithmetic is deterministic,
     // so cached-vs-retrained centroids are bit-identical and the oracle's
     // CTE chain still mirrors them exactly.
-    val cents = graft.operators.SessionCache.frame(s, dir, "kmeans-centroids") {
+    kmAssign(e, kmeansCentroids(s, dir, e))
+  }
+
+  /** The session-cached trained centroid frame (cid, c) — factored out
+    * of [[kmeansAssign]] so knn_join's probe rule can rank cells against
+    * the SAME centroids the assignment used (a probe ranked against
+    * anything else silently breaks the own-cell ⊆ probed-cells
+    * invariant). `e` must be the same (vec_id, v) corpus the assignment
+    * passes scan.
+    */
+  private def kmeansCentroids(s: SparkSession, dir: String, e: DataFrame): DataFrame =
+    graft.operators.SessionCache.frame(s, dir, "kmeans-centroids") {
       // K from the corpus count — one eager build-time action (the
       // dedup_clusters precedent); deterministic, and the oracle's SQL
       // derives the identical K from the identical COUNT(*)
@@ -300,8 +319,6 @@ object SimilarityQueries {
       for (_ <- 1 to KmIter) c = kmUpdate(kmAssign(e, c))
       graft.operators.Checkpoints.fresh(c)
     }
-    kmAssign(e, cents)
-  }
 
   // ===== product quantization (Jégou/Douze/Schmid, TPAMI 2011) =====
   // The at-scale ANN memory trade int8 quantization can't reach: split
@@ -339,6 +356,11 @@ object SimilarityQueries {
   // 32-wide re-rank recovers it; at 100 TB the re-rank reads PqRerank
   // full vectors per query instead of the corpus.
   private[graft] val PqRerank = 32
+
+  /** knn_join: neighbors kept per corpus vector (the kNN-graph degree —
+    * SemDeDup/semantic-clustering consumers want a small constant).
+    */
+  private[graft] val KnnK = 3
 
   /** Subvector relation (vec_id, j, sv): one row per (vector, subspace),
     * `sv` the j-th PqDsub-dim slice. Linear ×PqM expansion of the corpus
@@ -469,8 +491,19 @@ object SimilarityQueries {
     * codeword can die in training).
     */
   private def pqLut(e: DataFrame, cb: DataFrame): DataFrame =
-    e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    pqLutOf(
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv")),
+      cb)
+
+  /** [[pqLut]] over an ARBITRARY (qid, qv) query frame — knn_join's
+    * corpus-side serving makes every vector a query, so the ADC-table
+    * stage is factored on the query frame, not the NQueries filter.
+    * Linear: ×(PqM·PqK) expansion of the query set, grouped straight
+    * back to one MAP row per query.
+    */
+  private def pqLutOf(q: DataFrame, cb: DataFrame): DataFrame =
+    q
       .select(col("qid"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("qv"))
       .select(col("qid"), col("j"),
         slice(col("qv"), col("j") * lit(PqDsub) + lit(1), lit(PqDsub)).as("qs"))
@@ -921,6 +954,72 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
+    // ---- corpus-side kNN join: EVERY vector's top-k, index-served ----
+    // The composition semantic dedup and clustering consume at 100 TB:
+    // not NQueries point lookups but the full kNN graph — each corpus
+    // vector's KnnK nearest neighbors — built WITHOUT the all-pairs
+    // join. Three bounded ingredients compose: (a) the SemDeDup k-means
+    // cells (corpus-derived K ≈ n/KmCell, so mean cell size is a design
+    // CONSTANT and per-cell work stays bounded as the corpus grows —
+    // a fixed nlist would go quadratic-within-cell at 100×; this is why
+    // the cells here are the derived-K clustering, not the fixed label
+    // partition the point-query IVF tiers demo on); (b) the IVFADC
+    // probe rule — own cell ∪ top-(NProbe−1) centroid-ranked others
+    // (rank by the SAME L2 the assignment used; ties to the smaller
+    // cid) — so a vector sitting on a cell boundary still sees its
+    // across-the-border neighbors; (c) the PERSISTED PQ index
+    // (ann_pq_indexed's build/serve split): the corpus side of the
+    // candidate join reads ONLY packed codes, 64× smaller than the
+    // vectors, and every distance is integer ADC probes of a per-query
+    // LUT. The one corpus×corpus-shaped step — codes ⋈ probed cells —
+    // is an EQUI-join on the cell id: candidates per query ≈
+    // NProbe·KmCell by construction, the exchange is hash-partitioned
+    // on a key with design-bounded multiplicity on the member side, and
+    // the TopK aggregator prunes to KnnK map-side. Everything is exact
+    // integer arithmetic after the LUT floor, so ranks mirror in SQL.
+    "knn_join" -> ((s, dir) => {
+      val asg = kmeansAssign(s, dir)
+      val q = asg.select(col("vec_id").as("qid"), col("cluster").as("qcell"),
+        col("v").as("qv"))
+      val cents = kmeansCentroids(s, dir, kmCorpus(s, dir))
+      val cellK = udaf(new graft.functions.TopK(NProbe - 1))
+      // negated d2 under TopK's (score DESC, id ASC) = (d2 ASC, cid ASC)
+      val probes = q.crossJoin(broadcast(cents))
+        .filter(col("cid") =!= col("qcell"))
+        .select(col("qid"), (-dist2(col("qv"), col("c"))).as("nscore"),
+          col("cid"))
+        .groupBy("qid")
+        .agg(cellK(col("nscore"), col("cid").cast("long")).as("cells"))
+        .select(col("qid"), explode(col("cells")).as("x"))
+        .select(col("qid"), col("x.nn_id").cast("int").as("pcell"))
+        .union(q.select(col("qid"), col("qcell").as("pcell")))
+      val idx = pqIndexDir(s, dir)
+      val cb = s.read.parquet(s"$idx/codebook")
+      val mask = (1L << PqBits) - 1
+      val codes = s.read.parquet(s"$idx/codes")
+        .select(col("vec_id"),
+          expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"j -> CAST(shiftright(codes_packed, j * $PqBits) & ${mask}L AS INT))")
+            .as("codes"))
+        .join(asg.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      val plut = probes.join(pqLutOf(q.select(col("qid"), col("qv")), cb),
+        Seq("qid"))
+      val topk = udaf(new graft.functions.TopK(KnnK))
+      codes.join(plut, col("cluster") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn_id"),
+          aggregate(
+            zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
+              (cd, j) => element_at(col("lut"), j * lit(PqK) + cd)),
+            lit(0L), (acc, x) => acc + x).as("adc_fp"))
+        .groupBy("qid")
+        .agg(topk((-col("adc_fp")).cast("double"), col("nn_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.nn_id").as("nn_id"),
+          (-col("col.sim")).cast("long").as("adc_fp"))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- IVF-PQ (IVFADC): probed coarse cells, residual-PQ ADC scan ----
     // The composition production ANN deploys at 100 TB: the corpus is
     // coarse-partitioned (IVF cells = `label`, the ann_ivf data model),
@@ -1068,7 +1167,14 @@ object SimilarityQueries {
         graft.operators.Checkpoints.fresh(
           queries("ann_bruteforce")(s, dir).select(col("qid"), col("nn_id"))))
       recallTiers.map { name =>
+        // qid < NQueries is a no-op for the point-query tiers (their
+        // output IS the query set) but restricts knn_join — whose graph
+        // covers the corpus — to the laddered queries; Catalyst pushes
+        // the predicate through the aggregate and down both join sides
+        // (qid is the equi-key everywhere), so the tier costs a point
+        // lookup, not the full graph.
         val m = queries(name)(s, dir).select(col("qid"), col("nn_id"))
+          .filter(col("qid") < NQueries)
         val hits = m.join(bf, Seq("qid", "nn_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
         val ret = m.agg(count(lit(1)).as("n_ret"))
@@ -1088,7 +1194,7 @@ object SimilarityQueries {
     */
   private[graft] val recallTiers: Seq[String] = Seq("ann_topk_agg", "ann_ivf",
     "ann_ivf_nprobe", "ann_pq", "ann_pq_rerank", "ann_ivfpq",
-    "ann_ivfpq_rerank")
+    "ann_ivfpq_rerank", "knn_join")
 
   private val eSql = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
@@ -1347,6 +1453,41 @@ object SimilarityQueries {
          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nn_id) AS rn
          |  FROM rer) WHERE rn = 1 ORDER BY qid""".stripMargin,
 
+    // pqCtes is the OUTER chain (its e/codebook/codes feed the ADC); the
+    // k-means cell machinery nests twice as parenthesized sub-WITHs (the
+    // recall-splice precedent — two CTE chains both defining `e` cannot
+    // share one WITH; the nested e is textually identical to the outer
+    // one, so the relations agree).
+    "knn_join" ->
+      s"""WITH $pqCtes,
+         |asg AS (SELECT vec_id, cluster FROM (WITH $kmeansCtes
+         |        SELECT vec_id, cluster FROM $kmFinalAsg) x),
+         |cents AS (SELECT cid, c FROM (WITH $kmeansCtes
+         |        SELECT cid, c FROM c$KmIter) x),
+         |q AS (SELECT e.vec_id AS qid, a.cluster AS qcell, e.v AS qv
+         |      FROM e JOIN asg a ON a.vec_id = e.vec_id),
+         |ranked AS (SELECT qid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |                       ORDER BY ${dist2Sql("qv", "c")}, cid) AS crk
+         |  FROM q CROSS JOIN cents WHERE cid <> qcell),
+         |probes AS (SELECT qid, cid AS pcell FROM ranked WHERE crk <= ${NProbe - 1}
+         |           UNION ALL SELECT qid, qcell AS pcell FROM q),
+         |qs AS (SELECT vec_id AS qid, j, v[(j*$PqDsub+1):(j*$PqDsub+$PqDsub)] AS qsv
+         |       FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)),
+         |lut AS (SELECT q2.qid, c.j, c.cid,
+         |               CAST(floor(${dist2Sql("q2.qsv", "c.c")} * $KmScale.0) AS BIGINT) AS lfp
+         |        FROM qs q2 JOIN $pqFinalBook c ON q2.j = c.j),
+         |adc AS (SELECT p.qid, cd.vec_id AS nn_id, CAST(SUM(l.lfp) AS BIGINT) AS adc_fp
+         |        FROM $pqFinalAsg cd
+         |        JOIN asg a ON a.vec_id = cd.vec_id
+         |        JOIN probes p ON p.pcell = a.cluster AND cd.vec_id <> p.qid
+         |        JOIN lut l ON l.qid = p.qid AND l.j = cd.j AND l.cid = cd.code
+         |        GROUP BY 1, 2)
+         |SELECT qid, CAST(rn AS INT) AS rank, nn_id, adc_fp FROM (
+         |  SELECT qid, nn_id, adc_fp,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, nn_id) AS rn
+         |  FROM adc) WHERE rn <= $KnnK ORDER BY qid, rank""".stripMargin,
+
     "ann_bruteforce" ->
       s"""WITH e AS ($eSql),
          |scored AS (
@@ -1488,7 +1629,9 @@ object SimilarityQueries {
     // the oracle IS ann_pq's string
     ("ann_pq_indexed" -> oraclesBase("ann_pq")) + ("ann_recall" -> {
     val ctes = recallTiers.zipWithIndex.map { case (n, i) =>
-      s"m$i AS (SELECT qid, nn_id FROM (${oraclesBase(n)}) t)"
+      // the qid filter mirrors the Spark tier restriction (a no-op for
+      // the point-query tiers, the ladder window for knn_join)
+      s"m$i AS (SELECT qid, nn_id FROM (${oraclesBase(n)}) t WHERE qid < $NQueries)"
     }.mkString(",\n")
     val rows = recallTiers.zipWithIndex.map { case (n, i) =>
       s"""SELECT '$n' AS method,

@@ -131,6 +131,21 @@ object TextAnalysisQueries {
     */
   private[graft] val BpeTopK = 16
 
+  /** [[BpeRegex]] with the \x1F delimiter char RESERVED out of the
+    * single-symbol class: bpe_merges frames token sequences as
+    * \x1F-delimited strings, so a corpus that happened to contain the
+    * delimiter would otherwise forge token boundaries. Same literal in
+    * Java regex and RE2 (explicit classes, \xhh escapes both places).
+    */
+  private[graft] val BpeMergeRegex =
+    "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r\\x1F]"
+
+  /** bpe_merges: training rounds (merges learned). A design constant —
+    * plan depth must not be data-dependent; production picks vocab-size
+    * rounds (~30k), each round the same linear plan.
+    */
+  private[graft] val BpeRounds = 6
+
   /** sample_stratified: docs kept per stratum. */
   private[graft] val SampleK = 5
 
@@ -916,6 +931,59 @@ object TextAnalysisQueries {
         .withColumn("rank", row_number().over(w).cast("int"))
         .select(col("rank"), col("lhs"), col("rhs"), col("n"))
         .orderBy("rank")
+    }),
+
+    // ---- iterated BPE training: BpeRounds merges, each applied ----
+    // bpe_pair_counts is ONE training round; the tokenizer loop applies
+    // the winning merge and recounts (Sennrich et al., arXiv:1508.07909
+    // alg. 1). The merge APPLICATION — greedy left-to-right, non-
+    // overlapping, the reference BPE semantics — is expressed in the
+    // STRING domain so it stays a linear projection: the token list is
+    // framed as SEP·t1·SEP SEP·t2·SEP… (every token wrapped in \x1F
+    // delimiters, [[BpeMergeRegex]] reserves the delimiter char from the
+    // alphabet, so a match is token-aligned by construction), and one
+    // literal `replace(s, ·L··R·, ·LR·)` per round IS the greedy pass:
+    // both engines' replace scans left-to-right and resumes after each
+    // match, which for the only self-overlapping pattern (L = R runs)
+    // picks exactly BPE's alternate pairing. Per round: one corpus-string
+    // materialization ([[graft.operators.Checkpoints]] — the frame feeds
+    // both the pair count and the next round, and without it the lineage
+    // re-derives round r from scratch 2^(N-r) times), one map-side-
+    // combined pair count, one TakeOrderedAndProject(1) winner — no
+    // corpus shuffle anywhere, so the N-round loop is N linear passes at
+    // 100 TB. The winner crossJoin is a 1-row broadcast (the nTrue
+    // precedent); an exhausted corpus (no pairs left) simply stops
+    // emitting rounds on both engines.
+    "bpe_merges" -> ((s, dir) => {
+      val Sep = "\u001F"
+      var cur = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(concat(lit(Sep),
+          array_join(regexp_extract_all(col("text"), lit(BpeMergeRegex), lit(0)),
+            Sep + Sep),
+          lit(Sep)).as("s"))
+      val winners = (1 to BpeRounds).map { r =>
+        val curM = graft.operators.Checkpoints.retire(
+          graft.operators.Checkpoints.corpusScaled(cur))
+        val pairs = curM
+          .select(split(expr("substring(s, 2, length(s) - 2)"), Sep + Sep).as("tv"))
+          .filter(size(col("tv")) >= 2)
+          .select(explode(zip_with(
+            slice(col("tv"), lit(1), size(col("tv")) - 1),
+            slice(col("tv"), lit(2), size(col("tv")) - 1),
+            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+          .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        val w = graft.operators.Checkpoints.retire(graft.operators.Checkpoints.fresh(
+          pairs.groupBy("lhs", "rhs").agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)))
+        cur = curM
+          .crossJoin(broadcast(w.select(col("lhs").as("wl"), col("rhs").as("wr"))))
+          .select(replace(col("s"),
+            concat(lit(Sep), col("wl"), lit(Sep + Sep), col("wr"), lit(Sep)),
+            concat(lit(Sep), col("wl"), col("wr"), lit(Sep))).as("s"))
+        w.select(lit(r).as("round"), col("lhs"), col("rhs"), col("n"))
+      }
+      winners.reduce(_ unionByName _).orderBy("round")
     })
   )
 
@@ -1272,7 +1340,37 @@ object TextAnalysisQueries {
            |SELECT CAST(rn AS INT) AS rank, lhs, rhs, n FROM (
            |  SELECT lhs, rhs, n,
            |         ROW_NUMBER() OVER (ORDER BY n DESC, lhs, rhs) AS rn FROM c)
-           |WHERE rn <= $BpeTopK ORDER BY rank""".stripMargin
+           |WHERE rn <= $BpeTopK ORDER BY rank""".stripMargin,
+
+      // the iterated form unrolled: s{r} (delimiter-framed strings) →
+      // p{r} (zipped-unnest pairs) → w{r} (1-row winner) → s{r+1}
+      // (literal replace = the greedy merge pass). chr(31) = \x1F.
+      "bpe_merges" -> {
+        val sep = "chr(31)"
+        val sep2 = s"$sep || $sep"
+        val sb = new StringBuilder
+        sb.append(
+          s"""WITH s1 AS (SELECT $sep || array_to_string(
+             |              regexp_extract_all(text, '$BpeMergeRegex'), $sep2) || $sep AS s
+             |            FROM documents WHERE doc_id IS NOT NULL)""".stripMargin)
+        for (r <- 1 to BpeRounds) {
+          sb.append(",\n").append(
+            s"""p$r AS (SELECT unnest(tv[1:len(tv)-1]) AS lhs, unnest(tv[2:len(tv)]) AS rhs
+               |      FROM (SELECT string_split(s[2:len(s)-1], $sep2) AS tv FROM s$r)
+               |      WHERE len(tv) >= 2),
+               |w$r AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n FROM p$r
+               |      GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1)""".stripMargin)
+          if (r < BpeRounds) sb.append(",\n").append(
+            s"""s${r + 1} AS (SELECT replace(s, $sep || lhs || $sep2 || rhs || $sep,
+               |                  $sep || lhs || rhs || $sep) AS s
+               |      FROM s$r CROSS JOIN w$r)""".stripMargin)
+        }
+        sb.append("\n").append((1 to BpeRounds)
+          .map(r => s"SELECT CAST($r AS INT) AS round, lhs, rhs, n FROM w$r")
+          .mkString("\nUNION ALL\n"))
+        sb.append("\nORDER BY round")
+        sb.toString
+      }
     )
   }
 }

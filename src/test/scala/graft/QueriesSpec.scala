@@ -1793,7 +1793,7 @@ class QueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val out = SparkEntry.queries("ann_recall")(spark, Sf0001)
       .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    assert(out.size == 7) // recallTiers — ivfpq + ivfpq_rerank since r13
+    assert(out.size == 8) // recallTiers — knn_join joined the ladder in r14
     out.values.foreach { case (m, nRet, nHits, rate) =>
       assert(nRet > 0 && nHits >= 0 && nHits <= nRet, s"$m: hits outside [0, ret]")
       assert(math.abs(rate - nHits.toDouble / nRet) == 0.0)
@@ -1859,9 +1859,11 @@ class QueriesSpec extends AnyFunSuite {
       .select("method", "n_cand", "n_hit", "n_true", "precision", "recall")
       .as[(String, Long, Long, Long, Option[Double], Option[Double])]
       .collect().map(r => r._1 -> r).toMap
-    assert(out.keySet ==
-      Set("dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_winnowing"))
-    for ((name, (_, nCand, nHit, nTrue, p, r)) <- out) {
+    assert(out.keySet == Set("dedup_minhash_lsh", "dedup_simhash_pairs",
+      "dedup_winnowing", "union_sig_lsh"))
+    // the union tier's counts are cluster-equivalence arithmetic, not a
+    // pair-set intersection — verified exactly by its own spec below
+    for ((name, (_, nCand, nHit, nTrue, p, r)) <- out - "union_sig_lsh") {
       val cand = pairs(name)
       assert(nCand == cand.size, s"$name: n_cand")
       assert(nHit == (cand & truth).size, s"$name: n_hit is the intersection")
@@ -1982,5 +1984,97 @@ class QueriesSpec extends AnyFunSuite {
     val got = SparkEntry.queries("bpe_pair_counts")(spark, Sf0001)
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got == expected)
+  }
+
+  test("bpe_merges: the string-replace rounds equal token-level greedy BPE") {
+    import spark.implicits._
+    val re = graft.queries.TextAnalysisQueries.BpeMergeRegex.r
+    def applyMerge(tv: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < tv.length) {
+        if (i + 1 < tv.length && tv(i) == l && tv(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += tv(i); i += 1 }
+      }
+      out.toArray
+    }
+    var corpus = Tables(spark, Sf0001, "documents")
+      .filter(col("doc_id").isNotNull).select("text").as[String].collect()
+      .map(t => re.findAllIn(t).toArray)
+    val expected = (1 to graft.queries.TextAnalysisQueries.BpeRounds).map { r =>
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]
+      corpus.foreach { tv =>
+        tv.indices.dropRight(1).foreach { i =>
+          counts((tv(i), tv(i + 1))) =
+            counts.getOrElse((tv(i), tv(i + 1)), 0L) + 1L
+        }
+      }
+      val ((l, rr), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      corpus = corpus.map(applyMerge(_, l, rr))
+      (r, l, rr, n)
+    }
+    val got = SparkEntry.queries("bpe_merges")(spark, Sf0001)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("knn_join: graph shape, probe-rule containment, ADC rank order") {
+    import spark.implicits._
+    val knn = SparkEntry.queries("knn_join")(spark, Sf0001)
+      .as[(Long, Int, Long, Long)].collect()
+    val nVec = Tables(spark, Sf0001, "embeddings")
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull).count()
+    // every vector is a query and (at this geometry: cells ≫ k) finds a
+    // full top-k; no self-edges; ranks contiguous; ADC non-decreasing
+    assert(knn.length == nVec * graft.queries.SimilarityQueries.KnnK)
+    assert(knn.forall { case (q, _, nn, _) => q != nn })
+    knn.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to rows.length), s"qid $q ranks")
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sorted.toSeq,
+        s"qid $q adc order")
+      // ties broken toward the smaller nn_id
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 < b._4 || a._3 < b._3)
+        case _ => ()
+      }
+    }
+    // neighbors come from probed cells only: ≤ NProbe distinct clusters
+    // per query (via the kmeans assignment both share)
+    val cluster = SparkEntry.queries("embedding_kmeans")(spark, Sf0001)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    knn.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(r => cluster(r._3)).distinct.length <= 2, s"qid $q cells")
+    }
+  }
+
+  test("dedup_recall: the union tier's inclusion-exclusion counts are exact") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{shingles3, tokens}
+    val K = graft.queries.DedupQueries.K
+    val mins = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+    val sig = Tables(spark, Sf0001, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .distinct()
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        md5(concat_ws("|", (0 until K).map(i => col(s"h$i")): _*)).as("ssig"))
+      .as[(Long, String)].collect().toMap
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, Sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val truth = SparkEntry.queries("dedup_ngram_jaccard")(spark, Sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val nSig = sig.values.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val sameSig = (p: (Long, Long)) => sig(p._1) == sig(p._2)
+    val expCand = nSig + lsh.size - lsh.count(sameSig)
+    val expHit = truth.count(p => sameSig(p) || lsh(p)).toLong
+    val row = SparkEntry.queries("dedup_recall")(spark, Sf0001)
+      .filter(col("method") === "union_sig_lsh")
+      .select("n_cand", "n_hit", "n_true").as[(Long, Long, Long)].head()
+    assert(row == ((expCand, expHit, truth.length.toLong)))
   }
 }
