@@ -57,8 +57,22 @@ object VectorFunctions {
     * NULL-degrade here — k-means' reason to prefer L2 over cosine).
     * (x−y)² is never −0.0, so the 0.0-init fold is bit-identical to
     * DuckDB's first-element-init `list_reduce` ([[dist2Sql]]).
+    * Native code-generated [[graft.expressions.Dist2]] — the ADC-table
+    * stage evaluates this corpus × PqM·PqK times for knn_join, where the
+    * interpreted HOF lambdas were the measured bottleneck; [[dist2Hof]]
+    * keeps the composed-builtin form as the semantic reference it is
+    * spec-pinned bit-equal to.
     */
   def dist2(a: Column, b: Column): Column =
+    graft.bridge.SparkInternals.column(
+      graft.expressions.Dist2(
+        graft.bridge.SparkInternals.expression(a),
+        graft.bridge.SparkInternals.expression(b)))
+
+  /** The same fold as composed built-ins — [[dist2]]'s semantic
+    * reference (see [[dotHof]]).
+    */
+  def dist2Hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
   /** Elementwise difference a − b (the IVF residual): per-element IEEE

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -512,7 +512,29 @@ object SimilarityQueries {
         floor(dist2(col("qs"), col("c")) * KmScale).cast("long").as("lfp"))
       .groupBy("qid")
       .agg(map_from_arrays(collect_list(col("slot")),
-        collect_list(col("lfp"))).as("lut"))
+        collect_list(col("lfp"))).as("m"))
+      // DENSE slot array (PqM·PqK entries, NULL at dead-codeword slots —
+      // which no emitted code ever references): the serving scan's probe
+      // becomes an O(1) codegen'd element_at instead of an O(PqK) keyed
+      // map lookup inside an interpreted lambda. One 128-probe transform
+      // per QUERY row buys PqM O(1) probes per CANDIDATE row — the side
+      // of the trade that scales ([[adcSum]]).
+      .select(col("qid"),
+        transform(sequence(lit(0), lit(PqM * PqK - 1)),
+          s0 => element_at(col("m"), s0)).as("lut"))
+
+  /** Fully codegen'd ADC sum Σⱼ lut[j·PqK + codes[j]] over [[pqLutOf]]'s
+    * DENSE slot array: PqM statically-unrolled element_at probes (both
+    * 1-based) folded with `+` — ordinary Catalyst expressions end to
+    * end, so the serving scan's hot loop stays inside whole-stage
+    * codegen. The HOF spelling this replaced (aggregate ∘ zip_with over
+    * a keyed MAP) ran interpreted with an O(PqK) scan per probe — knn
+    * measured it at ~10× this form's cost on the corpus-side join.
+    */
+  private def adcSum(codes: Column, lut: Column): Column =
+    (0 until PqM).map(j =>
+      element_at(lut, element_at(codes, j + 1) + lit(j * PqK + 1)))
+      .reduce(_ + _)
 
   // ===== persisted PQ index: the production build/serve split =====
   // The BUILD job is the expensive offline pass (train codebooks, encode
@@ -854,10 +876,7 @@ object SimilarityQueries {
           transform(col("jc"), x => x.getField("code")).as("codes"))
       codes.join(broadcast(lut), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nn_id"),
-          aggregate(
-            zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
-              (cd, j) => element_at(col("lut"), j * lit(PqK) + cd)),
-            lit(0L), (acc, x) => acc + x).as("adc_fp"))
+          adcSum(col("codes"), col("lut")).as("adc_fp"))
         .groupBy("qid")
         .agg(min(struct(col("adc_fp"), col("nn_id"))).as("b"))
         .select(col("qid"), col("b").getField("nn_id").as("nn_id"),
@@ -901,10 +920,7 @@ object SimilarityQueries {
       // A ≤ 2³⁰ long negates into an exactly-representable double.
       val shortlist = codes.join(broadcast(lut), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nn_id"),
-          aggregate(
-            zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
-              (cd, j) => element_at(col("lut"), j * lit(PqK) + cd)),
-            lit(0L), (acc, x) => acc + x).as("adc_fp"))
+          adcSum(col("codes"), col("lut")).as("adc_fp"))
         .groupBy("qid")
         .agg(topk((-col("adc_fp")).cast("double"), col("nn_id")).as("top"))
         .select(col("qid"), explode(col("top")).as("t"))
@@ -943,10 +959,7 @@ object SimilarityQueries {
       val lut = pqLut(vecs(s, dir), cb)
       codes.join(broadcast(lut), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nn_id"),
-          aggregate(
-            zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
-              (cd, j) => element_at(col("lut"), j * lit(PqK) + cd)),
-            lit(0L), (acc, x) => acc + x).as("adc_fp"))
+          adcSum(col("codes"), col("lut")).as("adc_fp"))
         .groupBy("qid")
         .agg(min(struct(col("adc_fp"), col("nn_id"))).as("b"))
         .select(col("qid"), col("b").getField("nn_id").as("nn_id"),
@@ -978,20 +991,34 @@ object SimilarityQueries {
     // the TopK aggregator prunes to KnnK map-side. Everything is exact
     // integer arithmetic after the LUT floor, so ranks mirror in SQL.
     "knn_join" -> ((s, dir) => {
-      val asg = kmeansAssign(s, dir)
+      // ONE materialization of the assignment: it feeds the query frame,
+      // the probe rule, the LUT stage and the member-cell join — lazy,
+      // each consumer would re-run the K·dim argmin corpus pass (the
+      // executed plan showed it four times; the centroids are cached,
+      // the assignment is not)
+      val asg = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(
+          kmeansAssign(s, dir).select(col("vec_id"), col("cluster"), col("v"))))
       val q = asg.select(col("vec_id").as("qid"), col("cluster").as("qcell"),
         col("v").as("qv"))
       val cents = kmeansCentroids(s, dir, kmCorpus(s, dir))
-      val cellK = udaf(new graft.functions.TopK(NProbe - 1))
-      // negated d2 under TopK's (score DESC, id ASC) = (d2 ASC, cid ASC)
-      val probes = q.crossJoin(broadcast(cents))
-        .filter(col("cid") =!= col("qcell"))
-        .select(col("qid"), (-dist2(col("qv"), col("c"))).as("nscore"),
-          col("cid"))
-        .groupBy("qid")
-        .agg(cellK(col("nscore"), col("cid").cast("long")).as("cells"))
-        .select(col("qid"), explode(col("cells")).as("x"))
-        .select(col("qid"), col("x.nn_id").cast("int").as("pcell"))
+      // NProbe = 2 ⇒ the probe set is own cell + the nearest OTHER
+      // cell, and that second cell is ONE native argmin per query over
+      // the centroid list with the own cell filtered out — the
+      // rank-all-cells spelling (explode corpus × K rows through an
+      // interpreted dist2, TopK-agg them back) costs ~10× at sf1 and
+      // grows with K·corpus. ArgMinDist2 ties (d2, cid)
+      // lexicographically = the oracle's ORDER BY d2, cid.
+      require(NProbe == 2,
+        s"NProbe=$NProbe: knn_join probes own cell + ONE argmin other; " +
+          "an n-best probe rule needs a k-register ArgMinDist2 variant")
+      val centsRow =
+        cents.agg(collect_list(struct(col("cid"), col("c"))).as("cents"))
+      val probes = q.crossJoin(broadcast(centsRow))
+        .select(col("qid"),
+          graft.functions.VectorFunctions.argMinDist2(col("qv"),
+            filter(col("cents"), ct => ct.getField("cid") =!= col("qcell")))
+            .getField("cid").cast("int").as("pcell"))
         .union(q.select(col("qid"), col("qcell").as("pcell")))
       val idx = pqIndexDir(s, dir)
       val cb = s.read.parquet(s"$idx/codebook")
@@ -1007,10 +1034,7 @@ object SimilarityQueries {
       val topk = udaf(new graft.functions.TopK(KnnK))
       codes.join(plut, col("cluster") === col("pcell") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nn_id"),
-          aggregate(
-            zip_with(col("codes"), sequence(lit(0), lit(PqM - 1)),
-              (cd, j) => element_at(col("lut"), j * lit(PqK) + cd)),
-            lit(0L), (acc, x) => acc + x).as("adc_fp"))
+          adcSum(col("codes"), col("lut")).as("adc_fp"))
         .groupBy("qid")
         .agg(topk((-col("adc_fp")).cast("double"), col("nn_id")).as("top"))
         .select(col("qid"), posexplode(col("top")))

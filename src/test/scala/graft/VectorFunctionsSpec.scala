@@ -24,6 +24,24 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(mismatches.count() == 0)
   }
 
+  test("native dist2 is bit-identical to the HOF fold over real embedding pairs") {
+    val e = Tables(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.vec_id") < col("b.vec_id") && col("a.vec_id") < 50)
+    val mismatches = pairs
+      .select(dist2(col("a.v"), col("b.v")).as("native"),
+        dist2Hof(col("a.v"), col("b.v")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+    assert(mismatches.count() == 0)
+    // null semantics: length mismatch -> NULL in both forms
+    import spark.implicits._
+    val mm = Seq((Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(dist2(col("a"), col("b")).as("native"),
+        dist2Hof(col("a"), col("b")).as("hof")).head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
+
   test("null semantics match zip_with padding: length mismatch / null element -> NULL") {
     import spark.implicits._
     val df = Seq(
