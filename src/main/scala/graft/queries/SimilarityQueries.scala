@@ -565,6 +565,72 @@ object SimilarityQueries {
     out
   }
 
+  /** The session-cached corpus kNN graph (qid, rank, nn_id, adc_fp) —
+    * k·n rows, built once per (session, corpus): knn_join returns it,
+    * knn_mutual_pairs self-joins it, ann_recall's ladder tier filters
+    * it to the query window. The kmeans-centroids/PQ-codebook
+    * lifecycle: the FIRST consumer in a session pays the build (the
+    * bench's cold column carries it; min-rep floors show warm serving
+    * cost), later consumers read k·n materialized rows.
+    *
+    * Inside the build, the cell assignment is checkpointed once — it
+    * feeds the query frame, the probe rule, the LUT stage and the
+    * member-cell join, and lazy it re-ran the K·dim argmin corpus pass
+    * per consumer (the executed plan showed four) — then freed once the
+    * graph frame is materialized.
+    */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionCache.frame(s, dir, "knn-graph") {
+      val asg = graft.operators.Checkpoints.corpusScaled(
+        kmeansAssign(s, dir).select(col("vec_id"), col("cluster"), col("v")))
+      val q = asg.select(col("vec_id").as("qid"), col("cluster").as("qcell"),
+        col("v").as("qv"))
+      val cents = kmeansCentroids(s, dir, kmCorpus(s, dir))
+      // NProbe = 2 ⇒ the probe set is own cell + the nearest OTHER
+      // cell, and that second cell is ONE native argmin per query over
+      // the centroid list with the own cell filtered out — the
+      // rank-all-cells spelling (explode corpus × K rows through an
+      // interpreted dist2, TopK-agg them back) costs ~10× at sf1 and
+      // grows with K·corpus. ArgMinDist2 ties (d2, cid)
+      // lexicographically = the oracle's ORDER BY d2, cid.
+      require(NProbe == 2,
+        s"NProbe=$NProbe: knn_join probes own cell + ONE argmin other; " +
+          "an n-best probe rule needs a k-register ArgMinDist2 variant")
+      val centsRow =
+        cents.agg(collect_list(struct(col("cid"), col("c"))).as("cents"))
+      val probes = q.crossJoin(broadcast(centsRow))
+        .select(col("qid"),
+          graft.functions.VectorFunctions.argMinDist2(col("qv"),
+            filter(col("cents"), ct => ct.getField("cid") =!= col("qcell")))
+            .getField("cid").cast("int").as("pcell"))
+        .union(q.select(col("qid"), col("qcell").as("pcell")))
+      val idx = pqIndexDir(s, dir)
+      val cb = s.read.parquet(s"$idx/codebook")
+      val mask = (1L << PqBits) - 1
+      val codes = s.read.parquet(s"$idx/codes")
+        .select(col("vec_id"),
+          expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"j -> CAST(shiftright(codes_packed, j * $PqBits) & ${mask}L AS INT))")
+            .as("codes"))
+        .join(asg.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      val plut = probes.join(pqLutOf(q.select(col("qid"), col("qv")), cb),
+        Seq("qid"))
+      val topk = udaf(new graft.functions.TopK(KnnK))
+      val graph = graft.operators.Checkpoints.fresh(
+        codes.join(plut,
+            col("cluster") === col("pcell") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nn_id"),
+            adcSum(col("codes"), col("lut")).as("adc_fp"))
+          .groupBy("qid")
+          .agg(topk((-col("adc_fp")).cast("double"), col("nn_id")).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.nn_id").as("nn_id"),
+            (-col("col.sim")).cast("long").as("adc_fp")))
+      graft.operators.Checkpoints.free(asg)
+      graph
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- k-means cluster assignment over the embedding corpus ----
     // The clustering stage of the SemDeDup recipe (Abbas et al.,
@@ -990,58 +1056,28 @@ object SimilarityQueries {
     // on a key with design-bounded multiplicity on the member side, and
     // the TopK aggregator prunes to KnnK map-side. Everything is exact
     // integer arithmetic after the LUT floor, so ranks mirror in SQL.
-    "knn_join" -> ((s, dir) => {
-      // ONE materialization of the assignment: it feeds the query frame,
-      // the probe rule, the LUT stage and the member-cell join — lazy,
-      // each consumer would re-run the K·dim argmin corpus pass (the
-      // executed plan showed it four times; the centroids are cached,
-      // the assignment is not)
-      val asg = graft.operators.Checkpoints.retire(
-        graft.operators.Checkpoints.corpusScaled(
-          kmeansAssign(s, dir).select(col("vec_id"), col("cluster"), col("v"))))
-      val q = asg.select(col("vec_id").as("qid"), col("cluster").as("qcell"),
-        col("v").as("qv"))
-      val cents = kmeansCentroids(s, dir, kmCorpus(s, dir))
-      // NProbe = 2 ⇒ the probe set is own cell + the nearest OTHER
-      // cell, and that second cell is ONE native argmin per query over
-      // the centroid list with the own cell filtered out — the
-      // rank-all-cells spelling (explode corpus × K rows through an
-      // interpreted dist2, TopK-agg them back) costs ~10× at sf1 and
-      // grows with K·corpus. ArgMinDist2 ties (d2, cid)
-      // lexicographically = the oracle's ORDER BY d2, cid.
-      require(NProbe == 2,
-        s"NProbe=$NProbe: knn_join probes own cell + ONE argmin other; " +
-          "an n-best probe rule needs a k-register ArgMinDist2 variant")
-      val centsRow =
-        cents.agg(collect_list(struct(col("cid"), col("c"))).as("cents"))
-      val probes = q.crossJoin(broadcast(centsRow))
-        .select(col("qid"),
-          graft.functions.VectorFunctions.argMinDist2(col("qv"),
-            filter(col("cents"), ct => ct.getField("cid") =!= col("qcell")))
-            .getField("cid").cast("int").as("pcell"))
-        .union(q.select(col("qid"), col("qcell").as("pcell")))
-      val idx = pqIndexDir(s, dir)
-      val cb = s.read.parquet(s"$idx/codebook")
-      val mask = (1L << PqBits) - 1
-      val codes = s.read.parquet(s"$idx/codes")
-        .select(col("vec_id"),
-          expr(s"transform(sequence(0, ${PqM - 1}), " +
-            s"j -> CAST(shiftright(codes_packed, j * $PqBits) & ${mask}L AS INT))")
-            .as("codes"))
-        .join(asg.select(col("vec_id"), col("cluster")), Seq("vec_id"))
-      val plut = probes.join(pqLutOf(q.select(col("qid"), col("qv")), cb),
-        Seq("qid"))
-      val topk = udaf(new graft.functions.TopK(KnnK))
-      codes.join(plut, col("cluster") === col("pcell") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nn_id"),
-          adcSum(col("codes"), col("lut")).as("adc_fp"))
-        .groupBy("qid")
-        .agg(topk((-col("adc_fp")).cast("double"), col("nn_id")).as("top"))
-        .select(col("qid"), posexplode(col("top")))
-        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-          col("col.nn_id").as("nn_id"),
-          (-col("col.sim")).cast("long").as("adc_fp"))
-        .orderBy("qid", "rank")
+    "knn_join" -> ((s, dir) =>
+      knnGraph(s, dir).orderBy("qid", "rank")),
+
+    // ---- mutual-kNN candidate pairs: the kNN graph CONSUMED ----
+    // The reason knn_join exists: semantic-dedup candidate generation
+    // from the graph. A pair is a candidate iff each vector appears in
+    // the OTHER's top-k (mutual-kNN — the standard symmetric filter: a
+    // one-directional edge from a sparse region to a dense cluster's
+    // edge is usually not a duplicate, and mutuality removes it without
+    // any threshold constant). Composition cost on top of the graph:
+    // the graph is k·n rows, checkpointed ONCE, and the mutuality test
+    // is one equi-self-join on the (qid, nn_id) edge key — linear,
+    // hash-partitioned, no new quadratic door. Output keeps the d1→d2
+    // edge's integer ADC so downstream can rank candidate tightness.
+    "knn_mutual_pairs" -> ((s, dir) => {
+      val k = knnGraph(s, dir).select(col("qid"), col("nn_id"), col("adc_fp"))
+      k.as("a").join(k.as("b"),
+          col("b.qid") === col("a.nn_id") && col("b.nn_id") === col("a.qid") &&
+            col("a.qid") < col("a.nn_id"))
+        .select(col("a.qid").as("d1"), col("a.nn_id").as("d2"),
+          col("a.adc_fp").as("adc_fp"))
+        .orderBy("d1", "d2")
     }),
 
     // ---- IVF-PQ (IVFADC): probed coarse cells, residual-PQ ADC scan ----
@@ -1651,7 +1687,15 @@ object SimilarityQueries {
   def oracles: Map[String, String] = oraclesBase +
     // index-served PQ must be bit-identical to compute-from-vectors PQ:
     // the oracle IS ann_pq's string
-    ("ann_pq_indexed" -> oraclesBase("ann_pq")) + ("ann_recall" -> {
+    ("ann_pq_indexed" -> oraclesBase("ann_pq")) +
+    // the mutual filter over the spliced knn graph (one nested WITH —
+    // the recall-splice precedent)
+    ("knn_mutual_pairs" ->
+      s"""WITH k AS (SELECT qid, nn_id, adc_fp FROM (${oraclesBase("knn_join")}) x)
+         |SELECT a.qid AS d1, a.nn_id AS d2, a.adc_fp
+         |FROM k a JOIN k b ON b.qid = a.nn_id AND b.nn_id = a.qid
+         |                 AND a.qid < a.nn_id
+         |ORDER BY d1, d2""".stripMargin) + ("ann_recall" -> {
     val ctes = recallTiers.zipWithIndex.map { case (n, i) =>
       // the qid filter mirrors the Spark tier restriction (a no-op for
       // the point-query tiers, the ladder window for knn_join)

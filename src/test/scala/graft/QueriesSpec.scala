@@ -2049,6 +2049,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_mutual_pairs: exactly the symmetric edges of the kNN graph") {
+    import spark.implicits._
+    val edges = SparkEntry.queries("knn_join")(spark, Sf0001)
+      .select("qid", "nn_id", "adc_fp").as[(Long, Long, Long)].collect()
+    val eset = edges.map(e => (e._1, e._2)).toSet
+    val expected = edges.filter(e => e._1 < e._2 && eset((e._2, e._1)))
+      .map(e => (e._1, e._2, e._3)).toSet
+    val got = SparkEntry.queries("knn_mutual_pairs")(spark, Sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "the sf0.001 geometry should yield mutual pairs")
+  }
+
   test("dedup_recall: the union tier's inclusion-exclusion counts are exact") {
     import spark.implicits._
     import graft.functions.TextFunctions.{shingles3, tokens}
