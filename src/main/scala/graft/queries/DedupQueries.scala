@@ -136,7 +136,15 @@ object DedupQueries {
     * null, so the filter is semantically free.
     */
   private[graft] def shingleTable(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    shinglesOf(Tables(s, dir, "documents"))
+
+  /** [[shingleTable]] over a caller-supplied (doc_id, text) frame — the
+    * post-canon recall instrument shingles the exact-deduplicated
+    * corpus with the SAME computation as the raw one (the tokensOf
+    * precedent).
+    */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
       .distinct()
