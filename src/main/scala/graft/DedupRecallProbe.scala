@@ -13,17 +13,26 @@ object DedupRecallProbe {
     val dir = args.headOption.getOrElse(".localdata/sf1")
     val spark = EngineSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "dedup-recall-probe")
-    val rows = SparkEntry.queries("dedup_recall")(spark, dir)
-      .collect()
-      .map { r =>
-        // NULL-guarded ratios (an empty tier emits NULL, not NaN) —
-        // mirror them as JSON null
-        def ratio(i: Int): String =
-          if (r.isNullAt(i)) "null" else r.getDouble(i).toString
-        s"""{"method":"${r.getString(0)}","n_cand":${r.getLong(1)},""" +
-          s""""n_hit":${r.getLong(2)},"n_true":${r.getLong(3)},""" +
-          s""""precision":${ratio(4)},"recall":${ratio(5)}}"""
-      }
+    // raw-corpus tiers + the post-canon tiers (dedup_recall_canon —
+    // r15: the pipeline-order claim's instrument) in one artifact; the
+    // two queries share schema, so one formatter serves both. Drain
+    // between them: each is a complete harness with its own retired
+    // checkpoints (the Bench per-query lifecycle).
+    val rows = Seq("dedup_recall", "dedup_recall_canon").flatMap { q =>
+      val rs = SparkEntry.queries(q)(spark, dir)
+        .collect()
+        .map { r =>
+          // NULL-guarded ratios (an empty tier emits NULL, not NaN) —
+          // mirror them as JSON null
+          def ratio(i: Int): String =
+            if (r.isNullAt(i)) "null" else r.getDouble(i).toString
+          s"""{"method":"${r.getString(0)}","n_cand":${r.getLong(1)},""" +
+            s""""n_hit":${r.getLong(2)},"n_true":${r.getLong(3)},""" +
+            s""""precision":${ratio(4)},"recall":${ratio(5)}}"""
+        }
+      graft.operators.Checkpoints.drain()
+      rs
+    }
     println(s"""{"metric":"dedup_recall","dir":"$dir","tiers":[${rows.mkString(",")}]}""")
     spark.stop()
   }

@@ -120,11 +120,19 @@ object StreamBench {
       val in = s"$work/in"; val out = s"$work/out"; val ckpt = s"$work/ckpt"
       Files.createDirectories(java.nio.file.Paths.get(in))
       val us = unix_micros(col("ts"))
+      // an empty events table yields a NULL min/max row — replay zero
+      // batches instead of NPE-ing on getLong (ADVICE r14)
       val mm = events.agg(min(us).as("mn"), max(us).as("mx")).head()
-      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val (mn, mx) =
+        if (mm.isNullAt(0) || mm.isNullAt(1)) (0L, -1L)
+        else (mm.getLong(0), mm.getLong(1))
       val span = math.max(mx - mn + 1, 1L)
+      // integer N-tile arithmetic: `div` (integer division), not `/`
+      // (double) + floor — a double quotient can land an event at an
+      // exact N-tile boundary one batch off (ADVICE r14)
       val batchOf = least(lit(nBatches - 1),
-        floor(((us - lit(mn)) * nBatches) / lit(span))).cast("int")
+        expr(s"((unix_micros(ts) - ${mn}L) * $nBatches) div ${span}L"))
+        .cast("int")
       val q = graft.streaming.StreamingPipelines.attributionStream(
           spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "16").parquet(in))

@@ -157,10 +157,17 @@ object DedupQueries {
     * 1.0); dedup_recall's union tier turns that defense into a number.
     * Linear: one partial-aggregable groupBy over the shingle table.
     */
-  private def shingleSigs(s: SparkSession, dir: String): DataFrame = {
+  private def shingleSigs(s: SparkSession, dir: String): DataFrame =
+    shingleSigsOf(shingleTable(s, dir))
+
+  /** [[shingleSigs]] over a caller-supplied (doc_id, sh) shingle frame —
+    * the post-canon recall tier signs the canonical corpus with the SAME
+    * computation ([[shinglesOf]]' rationale).
+    */
+  private def shingleSigsOf(sh: DataFrame): DataFrame = {
     val mins = (0 until K).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
-    shingleTable(s, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         md5(concat_ws("|", (0 until K).map(i => col(s"h$i")): _*)).as("ssig"))
   }
@@ -646,18 +653,44 @@ object DedupQueries {
       // is admitted to the session cache).
       val sh0 = graft.operators.Checkpoints.retire(
         graft.operators.Checkpoints.corpusScaled(shingleTable(s, dir)))
-      val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > MaxShingleDf).select("sh")
-      val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      graft.operators.Checkpoints.fresh(inter
-        .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2"))
+      graft.operators.Checkpoints.fresh(rareShinglePairStatsOf(sh0))
     }
+
+  /** The hot-cap + self-join + size-join body of [[rareShinglePairStats]]
+    * over a caller-supplied MATERIALIZED (doc_id, sh) frame — factored so
+    * the post-canon recall tier derives exact-Jaccard truth on the
+    * canonical corpus with the SAME stage (caller owns checkpoint
+    * lifecycle; the frame feeds four subplans below).
+    */
+  private def rareShinglePairStatsOf(sh0: DataFrame): DataFrame = {
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("sh")
+    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+  }
+
+  /** dedup_minhash_lsh's band/cap/self-join body over a caller-supplied
+    * MATERIALIZED (doc_id, sh) frame — factored for the same reason as
+    * [[rareShinglePairStatsOf]]: the post-canon tier derives LSH
+    * candidates on the canonical corpus with the SAME cap policy.
+    */
+  private def minhashLshPairsOf(sh0: DataFrame): DataFrame = {
+    val bandRows = graft.operators.Checkpoints.retire(
+      graft.operators.Checkpoints.corpusScaled(minhashBands(sh0, Nil, K)))
+    val bands = capBuckets(bandRows, Seq("band", "bval"))
+    minhashCandidateJoin(bands, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        estJaccard(K).as("est_jaccard"))
+      .filter(col("est_jaccard") >= MinEstJaccard)
+      .dropDuplicates("d1", "d2")
+  }
 
   /** `dedup_ngram_jaccard`'s pair frame (d1, d2, jaccard), unordered —
     * also an edge source of `dedup_clusters_multi`.
@@ -962,20 +995,11 @@ object DedupQueries {
     // children (h_i are nullable min() aggregates), so the cap branch
     // canonicalizes identically and the expensive signature aggregation is
     // computed once (ReusedExchange), not once per branch.
-    "dedup_minhash_lsh" -> ((s, dir) => {
+    "dedup_minhash_lsh" -> ((s, dir) =>
       // one materialization of the shingle → k-min signature chain
-      // (the simhashPairs rationale)
-      val bandRows = graft.operators.Checkpoints.retire(
-        graft.operators.Checkpoints.corpusScaled(
-          minhashBands(shingleTable(s, dir), Nil, K)))
-      val bands = capBuckets(bandRows, Seq("band", "bval"))
-      minhashCandidateJoin(bands, col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          estJaccard(K).as("est_jaccard"))
-        .filter(col("est_jaccard") >= MinEstJaccard)
-        .dropDuplicates("d1", "d2")
-        .orderBy("d1", "d2")
-    }),
+      // (the simhashPairs rationale), inside [[minhashLshPairsOf]]
+      minhashLshPairsOf(shingleTable(s, dir))
+        .orderBy("d1", "d2")),
 
     // ---- SimHash sketch: per-doc 64-bit signature + exact-group canon ----
     // The window partitions by the LONG `sig` (cheap 8-byte shuffle key);
@@ -1455,6 +1479,113 @@ object DedupQueries {
             col("n_hit").cast("double") / col("n_true").cast("double"))
             .as("recall"))
         .orderBy("method")
+    }),
+
+    // ---- post-canon recall: the pipeline-order claim, measured ----
+    // Round 14's union tier refuted "signature grouping covers the LSH
+    // cap's recall loss" at replica density (DEDUPRECALL_sf10_r14 union
+    // 0.193 vs LSH 0.157; the exact-replica regime still only 0.203),
+    // and the replacement claim (SCALE.md round-14 note #1) became
+    // pipeline ORDER: exact/near-exact dedup FIRST, LSH on the
+    // canonical corpus where the buckets are cold again. This query
+    // turns that sentence into a number. The corpus is
+    // dedup_canonical's survivor set (one elected doc per exact+near
+    // duplicate class); exact-Jaccard truth and LSH candidates are
+    // re-derived on THAT corpus through the SAME factored stages as the
+    // raw harness ([[shinglesOf]] / [[rareShinglePairStatsOf]] /
+    // [[minhashLshPairsOf]] — compositions, not re-spellings, so the
+    // two recall harnesses cannot drift), plus the residual
+    // full-signature mass counted by cluster-equivalence (the union
+    // tier's g(g−1)/2 arithmetic — never materializing a group's pair
+    // set). One shingle materialization feeds all four subplans. High
+    // post-canon recall confirms the production posture; low means the
+    // caps themselves need revisiting — either way the claim stops
+    // being a comment.
+    "dedup_recall_canon" -> ((s, dir) => {
+      val surv = canonicalDecision(s, dir).filter(col("keep")).select("doc_id")
+      val cdocs = Tables(s, dir, "documents")
+        .join(surv, Seq("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val sh0 = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(shinglesOf(cdocs)))
+      val truth = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.fresh(
+          ngramJaccardPairsFrom(rareShinglePairStatsOf(sh0))
+            .select(col("d1"), col("d2"))))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val lsh = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.fresh(
+          minhashLshPairsOf(sh0).select(col("d1"), col("d2"))))
+      val lshRow = {
+        val nc = lsh.agg(count(lit(1)).as("n_cand"))
+        val hit = lsh.join(truth, Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nc.crossJoin(hit).crossJoin(nTrue)
+          .select(lit("post_canon_lsh").as("method"), col("n_cand"),
+            col("n_hit"), col("n_true"))
+      }
+      val sig = graft.operators.Checkpoints.retire(
+        graft.operators.Checkpoints.corpusScaled(shingleSigsOf(sh0)))
+      val nSig = sig.groupBy("ssig").agg(count(lit(1)).as("g"))
+        .agg(coalesce(sum(col("g") * (col("g") - lit(1))), lit(0L)).as("t"))
+        .select(expr("t div 2").as("n_cand"))
+      val sHit = truth
+        .join(sig.select(col("doc_id").as("d1"), col("ssig").as("s1")), Seq("d1"))
+        .join(sig.select(col("doc_id").as("d2"), col("ssig").as("s2")), Seq("d2"))
+        .agg(coalesce(sum(when(col("s1") === col("s2"), 1L).otherwise(0L)),
+          lit(0L)).as("n_hit"))
+      val sigRow = nSig.crossJoin(sHit).crossJoin(nTrue)
+        .select(lit("post_canon_sig").as("method"), col("n_cand"),
+          col("n_hit"), col("n_true"))
+      lshRow.union(sigRow)
+        .select(col("method"), col("n_cand"), col("n_hit"), col("n_true"),
+          when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand").cast("double"))
+            .as("precision"),
+          when(col("n_true") > 0,
+            col("n_hit").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+        .orderBy("method")
+    }),
+
+    // ---- SemDeDup over the kNN graph: the graph CONSUMED end-to-end ----
+    // dedup_semantic / dedup_semantic_kmeans predate the corpus kNN
+    // graph and generate candidates from sign buckets / k-means cells
+    // directly; this is the SemDeDup recipe with the graph as the
+    // candidate source (Abbas et al., arXiv:2303.03540 — within-cluster
+    // nearest-neighbor pairs above a cosine threshold): candidates =
+    // knn_mutual_pairs (the symmetric filter over the PQ-served graph,
+    // ≤ KnnK·n/2 pairs by construction), decision = EXACT full-vector
+    // cosine on just those pairs (the two-stage split again — quantized
+    // index nominates, exact distance decides), drop side = the
+    // lower-quality member (dedup_semantic's election, same spelling).
+    // Composition cost on top of the session-cached graph: one
+    // mutuality self-join + two vector fetch joins on a pair-bounded
+    // frame — no new corpus×corpus door, and unlike the bucket tiers
+    // there is NO hot-cell cap to forfeit recall through: the graph's
+    // derived-K cells bound candidate counts by design.
+    "dedup_semantic_graph" -> ((s, dir) => {
+      val mp = SimilarityQueries.mutualPairs(s, dir).select(col("d1"), col("d2"))
+      val e = Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val scored = mp
+        .join(e.select(col("vec_id").as("d1"), col("v").as("v1")), Seq("d1"))
+        .join(e.select(col("vec_id").as("d2"), col("v").as("v2")), Seq("d2"))
+        .select(col("d1"), col("d2"), cosine(col("v1"), col("v2")).as("sim"))
+        .filter(col("sim") >= SemTau && !isnan(col("sim")))
+      val q = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0))
+            .as("q"))
+      scored
+        .join(q.select(col("doc_id").as("d1"), col("q").as("q1")), Seq("d1"))
+        .join(q.select(col("doc_id").as("d2"), col("q").as("q2")), Seq("d2"))
+        .select(col("d1"), col("d2"), col("sim"),
+          when(col("q1") < col("q2"), col("d1"))
+            .when(col("q2") < col("q1"), col("d2"))
+            .otherwise(greatest(col("d1"), col("d2"))).as("drop_id"))
+        .orderBy("d1", "d2")
     })
   )
 
@@ -1463,10 +1594,16 @@ object DedupQueries {
   private def tokSqlRel =
     s"SELECT DISTINCT doc_id, unnest(${tokensSql("text")}) AS w FROM documents"
 
-  private def shSqlRel =
+  /** The distinct (doc_id, sh) shingle relation over an arbitrary
+    * (doc_id, text) relation — [[shinglesOf]]' SQL twin, parameterized
+    * the same way (dedup_recall_canon shingles the survivor corpus).
+    */
+  private def shSqlRelOf(rel: String) =
     """SELECT DISTINCT doc_id,
       |  unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-      |FROM (SELECT doc_id, """.stripMargin + tokensSql("text") + " AS t FROM documents)"
+      |FROM (SELECT doc_id, """.stripMargin + tokensSql("text") + s" AS t FROM $rel)"
+
+  private def shSqlRel = shSqlRelOf("documents")
 
   private def simhashSqlRel: String = {
     val sums = (0 until BITS).map { j =>
@@ -1851,6 +1988,27 @@ object DedupQueries {
 
     "dedup_semantic_kmeans" -> kmSemanticPairsSql,
 
+    // the graph-fed SemDeDup tier: knn_mutual_pairs' spliced string as
+    // the candidate relation (one nested WITH — the recall-splice
+    // precedent), exact cosine + the dedup_semantic election on top
+    "dedup_semantic_graph" ->
+      s"""WITH mp AS (SELECT d1, d2 FROM (${SimilarityQueries.knnMutualPairsSql}) x),
+         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         |p AS (SELECT mp.d1, mp.d2, ${cosineSql("a.v", "b.v")} AS sim
+         |      FROM mp JOIN e2 a ON a.vec_id = mp.d1
+         |              JOIN e2 b ON b.vec_id = mp.d2),
+         |q AS (SELECT doc_id,
+         |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
+         |      FROM documents)
+         |SELECT p.d1, p.d2, p.sim,
+         |  CASE WHEN x.q < y.q THEN p.d1
+         |       WHEN y.q < x.q THEN p.d2
+         |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
+         |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
+         |WHERE p.sim >= $SemTau AND NOT isnan(p.sim)
+         |ORDER BY d1, d2""".stripMargin,
+
     "dedup_clusters_multi" ->
       // the dedup_clusters recursive reachability closure over the UNION
       // of every pair relation: simhash pairs + Hamming-0 star edges
@@ -1985,6 +2143,70 @@ object DedupQueries {
        |  CASE WHEN n_true > 0
        |       THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
        |FROM ($rows) CROSS JOIN nt
+       |ORDER BY method""".stripMargin
+  }) + ("dedup_recall_canon" -> {
+    // The post-canon harness: the canonical survivor set (canonicalCtes'
+    // closure — its internal names sigs/bands/hot/cold/pairs/q/d are
+    // TAKEN, hence the c-prefixed CTEs), then the raw harness's truth /
+    // LSH / signature arithmetic re-derived over the survivor shingles.
+    // The multiply-referenced CTEs are AS MATERIALIZED: DuckDB inlines
+    // CTEs by default, and with csh0 referenced 3×, csh 3×, ctr 3× etc.
+    // the inlined plan re-runs the RECURSIVE closure + shingle chain
+    // multiplicatively (measured: 10+ min single-threaded at sf0.01
+    // before the hints; seconds after) — the SQL twin of the Spark
+    // side's checkpoint-the-shared-frame rule.
+    val sigConcat = (0 until K).map(i => s"h$i").mkString(" || '|' || ")
+    s"""WITH RECURSIVE $canonicalCtes,
+       |surv AS MATERIALIZED (SELECT d.doc_id FROM d JOIN canon c USING (cluster_id)
+       |         WHERE d.doc_id = c.canon_id),
+       |cdocs AS (SELECT dd.doc_id, dd.text FROM documents dd
+       |          JOIN surv USING (doc_id)),
+       |csh0 AS MATERIALIZED (${shSqlRelOf("cdocs")}),
+       |chot AS (SELECT sh FROM csh0 GROUP BY sh HAVING count(*) > $MaxShingleDf),
+       |csh AS MATERIALIZED (SELECT doc_id, sh FROM csh0
+       |        WHERE NOT EXISTS (SELECT 1 FROM chot WHERE chot.sh = csh0.sh)),
+       |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+       |cinter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) AS inter
+       |           FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |ctr AS MATERIALIZED (SELECT d1, d2 FROM (
+       |          SELECT d1, d2, inter, x.n AS n1, y.n AS n2
+       |          FROM cinter JOIN csz x ON d1 = x.doc_id
+       |                      JOIN csz y ON d2 = y.doc_id)
+       |        WHERE inter / (n1 + n2 - inter) >= 0.2),
+       |csigs AS MATERIALIZED (SELECT doc_id, ${minhashMinsSql(K)} FROM csh0 GROUP BY doc_id),
+       |cbands AS (SELECT *, ${minhashBvalCaseSql(K)} AS bval
+       |           FROM csigs, (SELECT unnest(range(${K / 2})) AS band)),
+       |chotb AS (SELECT band, bval FROM cbands GROUP BY 1, 2 HAVING count(*) > $MaxBucket),
+       |ccold AS MATERIALIZED (SELECT * FROM cbands bd
+       |          WHERE NOT EXISTS (SELECT 1 FROM chotb h
+       |                            WHERE h.band = bd.band AND h.bval = bd.bval)),
+       |ccand AS MATERIALIZED (SELECT d1, d2 FROM (
+       |  SELECT DISTINCT a.doc_id d1, b.doc_id d2,
+       |    (${minhashMatchesSql(K)}) / ${K.toDouble} AS est_jaccard
+       |  FROM ccold a JOIN ccold b
+       |    ON a.doc_id < b.doc_id AND a.band = b.band AND a.bval = b.bval)
+       |  WHERE est_jaccard >= $MinEstJaccard),
+       |csg AS MATERIALIZED (SELECT doc_id, md5($sigConcat) AS ssig FROM csigs),
+       |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM ctr)
+       |SELECT method, n_cand, n_hit, n_true,
+       |  CASE WHEN n_cand > 0
+       |       THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS precision,
+       |  CASE WHEN n_true > 0
+       |       THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+       |FROM (
+       |  SELECT 'post_canon_lsh' AS method,
+       |    CAST((SELECT COUNT(*) FROM ccand) AS BIGINT) AS n_cand,
+       |    CAST((SELECT COUNT(*) FROM ccand WHERE EXISTS (
+       |      SELECT 1 FROM ctr WHERE ctr.d1 = ccand.d1 AND ctr.d2 = ccand.d2)) AS BIGINT) AS n_hit
+       |  UNION ALL
+       |  SELECT 'post_canon_sig' AS method,
+       |    (SELECT CAST(COALESCE(SUM(g * (g - 1)), 0) // 2 AS BIGINT)
+       |     FROM (SELECT count(*) AS g FROM csg GROUP BY ssig)) AS n_cand,
+       |    (SELECT CAST(COALESCE(SUM(CASE WHEN a.ssig = b.ssig THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |     FROM ctr JOIN csg a ON a.doc_id = ctr.d1
+       |              JOIN csg b ON b.doc_id = ctr.d2) AS n_hit
+       |) CROSS JOIN ntr
        |ORDER BY method""".stripMargin
   })
 }

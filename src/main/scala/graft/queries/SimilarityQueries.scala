@@ -549,6 +549,21 @@ object SimilarityQueries {
   private val builtIndexes = scala.collection.mutable.Set[String]()
 
   private def pqIndexDir(s: SparkSession, dir: String): String = synchronized {
+    // Pack-width envelope. embedding_pq_codes (the ORACLE-compared pack)
+    // requires PqM·PqBits ≤ 63 because a negative packed BIGINT would
+    // have to hash-match DuckDB's arithmetic. THIS pack never crosses
+    // engines — it round-trips Spark→parquet→Spark only — so the ==64
+    // case (PqK=256: the j=7 field occupies the sign bit, exercised by
+    // the RecallProbe production-constants run) is admitted and is
+    // exact by construction: the per-group SUM adds PqM contributions
+    // with DISJOINT bit ranges (no carries, so the 64-bit pattern is
+    // the bitwise OR even when the j=7 addend wraps negative), parquet
+    // stores the INT64 pattern verbatim, and the decode's arithmetic
+    // shiftright sign-extends only ABOVE the `& mask` window. Anything
+    // past 64 bits would silently corrupt field j=7 — fail loudly.
+    require(PqM * PqBits <= 64,
+      s"pqIndexDir: PqM*PqBits=${PqM * PqBits} > 64 cannot pack one BIGINT" +
+        " code word; a wider config needs a two-word layout")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val out =
@@ -616,7 +631,13 @@ object SimilarityQueries {
       val plut = probes.join(pqLutOf(q.select(col("qid"), col("qv")), cb),
         Seq("qid"))
       val topk = udaf(new graft.functions.TopK(KnnK))
-      val graph = graft.operators.Checkpoints.fresh(
+      // corpusScaled, not fresh: the graph is k·n rows held for the WHOLE
+      // session (SessionCache), and the Checkpoints policy stores
+      // corpus-proportional residents serialized + disk-spilling — the
+      // deserialized on-heap form is the measured r9/r10 heap-poisoning
+      // mode at sf10+. It is re-scanned a handful of times per session;
+      // serialized re-scan cost is noise next to the build.
+      val graph = graft.operators.Checkpoints.corpusScaled(
         codes.join(plut,
             col("cluster") === col("pcell") && col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nn_id"),
@@ -630,6 +651,20 @@ object SimilarityQueries {
       graft.operators.Checkpoints.free(asg)
       graph
     }
+
+  /** The mutual-kNN candidate pair frame (d1 < d2, adc_fp) — the body of
+    * `knn_mutual_pairs`, factored so DedupQueries' `dedup_semantic_graph`
+    * consumes the SAME composition as the catalog entry (a second
+    * spelling of the mutuality join could drift).
+    */
+  private[queries] def mutualPairs(s: SparkSession, dir: String): DataFrame = {
+    val k = knnGraph(s, dir).select(col("qid"), col("nn_id"), col("adc_fp"))
+    k.as("a").join(k.as("b"),
+        col("b.qid") === col("a.nn_id") && col("b.nn_id") === col("a.qid") &&
+          col("a.qid") < col("a.nn_id"))
+      .select(col("a.qid").as("d1"), col("a.nn_id").as("d2"),
+        col("a.adc_fp").as("adc_fp"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- k-means cluster assignment over the embedding corpus ----
@@ -1070,14 +1105,49 @@ object SimilarityQueries {
     // is one equi-self-join on the (qid, nn_id) edge key — linear,
     // hash-partitioned, no new quadratic door. Output keeps the d1→d2
     // edge's integer ADC so downstream can rank candidate tightness.
-    "knn_mutual_pairs" -> ((s, dir) => {
-      val k = knnGraph(s, dir).select(col("qid"), col("nn_id"), col("adc_fp"))
-      k.as("a").join(k.as("b"),
-          col("b.qid") === col("a.nn_id") && col("b.nn_id") === col("a.qid") &&
-            col("a.qid") < col("a.nn_id"))
-        .select(col("a.qid").as("d1"), col("a.nn_id").as("d2"),
-          col("a.adc_fp").as("adc_fp"))
-        .orderBy("d1", "d2")
+    "knn_mutual_pairs" -> ((s, dir) =>
+      mutualPairs(s, dir).orderBy("d1", "d2")),
+
+    // ---- exact re-rank over the graph's edge set: the production recipe ----
+    // Small-K PQ (the graph's serving constant) has measured rank errors —
+    // recall@3 0.667 at sf10 (RECALL_sf10_r14) — and the corpus side
+    // CANNOT buy resolution with PqK=256 (the per-query dense ADC table
+    // would be 2048 slots ≈ 16 KB/row against every corpus row: the
+    // abandoned r14 probe, SCALE.md note #2). The production fix is the
+    // two-stage split every IVFADC+R deployment uses, applied to the
+    // GRAPH: the quantized index only NOMINATES (here: the symmetrized
+    // edge set, out-edges ∪ in-edges — in-edges matter because ADC error
+    // is asymmetric per query LUT, so b may rank a highly while a's own
+    // LUT misranked b), and exact full-vector distance DECIDES. Cost is
+    // linear by construction: ≤ 2·KnnK·n candidate rows, two
+    // hash-partitioned equi-joins to fetch the endpoint vectors, one
+    // codegen'd Dist2 per row, TopK pruning to KnnK map-side — the
+    // bounded-set re-rank, never a second corpus×corpus pass. Output
+    // d2 is exact on both engines (identical operands, sequential
+    // fold), and ann_recall ladders this tier: recall above the raw
+    // graph's is the number that justifies shipping small-K codes.
+    "knn_mutual_rerank" -> ((s, dir) => {
+      val g = knnGraph(s, dir)
+      val cand = g.select(col("qid"), col("nn_id"))
+        .union(g.select(col("nn_id").as("qid"), col("qid").as("nn_id")))
+        .distinct()
+      val e = vecs(s, dir).filter(col("v").isNotNull)
+        .select(col("vec_id"), col("v"))
+      val topk = udaf(new graft.functions.TopK(KnnK))
+      cand
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+        .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
+        .select(col("qid"), col("nn_id"), dist2(col("qv"), col("nv")).as("d2"))
+        // sim = −d2: TopK keeps the k largest (ties to smaller nn_id) =
+        // the k smallest exact distances; −(−d2) restores d2's bits
+        // exactly (negation flips one sign bit; d2 = +0.0 for duplicate
+        // vectors round-trips to +0.0)
+        .groupBy("qid")
+        .agg(topk(-col("d2"), col("nn_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.nn_id").as("nn_id"), (-col("col.sim")).as("d2"))
+        .orderBy("qid", "rank")
     }),
 
     // ---- IVF-PQ (IVFADC): probed coarse cells, residual-PQ ADC scan ----
@@ -1254,7 +1324,7 @@ object SimilarityQueries {
     */
   private[graft] val recallTiers: Seq[String] = Seq("ann_topk_agg", "ann_ivf",
     "ann_ivf_nprobe", "ann_pq", "ann_pq_rerank", "ann_ivfpq",
-    "ann_ivfpq_rerank", "knn_join")
+    "ann_ivfpq_rerank", "knn_join", "knn_mutual_rerank")
 
   private val eSql = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
@@ -1380,6 +1450,56 @@ object SimilarityQueries {
     * parenthesized subquery) so the recall harness and the tiers it
     * measures can never drift apart.
     */
+  /** knn_join's full oracle string — a val because three strings splice
+    * it: the catalog entry, knn_mutual_rerank (symmetrized edges), and
+    * [[knnMutualPairsSql]] (the mutual filter, also consumed by
+    * DedupQueries' dedup_semantic_graph mirror).
+    */
+  private lazy val knnJoinSql: String =
+    s"""WITH $pqCtes,
+       |asg AS (SELECT vec_id, cluster FROM (WITH $kmeansCtes
+       |        SELECT vec_id, cluster FROM $kmFinalAsg) x),
+       |cents AS (SELECT cid, c FROM (WITH $kmeansCtes
+       |        SELECT cid, c FROM c$KmIter) x),
+       |q AS (SELECT e.vec_id AS qid, a.cluster AS qcell, e.v AS qv
+       |      FROM e JOIN asg a ON a.vec_id = e.vec_id),
+       |ranked AS (SELECT qid, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |                       ORDER BY ${dist2Sql("qv", "c")}, cid) AS crk
+       |  FROM q CROSS JOIN cents WHERE cid <> qcell),
+       |probes AS (SELECT qid, cid AS pcell FROM ranked WHERE crk <= ${NProbe - 1}
+       |           UNION ALL SELECT qid, qcell AS pcell FROM q),
+       |qs AS (SELECT vec_id AS qid, j, v[(j*$PqDsub+1):(j*$PqDsub+$PqDsub)] AS qsv
+       |       FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)),
+       |lut AS (SELECT q2.qid, c.j, c.cid,
+       |               CAST(floor(${dist2Sql("q2.qsv", "c.c")} * $KmScale.0) AS BIGINT) AS lfp
+       |        FROM qs q2 JOIN $pqFinalBook c ON q2.j = c.j),
+       |adc AS (SELECT p.qid, cd.vec_id AS nn_id, CAST(SUM(l.lfp) AS BIGINT) AS adc_fp
+       |        FROM $pqFinalAsg cd
+       |        JOIN asg a ON a.vec_id = cd.vec_id
+       |        JOIN probes p ON p.pcell = a.cluster AND cd.vec_id <> p.qid
+       |        JOIN lut l ON l.qid = p.qid AND l.j = cd.j AND l.cid = cd.code
+       |        GROUP BY 1, 2)
+       |SELECT qid, CAST(rn AS INT) AS rank, nn_id, adc_fp FROM (
+       |  SELECT qid, nn_id, adc_fp,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, nn_id) AS rn
+       |  FROM adc) WHERE rn <= $KnnK ORDER BY qid, rank""".stripMargin
+
+  /** knn_mutual_pairs' oracle — the mutual filter over the spliced knn
+    * graph (one nested WITH — the recall-splice precedent). Shared with
+    * DedupQueries so dedup_semantic_graph's mirror consumes the SAME
+    * candidate relation string.
+    */
+  private[queries] lazy val knnMutualPairsSql: String =
+    // k AS MATERIALIZED: the self-join references k twice and DuckDB
+    // inlines CTEs by default — without the hint the whole spliced knn
+    // chain (kmeans unroll + PQ train) evaluates twice
+    s"""WITH k AS MATERIALIZED (SELECT qid, nn_id, adc_fp FROM ($knnJoinSql) x)
+       |SELECT a.qid AS d1, a.nn_id AS d2, a.adc_fp
+       |FROM k a JOIN k b ON b.qid = a.nn_id AND b.nn_id = a.qid
+       |                 AND a.qid < a.nn_id
+       |ORDER BY d1, d2""".stripMargin
+
   private lazy val oraclesBase: Map[String, String] = Map(
     "embedding_kmeans" ->
       s"""WITH $kmeansCtes
@@ -1518,35 +1638,25 @@ object SimilarityQueries {
     // recall-splice precedent — two CTE chains both defining `e` cannot
     // share one WITH; the nested e is textually identical to the outer
     // one, so the relations agree).
-    "knn_join" ->
-      s"""WITH $pqCtes,
-         |asg AS (SELECT vec_id, cluster FROM (WITH $kmeansCtes
-         |        SELECT vec_id, cluster FROM $kmFinalAsg) x),
-         |cents AS (SELECT cid, c FROM (WITH $kmeansCtes
-         |        SELECT cid, c FROM c$KmIter) x),
-         |q AS (SELECT e.vec_id AS qid, a.cluster AS qcell, e.v AS qv
-         |      FROM e JOIN asg a ON a.vec_id = e.vec_id),
-         |ranked AS (SELECT qid, cid,
-         |    ROW_NUMBER() OVER (PARTITION BY qid
-         |                       ORDER BY ${dist2Sql("qv", "c")}, cid) AS crk
-         |  FROM q CROSS JOIN cents WHERE cid <> qcell),
-         |probes AS (SELECT qid, cid AS pcell FROM ranked WHERE crk <= ${NProbe - 1}
-         |           UNION ALL SELECT qid, qcell AS pcell FROM q),
-         |qs AS (SELECT vec_id AS qid, j, v[(j*$PqDsub+1):(j*$PqDsub+$PqDsub)] AS qsv
-         |       FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)),
-         |lut AS (SELECT q2.qid, c.j, c.cid,
-         |               CAST(floor(${dist2Sql("q2.qsv", "c.c")} * $KmScale.0) AS BIGINT) AS lfp
-         |        FROM qs q2 JOIN $pqFinalBook c ON q2.j = c.j),
-         |adc AS (SELECT p.qid, cd.vec_id AS nn_id, CAST(SUM(l.lfp) AS BIGINT) AS adc_fp
-         |        FROM $pqFinalAsg cd
-         |        JOIN asg a ON a.vec_id = cd.vec_id
-         |        JOIN probes p ON p.pcell = a.cluster AND cd.vec_id <> p.qid
-         |        JOIN lut l ON l.qid = p.qid AND l.j = cd.j AND l.cid = cd.code
-         |        GROUP BY 1, 2)
-         |SELECT qid, CAST(rn AS INT) AS rank, nn_id, adc_fp FROM (
-         |  SELECT qid, nn_id, adc_fp,
-         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_fp, nn_id) AS rn
-         |  FROM adc) WHERE rn <= $KnnK ORDER BY qid, rank""".stripMargin,
+    "knn_join" -> knnJoinSql,
+
+    // symmetrize the graph's edges (UNION dedupes = the Spark distinct),
+    // exact dist2 on the endpoint vectors, top-KnnK per vector.
+    // k AS MATERIALIZED: both union arms read k (the knnMutualPairsSql
+    // inlining note)
+    "knn_mutual_rerank" ->
+      s"""WITH k AS MATERIALIZED (SELECT qid, nn_id FROM ($knnJoinSql) x),
+         |cand AS (SELECT qid, nn_id FROM k
+         |         UNION SELECT nn_id AS qid, qid AS nn_id FROM k),
+         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         |rer AS (SELECT c.qid, c.nn_id, ${dist2Sql("q.v", "n.v")} AS d2
+         |        FROM cand c JOIN e2 q ON q.vec_id = c.qid
+         |                    JOIN e2 n ON n.vec_id = c.nn_id)
+         |SELECT qid, CAST(rn AS INT) AS rank, nn_id, d2 FROM (
+         |  SELECT qid, nn_id, d2,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nn_id) AS rn
+         |  FROM rer) WHERE rn <= $KnnK ORDER BY qid, rank""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH e AS ($eSql),
@@ -1689,13 +1799,9 @@ object SimilarityQueries {
     // the oracle IS ann_pq's string
     ("ann_pq_indexed" -> oraclesBase("ann_pq")) +
     // the mutual filter over the spliced knn graph (one nested WITH —
-    // the recall-splice precedent)
-    ("knn_mutual_pairs" ->
-      s"""WITH k AS (SELECT qid, nn_id, adc_fp FROM (${oraclesBase("knn_join")}) x)
-         |SELECT a.qid AS d1, a.nn_id AS d2, a.adc_fp
-         |FROM k a JOIN k b ON b.qid = a.nn_id AND b.nn_id = a.qid
-         |                 AND a.qid < a.nn_id
-         |ORDER BY d1, d2""".stripMargin) + ("ann_recall" -> {
+    // the recall-splice precedent; the string is [[knnMutualPairsSql]],
+    // shared with dedup_semantic_graph's mirror)
+    ("knn_mutual_pairs" -> knnMutualPairsSql) + ("ann_recall" -> {
     val ctes = recallTiers.zipWithIndex.map { case (n, i) =>
       // the qid filter mirrors the Spark tier restriction (a no-op for
       // the point-query tiers, the ladder window for knn_join)

@@ -146,6 +146,48 @@ object TextAnalysisQueries {
     */
   private[graft] val BpeRounds = 6
 
+  /** The trained merge table (round, lhs, rhs, n) — the bpe_merges loop
+    * (see that entry for the delimiter-framing / greedy-replace
+    * argument), session-cached: BpeRounds rows, a design constant, so
+    * the cache admission rule holds, and bpe_vocab's apply-only pass
+    * reuses the TRAINING result instead of re-paying one pair-count
+    * aggregation per round. Per-round corpus checkpoints stay on the
+    * retire-at-drain lifecycle; the returned 6-row union is re-
+    * materialized fresh so it survives the drain that frees them.
+    */
+  private def bpeWinners(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionCache.frame(s, dir, "bpe-winners") {
+      val Sep = "\u001F"
+      var cur = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(concat(lit(Sep),
+          array_join(regexp_extract_all(col("text"), lit(BpeMergeRegex), lit(0)),
+            Sep + Sep),
+          lit(Sep)).as("s"))
+      val winners = (1 to BpeRounds).map { r =>
+        val curM = graft.operators.Checkpoints.retire(
+          graft.operators.Checkpoints.corpusScaled(cur))
+        val pairs = curM
+          .select(split(expr("substring(s, 2, length(s) - 2)"), Sep + Sep).as("tv"))
+          .filter(size(col("tv")) >= 2)
+          .select(explode(zip_with(
+            slice(col("tv"), lit(1), size(col("tv")) - 1),
+            slice(col("tv"), lit(2), size(col("tv")) - 1),
+            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+          .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        val w = graft.operators.Checkpoints.retire(graft.operators.Checkpoints.fresh(
+          pairs.groupBy("lhs", "rhs").agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)))
+        cur = curM
+          .crossJoin(broadcast(w.select(col("lhs").as("wl"), col("rhs").as("wr"))))
+          .select(replace(col("s"),
+            concat(lit(Sep), col("wl"), lit(Sep + Sep), col("wr"), lit(Sep)),
+            concat(lit(Sep), col("wl"), col("wr"), lit(Sep))).as("s"))
+        w.select(lit(r).as("round"), col("lhs"), col("rhs"), col("n"))
+      }
+      graft.operators.Checkpoints.fresh(winners.reduce(_ unionByName _))
+    }
+
   /** sample_stratified: docs kept per stratum. */
   private[graft] val SampleK = 5
 
@@ -954,36 +996,50 @@ object TextAnalysisQueries {
     // 100 TB. The winner crossJoin is a 1-row broadcast (the nTrue
     // precedent); an exhausted corpus (no pairs left) simply stops
     // emitting rounds on both engines.
-    "bpe_merges" -> ((s, dir) => {
+    "bpe_merges" -> ((s, dir) =>
+      bpeWinners(s, dir).orderBy("round")),
+
+    // ---- the tokenizer artifact: every trained merge APPLIED ----
+    // bpe_merges emits the merge TABLE; the consumer-facing output of a
+    // BPE train is the post-merge symbol vocabulary with counts — what
+    // a tokenizer ships and what the training loop's "corpus size in
+    // symbols" progress number reads from. The apply-only pass is
+    // strictly cheaper than training: the winners come from the
+    // session-cached merge table ([[bpeWinners]] — BpeRounds 1-row
+    // broadcasts, the bpe_merges winner-crossJoin shape), so applying
+    // all N merges is N chained literal `replace` projections in ONE
+    // whole-stage-codegen pass over the corpus — no pair counting, no
+    // per-round checkpoint (each round's corpus feeds ONLY the next
+    // round here, so there is no lineage fan-out to materialize
+    // against), no shuffle until the final symbol count (map-side-
+    // combined hash aggregate). An exhausted round (no winner row)
+    // empties the crossJoin — and the vocabulary — on BOTH engines,
+    // mirroring bpe_merges' stop-emitting behavior.
+    "bpe_vocab" -> ((s, dir) => {
       val Sep = "\u001F"
+      val w = bpeWinners(s, dir)
       var cur = Tables(s, dir, "documents")
         .filter(col("doc_id").isNotNull)
         .select(concat(lit(Sep),
           array_join(regexp_extract_all(col("text"), lit(BpeMergeRegex), lit(0)),
             Sep + Sep),
           lit(Sep)).as("s"))
-      val winners = (1 to BpeRounds).map { r =>
-        val curM = graft.operators.Checkpoints.retire(
-          graft.operators.Checkpoints.corpusScaled(cur))
-        val pairs = curM
-          .select(split(expr("substring(s, 2, length(s) - 2)"), Sep + Sep).as("tv"))
-          .filter(size(col("tv")) >= 2)
-          .select(explode(zip_with(
-            slice(col("tv"), lit(1), size(col("tv")) - 1),
-            slice(col("tv"), lit(2), size(col("tv")) - 1),
-            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
-          .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        val w = graft.operators.Checkpoints.retire(graft.operators.Checkpoints.fresh(
-          pairs.groupBy("lhs", "rhs").agg(count(lit(1)).as("n"))
-            .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)))
-        cur = curM
-          .crossJoin(broadcast(w.select(col("lhs").as("wl"), col("rhs").as("wr"))))
+      for (r <- 1 to BpeRounds)
+        cur = cur
+          // limit(1) is semantically free (round is unique in the merge
+          // table) and gives the conditionless broadcast a STATIC row
+          // bound the structural join audit can see (maxRows = 1)
+          .crossJoin(broadcast(w.filter(col("round") === r).limit(1)
+            .select(col("lhs").as(s"wl$r"), col("rhs").as(s"wr$r"))))
           .select(replace(col("s"),
-            concat(lit(Sep), col("wl"), lit(Sep + Sep), col("wr"), lit(Sep)),
-            concat(lit(Sep), col("wl"), col("wr"), lit(Sep))).as("s"))
-        w.select(lit(r).as("round"), col("lhs"), col("rhs"), col("n"))
-      }
-      winners.reduce(_ unionByName _).orderBy("round")
+            concat(lit(Sep), col(s"wl$r"), lit(Sep + Sep), col(s"wr$r"), lit(Sep)),
+            concat(lit(Sep), col(s"wl$r"), col(s"wr$r"), lit(Sep))).as("s"))
+      cur
+        .select(explode(split(expr("substring(s, 2, length(s) - 2)"), Sep + Sep))
+          .as("symbol"))
+        .filter(col("symbol") =!= "")
+        .groupBy("symbol").agg(count(lit(1)).as("n"))
+        .orderBy("symbol")
     })
   )
 
@@ -1345,32 +1401,51 @@ object TextAnalysisQueries {
       // the iterated form unrolled: s{r} (delimiter-framed strings) →
       // p{r} (zipped-unnest pairs) → w{r} (1-row winner) → s{r+1}
       // (literal replace = the greedy merge pass). chr(31) = \x1F.
+      // The CTE chain is [[bpeCtesSql]], shared with bpe_vocab's mirror.
       "bpe_merges" -> {
-        val sep = "chr(31)"
-        val sep2 = s"$sep || $sep"
-        val sb = new StringBuilder
-        sb.append(
-          s"""WITH s1 AS (SELECT $sep || array_to_string(
-             |              regexp_extract_all(text, '$BpeMergeRegex'), $sep2) || $sep AS s
-             |            FROM documents WHERE doc_id IS NOT NULL)""".stripMargin)
-        for (r <- 1 to BpeRounds) {
-          sb.append(",\n").append(
-            s"""p$r AS (SELECT unnest(tv[1:len(tv)-1]) AS lhs, unnest(tv[2:len(tv)]) AS rhs
-               |      FROM (SELECT string_split(s[2:len(s)-1], $sep2) AS tv FROM s$r)
-               |      WHERE len(tv) >= 2),
-               |w$r AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n FROM p$r
-               |      GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1)""".stripMargin)
-          if (r < BpeRounds) sb.append(",\n").append(
-            s"""s${r + 1} AS (SELECT replace(s, $sep || lhs || $sep2 || rhs || $sep,
-               |                  $sep || lhs || rhs || $sep) AS s
-               |      FROM s$r CROSS JOIN w$r)""".stripMargin)
-        }
-        sb.append("\n").append((1 to BpeRounds)
-          .map(r => s"SELECT CAST($r AS INT) AS round, lhs, rhs, n FROM w$r")
-          .mkString("\nUNION ALL\n"))
-        sb.append("\nORDER BY round")
-        sb.toString
-      }
+        "WITH " + bpeCtesSql(finalCorpus = false) + "\n" +
+          (1 to BpeRounds)
+            .map(r => s"SELECT CAST($r AS INT) AS round, lhs, rhs, n FROM w$r")
+            .mkString("\nUNION ALL\n") +
+          "\nORDER BY round"
+      },
+
+      // the apply-only pass's mirror: the SAME chain carried one replace
+      // further (s{N+1}), then one symbol unnest + count
+      "bpe_vocab" ->
+        s"""WITH ${bpeCtesSql(finalCorpus = true)}
+           |SELECT symbol, CAST(count(*) AS BIGINT) AS n FROM (
+           |  SELECT unnest(string_split(s[2:len(s)-1], chr(31) || chr(31))) AS symbol
+           |  FROM s${BpeRounds + 1})
+           |WHERE symbol <> '' GROUP BY symbol ORDER BY symbol""".stripMargin
     )
+  }
+
+  /** The unrolled BPE training CTE chain s1, p1, w1, s2, … — ONE builder
+    * for the bpe_merges and bpe_vocab oracles (two unrolls could drift).
+    * `finalCorpus` appends s{BpeRounds+1} — the LAST winner applied —
+    * which only the vocab mirror reads.
+    */
+  private def bpeCtesSql(finalCorpus: Boolean): String = {
+    val sep = "chr(31)"
+    val sep2 = s"$sep || $sep"
+    val sb = new StringBuilder
+    sb.append(
+      s"""s1 AS (SELECT $sep || array_to_string(
+         |              regexp_extract_all(text, '$BpeMergeRegex'), $sep2) || $sep AS s
+         |            FROM documents WHERE doc_id IS NOT NULL)""".stripMargin)
+    for (r <- 1 to BpeRounds) {
+      sb.append(",\n").append(
+        s"""p$r AS (SELECT unnest(tv[1:len(tv)-1]) AS lhs, unnest(tv[2:len(tv)]) AS rhs
+           |      FROM (SELECT string_split(s[2:len(s)-1], $sep2) AS tv FROM s$r)
+           |      WHERE len(tv) >= 2),
+           |w$r AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n FROM p$r
+           |      GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1)""".stripMargin)
+      if (r < BpeRounds || finalCorpus) sb.append(",\n").append(
+        s"""s${r + 1} AS (SELECT replace(s, $sep || lhs || $sep2 || rhs || $sep,
+           |                  $sep || lhs || rhs || $sep) AS s
+           |      FROM s$r CROSS JOIN w$r)""".stripMargin)
+    }
+    sb.toString
   }
 }

@@ -1793,7 +1793,7 @@ class QueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val out = SparkEntry.queries("ann_recall")(spark, Sf0001)
       .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    assert(out.size == 8) // recallTiers — knn_join joined the ladder in r14
+    assert(out.size == 9) // recallTiers — knn_mutual_rerank joined in r15
     out.values.foreach { case (m, nRet, nHits, rate) =>
       assert(nRet > 0 && nHits >= 0 && nHits <= nRet, s"$m: hits outside [0, ret]")
       assert(math.abs(rate - nHits.toDouble / nRet) == 0.0)
@@ -2089,5 +2089,115 @@ class QueriesSpec extends AnyFunSuite {
       .filter(col("method") === "union_sig_lsh")
       .select("n_cand", "n_hit", "n_true").as[(Long, Long, Long)].head()
     assert(row == ((expCand, expHit, truth.length.toLong)))
+  }
+
+  test("knn_mutual_rerank: exact top-k over the symmetrized graph edges") {
+    import spark.implicits._
+    val edges = SparkEntry.queries("knn_join")(spark, Sf0001)
+      .select("qid", "nn_id").as[(Long, Long)].collect()
+    val cand = (edges ++ edges.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val vec = Tables(spark, Sf0001, "embeddings")
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    // the same sequential left fold as Dist2 (init 0.0, ascending index)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    val k = graft.queries.SimilarityQueries.KnnK
+    val expected = cand.toSeq.flatMap { case (q, nns) =>
+      nns.map(nn => (q, nn, d2(vec(q), vec(nn))))
+        .sortBy { case (_, nn, d) => (d, nn) }.take(k)
+        .zipWithIndex.map { case ((_, nn, d), i) => (q, i + 1, nn, d) }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("knn_mutual_rerank")(spark, Sf0001)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // bit-exact: same candidates, same exact distances, same tie-break
+    assert(got == expected)
+    // the rerank tier's edge set covers every mutual pair (its candidate
+    // superset relation to knn_mutual_pairs' source edges)
+    assert(got.forall { case (q, _, nn, _) => cand(q).contains(nn) })
+  }
+
+  test("dedup_recall_canon: survivor-corpus harness invariants") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("dedup_recall_canon")(spark, Sf0001)
+      .select("method", "n_cand", "n_hit", "n_true")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("post_canon_lsh", "post_canon_sig"))
+    rows.foreach { case (m, nCand, nHit, nTrue) =>
+      assert(nHit <= nCand, s"$m: hits exceed candidates")
+      assert(nHit <= nTrue, s"$m: hits exceed truth")
+      assert(nCand >= 0 && nTrue >= 0)
+    }
+    // the two rows score against the SAME survivor-corpus truth
+    assert(rows.map(_._4).distinct.length == 1)
+    // exact-duplicate classes are gone from the survivor corpus, so the
+    // residual full-signature mass must be at most the RAW corpus's
+    // same-signature pair mass (strictly smaller whenever exact dups
+    // existed); at this SF the canon corpus is a strict subset
+    val keepN = SparkEntry.queries("dedup_canonical")(spark, Sf0001)
+      .filter(col("keep")).count()
+    val allN = Tables(spark, Sf0001, "documents")
+      .filter(col("doc_id").isNotNull).count()
+    assert(keepN < allN, "sf0.001 has duplicate classes; canon must shrink")
+  }
+
+  test("dedup_semantic_graph: mutual pairs re-scored exactly, drop side elected") {
+    import spark.implicits._
+    val mutual = SparkEntry.queries("knn_mutual_pairs")(spark, Sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val vec = Tables(spark, Sf0001, "embeddings")
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val got = SparkEntry.queries("dedup_semantic_graph")(spark, Sf0001)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (d1, d2, sim, drop) =>
+      assert(mutual((d1, d2)), s"($d1,$d2) not a mutual pair")
+      assert(sim >= graft.queries.DedupQueries.SemTau)
+      assert(sim == cos(vec(d1), vec(d2)), s"($d1,$d2) sim not exact")
+      assert(drop == d1 || drop == d2)
+    }
+    // every mutual pair at/above the threshold appears — no silent drops
+    val expPairs = mutual.filter { case (a, b) =>
+      val s = cos(vec(a), vec(b)); !s.isNaN && s >= graft.queries.DedupQueries.SemTau
+    }
+    assert(got.map(r => (r._1, r._2)).toSet == expPairs)
+  }
+
+  test("bpe_vocab: equals the driver-side recount after applying all merges") {
+    import spark.implicits._
+    val re = graft.queries.TextAnalysisQueries.BpeMergeRegex.r
+    def applyMerge(tv: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < tv.length) {
+        if (i + 1 < tv.length && tv(i) == l && tv(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += tv(i); i += 1 }
+      }
+      out.toArray
+    }
+    var corpus = Tables(spark, Sf0001, "documents")
+      .filter(col("doc_id").isNotNull).select("text").as[String].collect()
+      .map(t => re.findAllIn(t).toArray)
+    val totalChars = corpus.map(_.map(_.length.toLong).sum).sum
+    val merges = SparkEntry.queries("bpe_merges")(spark, Sf0001)
+      .orderBy("round").select("lhs", "rhs").as[(String, String)].collect()
+    merges.foreach { case (l, r) => corpus = corpus.map(applyMerge(_, l, r)) }
+    val expected = corpus.flatten.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("bpe_vocab")(spark, Sf0001)
+      .as[(String, Long)].collect()
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    assert(got.toMap == expected)
+    // character mass is conserved by merging: Σ n·len(symbol) = Σ len(token)
+    assert(got.map { case (s, n) => n * s.length }.sum == totalChars)
   }
 }
