@@ -903,6 +903,25 @@ object CurationQueries {
       curateWith(s, dir, DedupQueries.canonicalDecision(s, dir))
         .orderBy("doc_id")),
 
+    // ---- the curation pass + the GRAPH-fed semantic gate ----
+    // pipeline_curate's three gates plus SemDeDup from the kNN graph
+    // (DedupQueries.semanticGraphPairs — mutual-kNN candidates, exact
+    // cosine, quality election): survivors additionally lose every doc
+    // the graph tier elected to DROP. The gate is one anti-join on the
+    // natural key against the session-cached pair frame's drop side —
+    // the canonical simhash classes and the embedding-space near-dup
+    // classes are DIFFERENT relations (Hamming-on-text vs cosine-on-
+    // vector), so this is a real fourth gate, not a re-spelling of the
+    // first; composing it makes the kNN graph a consumed pipeline
+    // component end to end (build → mutual pairs → exact confirm →
+    // corpus shrink).
+    "pipeline_curate_semantic" -> ((s, dir) =>
+      curateWith(s, dir, DedupQueries.canonicalDecision(s, dir))
+        .join(DedupQueries.semanticGraphPairs(s, dir)
+            .select(col("drop_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")),
+
     // ---- chunk-granularity boilerplate scrub + reassembly ----
     // See [[scrubbedDocs]] for the rule and shapes.
     "scrub_chunks" -> ((s, dir) =>
@@ -1475,6 +1494,19 @@ object CurationQueries {
       s"""WITH RECURSIVE $curateCtes
          |SELECT k.doc_id, k.lang, k.quality FROM kept k
          |JOIN keeps USING (doc_id) JOIN clean USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate_semantic" ->
+      // the three gate CTEs + the graph tier's own mirror nested
+      // verbatim (its internal WITH is scoped inside the parens, so its
+      // q/p names shadow nothing out here); the drop set is an anti
+      // NOT EXISTS on the natural key
+      s"""WITH RECURSIVE $curateCtes,
+         |semg AS (SELECT DISTINCT drop_id
+         |         FROM (${DedupQueries.semanticGraphSql}) x)
+         |SELECT k.doc_id, k.lang, k.quality FROM kept k
+         |JOIN keeps USING (doc_id) JOIN clean USING (doc_id)
+         |WHERE NOT EXISTS (SELECT 1 FROM semg WHERE semg.drop_id = k.doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "scrub_chunks" ->

@@ -1564,7 +1564,17 @@ object DedupQueries {
     // frame — no new corpus×corpus door, and unlike the bucket tiers
     // there is NO hot-cell cap to forfeit recall through: the graph's
     // derived-K cells bound candidate counts by design.
-    "dedup_semantic_graph" -> ((s, dir) => {
+    "dedup_semantic_graph" -> ((s, dir) =>
+      semanticGraphPairs(s, dir).orderBy("d1", "d2"))
+  )
+
+  /** `dedup_semantic_graph`'s pair frame (d1, d2, sim, drop_id),
+    * unordered — session-cached (pair-bounded: ≤ the mutual edge set)
+    * because CurationQueries' `pipeline_curate_semantic` consumes the
+    * drop set as a fourth gate.
+    */
+  private[queries] def semanticGraphPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionCache.frame(s, dir, "semantic-graph-pairs") {
       val mp = SimilarityQueries.mutualPairs(s, dir).select(col("d1"), col("d2"))
       val e = Tables(s, dir, "embeddings")
         .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
@@ -1578,16 +1588,14 @@ object DedupQueries {
         .select(col("doc_id"),
           coalesce(TextAnalysisQueries.qualityExpr(col("text")), lit(-1.0))
             .as("q"))
-      scored
+      graft.operators.Checkpoints.fresh(scored
         .join(q.select(col("doc_id").as("d1"), col("q").as("q1")), Seq("d1"))
         .join(q.select(col("doc_id").as("d2"), col("q").as("q2")), Seq("d2"))
         .select(col("d1"), col("d2"), col("sim"),
           when(col("q1") < col("q2"), col("d1"))
             .when(col("q2") < col("q1"), col("d2"))
-            .otherwise(greatest(col("d1"), col("d2"))).as("drop_id"))
-        .orderBy("d1", "d2")
-    })
-  )
+            .otherwise(greatest(col("d1"), col("d2"))).as("drop_id")))
+    }
 
   // ===== DuckDB oracles (same md5-based hashing, same fold order) =====
 
@@ -1823,6 +1831,30 @@ object DedupQueries {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** dedup_semantic_graph's oracle — knn_mutual_pairs' spliced string
+    * as the candidate relation (one nested WITH — the recall-splice
+    * precedent), exact cosine + the dedup_semantic election on top.
+    * ONE string, shared by the catalog entry and (nested) by
+    * CurationQueries' pipeline_curate_semantic mirror.
+    */
+  private[queries] lazy val semanticGraphSql: String =
+    s"""WITH mp AS (SELECT d1, d2 FROM (${SimilarityQueries.knnMutualPairsSql}) x),
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |p AS (SELECT mp.d1, mp.d2, ${cosineSql("a.v", "b.v")} AS sim
+       |      FROM mp JOIN e2 a ON a.vec_id = mp.d1
+       |              JOIN e2 b ON b.vec_id = mp.d2),
+       |q AS (SELECT doc_id,
+       |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
+       |      FROM documents)
+       |SELECT p.d1, p.d2, p.sim,
+       |  CASE WHEN x.q < y.q THEN p.d1
+       |       WHEN y.q < x.q THEN p.d2
+       |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
+       |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
+       |WHERE p.sim >= $SemTau AND NOT isnan(p.sim)
+       |ORDER BY d1, d2""".stripMargin
+
   /** The tiers dedup_recall scores — ONE list consumed by the Spark
     * query and the spliced oracle (the recallTiers rule), so adding a
     * tier updates both in lockstep.
@@ -1988,26 +2020,9 @@ object DedupQueries {
 
     "dedup_semantic_kmeans" -> kmSemanticPairsSql,
 
-    // the graph-fed SemDeDup tier: knn_mutual_pairs' spliced string as
-    // the candidate relation (one nested WITH — the recall-splice
-    // precedent), exact cosine + the dedup_semantic election on top
-    "dedup_semantic_graph" ->
-      s"""WITH mp AS (SELECT d1, d2 FROM (${SimilarityQueries.knnMutualPairsSql}) x),
-         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
-         |p AS (SELECT mp.d1, mp.d2, ${cosineSql("a.v", "b.v")} AS sim
-         |      FROM mp JOIN e2 a ON a.vec_id = mp.d1
-         |              JOIN e2 b ON b.vec_id = mp.d2),
-         |q AS (SELECT doc_id,
-         |        COALESCE(${TextAnalysisQueries.qualitySqlExpr}, -1.0) AS q
-         |      FROM documents)
-         |SELECT p.d1, p.d2, p.sim,
-         |  CASE WHEN x.q < y.q THEN p.d1
-         |       WHEN y.q < x.q THEN p.d2
-         |       ELSE GREATEST(p.d1, p.d2) END AS drop_id
-         |FROM p JOIN q x ON p.d1 = x.doc_id JOIN q y ON p.d2 = y.doc_id
-         |WHERE p.sim >= $SemTau AND NOT isnan(p.sim)
-         |ORDER BY d1, d2""".stripMargin,
+    // the graph-fed SemDeDup tier — the string is [[semanticGraphSql]],
+    // shared with pipeline_curate_semantic's mirror
+    "dedup_semantic_graph" -> semanticGraphSql,
 
     "dedup_clusters_multi" ->
       // the dedup_clusters recursive reachability closure over the UNION

@@ -2171,6 +2171,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._2)).toSet == expPairs)
   }
 
+  test("pipeline_curate_semantic equals pipeline_curate minus the graph drop set") {
+    import spark.implicits._
+    val base = SparkEntry.queries("pipeline_curate")(spark, Sf0001)
+    val drops = SparkEntry.queries("dedup_semantic_graph")(spark, Sf0001)
+      .select("drop_id").as[Long].collect().toSet
+    val expected = base.collect()
+      .filterNot(r => drops(r.getLong(0))).map(_.getLong(0)).sorted.toSeq
+    val got = SparkEntry.queries("pipeline_curate_semantic")(spark, Sf0001)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == expected)
+    // the gate is real at this SF: at least one curation survivor is a
+    // graph-elected drop (otherwise the composition tests nothing)
+    assert(got.size < base.count(), "the semantic gate dropped nothing")
+  }
+
   test("bpe_vocab: equals the driver-side recount after applying all merges") {
     import spark.implicits._
     val re = graft.queries.TextAnalysisQueries.BpeMergeRegex.r
