@@ -320,6 +320,138 @@ object SimilarityQueries {
       graft.operators.Checkpoints.fresh(c)
     }
 
+  // ===== two-level coarse quantizer (the kNN graph's cell structure) =====
+  // The r15 sf30 probe measured the graph's cold build ×9.8 for 3× data
+  // (402.8 s vs 41.3 s — BENCH_sf30_new_r15.json): the corpus crossed the
+  // flat quantizer's KmMaxK=4096 ceiling, K stopped growing, mean cell
+  // size grew ∝ n, and the cell-equi ADC join reopened the
+  // quadratic-within-cell door the derived-K rule exists to close. But
+  // simply UNCAPPING the flat K moves the quadratic to the OTHER side:
+  // each Lloyd assignment pass is K·dim work per row, and with
+  // K = n/KmCell that is n²·dim/KmCell per pass — the two terms meet and
+  // there is no flat K that keeps both linear. The standard production
+  // answer (IVF-on-IVF — FAISS's IndexIVF coarse quantizer is itself an
+  // index; Jégou et al.'s two-level variant) is a HIERARCHICAL coarse
+  // quantizer: Ks = ceil(√K) super-cells Lloyd-trained on the corpus,
+  // then Ksub = ceil(K/Ks) sub-cells Lloyd-trained WITHIN each
+  // super-cell (the same fixed-point/md5-seed/tie-break determinism
+  // contract, so the whole chain still mirrors exactly in SQL). Cell
+  // count Ks·Ksub ≥ K keeps mean cell size ≤ KmCell — the ADC join stays
+  // linear — while every per-row assignment/probe argmin costs
+  // (Ks + Ksub)·dim ≈ 2√K·dim instead of K·dim: total build work is
+  // O(n·√(n/KmCell)·dim + n·KmCell·PqM), sub-quadratic with small
+  // constants (at 1000× the depth can grow to three levels the same
+  // way — same kernel, one more tier; no graded or probed SF needs it).
+  // Used by the kNN GRAPH path only: SemDeDup's own recipe
+  // (embedding_kmeans / dedup_semantic_kmeans) is flat k-means by
+  // definition and keeps [[kmeansK]]'s capped derivation — the cap is
+  // honest THERE because those operators' candidate caps bound the cell
+  // join independently; the graph's join has no cap (capping forfeits
+  // graph recall silently), so its cells must stay design-sized at any n.
+
+  /** Derived (Ks, Ksub): Ks = ceil(√K) supers, Ksub = ceil(K/Ks) subs
+    * per super, K = max(KmMinK, ceil(n/KmCell)) UNCAPPED. ceil∘sqrt on
+    * an integer-valued double is exactly rounded (IEEE) — the oracle's
+    * CEIL(SQRT(...)) computes the identical value from the identical
+    * COUNT(*).
+    */
+  private[graft] def km2K(nVec: Long): (Int, Int) = {
+    val k = math.max(KmMinK.toLong, (nVec + KmCell - 1) / KmCell)
+    val ks = math.ceil(math.sqrt(k.toDouble)).toLong
+    val kb = (k + ks - 1) / ks
+    (ks.toInt, kb.toInt)
+  }
+
+  /** Trained super-centroids (cid, c) — [[kmeansCentroids]]' lifecycle
+    * (session-cached, Ks·dim-bounded) reusing the flat Lloyd primitives
+    * verbatim at k = Ks.
+    */
+  private def km2SuperCentroids(s: SparkSession, dir: String, e: DataFrame,
+      ks: Int): DataFrame =
+    graft.operators.SessionCache.frame(s, dir, "km2-super-centroids") {
+      var c = kmInit(e, ks)
+      for (_ <- 1 to KmIter) c = kmUpdate(kmAssign(e, c))
+      graft.operators.Checkpoints.fresh(c)
+    }
+
+  /** Per-super-cell sub init: each super-cell's first Ksub members by
+    * (md5(vec_id), vec_id) — [[kmInit]]'s seed rule PARTITIONED BY
+    * scell. The window's partitions are super-cells (~n/Ks ≈ √(n·KmCell)
+    * rows each — sub-linear per partition, never a global frame).
+    */
+  private def km2SubInit(sa: DataFrame, kb: Int): DataFrame = {
+    val w = Window.partitionBy(col("scell")).orderBy(col("h"), col("vec_id"))
+    sa.withColumn("h", md5(col("vec_id").cast("string")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kb)
+      .select(col("scell"), (col("rn") - 1).cast("int").as("sid"), col("v").as("c"))
+  }
+
+  /** Keyed Lloyd assignment within each super-cell ([[pqAssign]]'s shape
+    * with scell as the key): the per-scell sub lists collapse to Ks
+    * grouped rows (total K·dim doubles — broadcastable far past any
+    * probed SF; past broadcast size the same plan is a hash join on
+    * scell), argmin codegen'd, ties (d2, sid) = the oracle's
+    * ORDER BY d2, sid.
+    */
+  private def km2SubAssign(sa: DataFrame, subs: DataFrame): DataFrame = {
+    val bySc = subs.groupBy("scell")
+      .agg(collect_list(struct(col("sid").as("cid"), col("c"))).as("subs"))
+    sa.join(broadcast(bySc), Seq("scell"))
+      .withColumn("best", argMinDist2(col("v"), col("subs")))
+      .select(col("vec_id"), col("v"), col("scell"),
+        col("best").getField("cid").as("sid"),
+        col("best").getField("d2").as("d2"))
+  }
+
+  /** [[kmUpdate]] with the (scell, sid) composite key — exact
+    * order-free fixed-point component sums; at most Ks·Ksub·dim
+    * aggregated rows cross the exchange. A sub-cell that loses all
+    * members disappears; a member-bearing super-cell always keeps ≥ 1
+    * sub (its members are assigned among its OWN subs only).
+    */
+  private def km2SubUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("scell"), col("sid"), posexplode(col("v")))
+      .groupBy("scell", "sid", "pos")
+      .agg(sum(floor(col("col") * KmScale).cast("long")).as("fsum"),
+        count(lit(1)).as("n"))
+      .select(col("scell"), col("sid"), col("pos"),
+        (col("fsum").cast("double") / (col("n").cast("double") * KmScale.toDouble)).as("cv"))
+      .groupBy("scell", "sid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+      .select(col("scell"), col("sid"), transform(col("pcs"), p => p.getField("cv")).as("c"))
+
+  /** Trained sub-centroids (scell, sid, c) — session-cached (Ks·Ksub·dim
+    * ≈ K·dim doubles: 6 MB at sf30, ~1/(8·KmCell) of corpus bytes in
+    * general). `sa` must be the checkpointed super FINAL assignment the
+    * KmIter+1 sub passes scan.
+    */
+  private def km2SubCentroids(s: SparkSession, dir: String, sa: DataFrame,
+      kb: Int): DataFrame =
+    graft.operators.SessionCache.frame(s, dir, "km2-sub-centroids") {
+      var b = km2SubInit(sa, kb)
+      for (_ <- 1 to KmIter) b = km2SubUpdate(km2SubAssign(sa, b))
+      graft.operators.Checkpoints.fresh(b)
+    }
+
+  /** The two-level FINAL assignment (vec_id, v, scell, cluster) with the
+    * global cell id cluster = scell·Ksub + sid (int — scell·Ksub ≤
+    * Ks·Ksub ≈ K ≤ n/KmCell). Exposed package-private for the spec's
+    * probe-containment check.
+    */
+  private[graft] def km2Assign(s: SparkSession, dir: String): DataFrame = {
+    val e = kmCorpus(s, dir)
+    val (ks, kb) = km2K(e.count())
+    val sc = km2SuperCentroids(s, dir, e, ks)
+    val sa = kmAssign(e, sc)
+      .select(col("vec_id"), col("v"), col("cluster").as("scell"))
+    val bc = km2SubCentroids(s, dir, sa, kb)
+    km2SubAssign(sa, bc)
+      .select(col("vec_id"), col("v"), col("scell"),
+        (col("scell") * kb + col("sid")).cast("int").as("cluster"))
+  }
+
   // ===== product quantization (Jégou/Douze/Schmid, TPAMI 2011) =====
   // The at-scale ANN memory trade int8 quantization can't reach: split
   // each vector into PqM subspaces, k-means each subspace to PqK
@@ -596,29 +728,68 @@ object SimilarityQueries {
     */
   private def knnGraph(s: SparkSession, dir: String): DataFrame =
     graft.operators.SessionCache.frame(s, dir, "knn-graph") {
+      // Two-level coarse quantizer (see the km2 block): the super FINAL
+      // assignment is checkpointed for the KmIter+1 sub-training scans
+      // (lazy, each sub pass re-ran the super argmin corpus pass), the
+      // final assignment for its four consumers (query frame, probe
+      // rule, member-cell join side, spec access); both freed/retired
+      // once the graph frame is materialized.
+      val e = kmCorpus(s, dir)
+      val (ks, kb) = km2K(e.count())
+      val sc = km2SuperCentroids(s, dir, e, ks)
+      val sa = graft.operators.Checkpoints.corpusScaled(
+        kmAssign(e, sc).select(col("vec_id"), col("v"), col("cluster").as("scell")))
+      val bc = km2SubCentroids(s, dir, sa, kb)
       val asg = graft.operators.Checkpoints.corpusScaled(
-        kmeansAssign(s, dir).select(col("vec_id"), col("cluster"), col("v")))
-      val q = asg.select(col("vec_id").as("qid"), col("cluster").as("qcell"),
-        col("v").as("qv"))
-      val cents = kmeansCentroids(s, dir, kmCorpus(s, dir))
+        km2SubAssign(sa, bc)
+          .select(col("vec_id"), col("v"), col("scell"),
+            (col("scell") * kb + col("sid")).cast("int").as("cluster")))
+      graft.operators.Checkpoints.free(sa)
+      val q = asg.select(col("vec_id").as("qid"), col("scell").as("qscell"),
+        col("cluster").as("qcell"), col("v").as("qv"))
       // NProbe = 2 ⇒ the probe set is own cell + the nearest OTHER
-      // cell, and that second cell is ONE native argmin per query over
-      // the centroid list with the own cell filtered out — the
-      // rank-all-cells spelling (explode corpus × K rows through an
-      // interpreted dist2, TopK-agg them back) costs ~10× at sf1 and
-      // grows with K·corpus. ArgMinDist2 ties (d2, cid)
-      // lexicographically = the oracle's ORDER BY d2, cid.
+      // cell — found HIERARCHICALLY, like the assignment: one argmin
+      // over the (member-bearing) super-centroids for the nearest other
+      // super, then one argmin over own super's subs ∪ that super's
+      // subs with the own cell filtered out. (Ks + 2·Ksub)·dim per
+      // query instead of K·dim — the same √K collapse the assignment
+      // pays, and the candidate set always contains at least the
+      // runner-up super's subs, so a boundary vector still sees its
+      // across-the-border cell. ArgMinDist2 ties (d2, cid)
+      // lexicographically = the oracle's ORDER BY d2, cid; the oracle
+      // mirrors member-bearing ("has subs") supers with the same
+      // semi-filter. A corpus whose surviving supers collapse to ONE
+      // member-bearing cell has no s2 (argmin over an empty filtered
+      // list is NULL, filtered here; the oracle's rn=1 row just does
+      // not exist) — the probe set degrades to own-cell, identically
+      // in both engines.
       require(NProbe == 2,
         s"NProbe=$NProbe: knn_join probes own cell + ONE argmin other; " +
           "an n-best probe rule needs a k-register ArgMinDist2 variant")
-      val centsRow =
-        cents.agg(collect_list(struct(col("cid"), col("c"))).as("cents"))
-      val probes = q.crossJoin(broadcast(centsRow))
+      val scm = sc.join(
+        bc.select(col("scell").as("cid")).distinct(), Seq("cid"), "left_semi")
+      val scmRow = scm.agg(collect_list(struct(col("cid"), col("c"))).as("cents"))
+      val s2f = q.crossJoin(broadcast(scmRow))
+        .select(col("qid"), col("qscell"), col("qcell"), col("qv"),
+          graft.functions.VectorFunctions.argMinDist2(col("qv"),
+            filter(col("cents"), ct => ct.getField("cid") =!= col("qscell")))
+            .getField("cid").cast("int").as("s2"))
+        .filter(col("s2").isNotNull)
+      val bg = bc.groupBy("scell")
+        .agg(collect_list(struct((col("scell") * kb + col("sid")).cast("int").as("cid"),
+          col("c"))).as("subs"))
+      val pr2 = s2f
+        .join(broadcast(bg.select(col("scell").as("qscell"), col("subs").as("subs1"))),
+          Seq("qscell"))
+        .join(broadcast(bg.select(col("scell").as("s2"), col("subs").as("subs2"))),
+          Seq("s2"))
         .select(col("qid"),
           graft.functions.VectorFunctions.argMinDist2(col("qv"),
-            filter(col("cents"), ct => ct.getField("cid") =!= col("qcell")))
+            filter(concat(col("subs1"), col("subs2")),
+              ct => ct.getField("cid") =!= col("qcell")))
             .getField("cid").cast("int").as("pcell"))
-        .union(q.select(col("qid"), col("qcell").as("pcell")))
+        .filter(col("pcell").isNotNull)
+      val probes = pr2.union(q.select(col("qid"), col("qcell").as("pcell")))
       val idx = pqIndexDir(s, dir)
       val cb = s.read.parquet(s"$idx/codebook")
       val mask = (1L << PqBits) - 1
@@ -1072,16 +1243,19 @@ object SimilarityQueries {
     // The composition semantic dedup and clustering consume at 100 TB:
     // not NQueries point lookups but the full kNN graph — each corpus
     // vector's KnnK nearest neighbors — built WITHOUT the all-pairs
-    // join. Three bounded ingredients compose: (a) the SemDeDup k-means
-    // cells (corpus-derived K ≈ n/KmCell, so mean cell size is a design
-    // CONSTANT and per-cell work stays bounded as the corpus grows —
-    // a fixed nlist would go quadratic-within-cell at 100×; this is why
-    // the cells here are the derived-K clustering, not the fixed label
-    // partition the point-query IVF tiers demo on); (b) the IVFADC
-    // probe rule — own cell ∪ top-(NProbe−1) centroid-ranked others
-    // (rank by the SAME L2 the assignment used; ties to the smaller
-    // cid) — so a vector sitting on a cell boundary still sees its
-    // across-the-border neighbors; (c) the PERSISTED PQ index
+    // join. Three bounded ingredients compose: (a) the TWO-LEVEL coarse
+    // quantizer's cells (corpus-derived K ≈ n/KmCell UNCAPPED, so mean
+    // cell size is a design CONSTANT and the cell-equi join stays linear
+    // at any corpus — the r15 sf30 probe measured the capped flat
+    // quantizer reopening the quadratic door at ×9.8 for 3× data — while
+    // the √K-per-tier hierarchy keeps every per-row argmin at 2√K·dim,
+    // so uncapping K does not move the quadratic into the Lloyd passes;
+    // see the km2 block); (b) the IVFADC probe rule — own cell ∪ the
+    // nearest other cell, found hierarchically (nearest other super,
+    // then argmin over both supers' subs; rank by the SAME L2 the
+    // assignment used; ties to the smaller cid) — so a vector sitting
+    // on a cell boundary still sees its across-the-border neighbors;
+    // (c) the PERSISTED PQ index
     // (ann_pq_indexed's build/serve split): the corpus side of the
     // candidate join reads ONLY packed codes, 64× smaller than the
     // vectors, and every distance is integer ADC probes of a per-query
@@ -1373,6 +1547,68 @@ object SimilarityQueries {
 
   private[queries] val kmFinalAsg = s"a${KmIter + 1}"
 
+  // ===== two-level coarse quantizer oracle: both Lloyd tiers unrolled =====
+  // The km2 block's SQL twin, prefixed g* (spliced FLAT next to pqCtes —
+  // no nested WITH, so the chain evaluates once). Same derivations from
+  // the same COUNT(*) (integer // arithmetic; CEIL∘SQRT exactly rounded
+  // on an integer-valued double), same init rule per tier (rn over
+  // (md5, vec_id), PARTITIONED BY scell at the sub tier), same
+  // assignment tie-break (d2 then id), same fixed-point update.
+  // Reuses kmAssignSql/kmUpdateSql verbatim for the super tier.
+
+  private def km2SubAssignSql(name: String, subRel: String): String =
+    s"""$name AS (SELECT vec_id, v, scell, sid, d2 FROM (
+       |  SELECT vec_id, v, scell, sid, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+       |  FROM (SELECT x.vec_id, x.v, x.scell, b.sid, ${dist2Sql("x.v", "b.c")} AS d2
+       |        FROM gsa x JOIN $subRel b ON b.scell = x.scell)) WHERE rn = 1)""".stripMargin
+
+  private def km2SubUpdateSql(name: String, asgRel: String): String =
+    s"""$name AS (SELECT scell, sid, list(cv ORDER BY pos) AS c FROM (
+       |  SELECT scell, sid, pos, CAST(fsum AS DOUBLE) / (CAST(n AS DOUBLE) * $KmScale.0) AS cv FROM (
+       |    SELECT scell, sid, i AS pos,
+       |           sum(CAST(floor(x * $KmScale.0) AS BIGINT)) AS fsum, count(*) AS n
+       |    FROM (SELECT scell, sid, unnest(v) AS x, unnest(range(1, len(v)+1)) AS i FROM $asgRel)
+       |    GROUP BY 1, 2, 3)) GROUP BY scell, sid)""".stripMargin
+
+  /** The full two-level chain: gkb (derived Ks/Ksub), super Lloyd
+    * gs0/ga1/…/ga{KmIter+1}, sub init gb0, sub Lloyd gq1/…/gq{KmIter+1},
+    * final assignment gz (vec_id, v, scell, cluster = scell·Ksub + sid).
+    * References `e` (pqCtes' corpus relation — the same not-null filters
+    * kmCorpus applies).
+    */
+  private def km2Ctes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""gk AS (SELECT GREATEST($KmMinK, (count(*) + ${KmCell - 1}) // $KmCell) AS k FROM e),
+         |gkb AS (SELECT k, ks, (k + ks - 1) // ks AS kb FROM (
+         |        SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS ks FROM gk)),
+         |gs0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, v AS c FROM (
+         |        SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |        FROM e)
+         |       WHERE rn <= (SELECT ks FROM gkb))""".stripMargin)
+    for (i <- 1 to KmIter + 1) {
+      sb.append(",\n").append(kmAssignSql(s"ga$i", s"gs${i - 1}"))
+      if (i <= KmIter) sb.append(",\n").append(kmUpdateSql(s"gs$i", s"ga$i"))
+    }
+    sb.append(",\n").append(
+      s"""gsa AS (SELECT vec_id, v, cluster AS scell FROM ga${KmIter + 1}),
+         |gb0 AS (SELECT scell, CAST(rn - 1 AS INTEGER) AS sid, v AS c FROM (
+         |        SELECT scell, v, ROW_NUMBER() OVER (PARTITION BY scell
+         |                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |        FROM gsa)
+         |       WHERE rn <= (SELECT kb FROM gkb))""".stripMargin)
+    for (i <- 1 to KmIter + 1) {
+      sb.append(",\n").append(km2SubAssignSql(s"gq$i", s"gb${i - 1}"))
+      if (i <= KmIter) sb.append(",\n").append(km2SubUpdateSql(s"gb$i", s"gq$i"))
+    }
+    sb.append(",\n").append(
+      s"""gz AS (SELECT vec_id, v, scell,
+         |         CAST(scell * (SELECT kb FROM gkb) + sid AS INTEGER) AS cluster
+         |       FROM gq${KmIter + 1})""".stripMargin)
+    sb.toString
+  }
+
   // ===== PQ oracle: the keyed (per-subspace) Lloyd loop unrolled =====
   // kmeansCtes with a j key everywhere: DuckDB's 1-based inclusive list
   // slice v[a:b] is the `slice` mirror; the init takes the SAME seed
@@ -1457,17 +1693,26 @@ object SimilarityQueries {
     */
   private lazy val knnJoinSql: String =
     s"""WITH $pqCtes,
-       |asg AS (SELECT vec_id, cluster FROM (WITH $kmeansCtes
-       |        SELECT vec_id, cluster FROM $kmFinalAsg) x),
-       |cents AS (SELECT cid, c FROM (WITH $kmeansCtes
-       |        SELECT cid, c FROM c$KmIter) x),
-       |q AS (SELECT e.vec_id AS qid, a.cluster AS qcell, e.v AS qv
-       |      FROM e JOIN asg a ON a.vec_id = e.vec_id),
-       |ranked AS (SELECT qid, cid,
-       |    ROW_NUMBER() OVER (PARTITION BY qid
-       |                       ORDER BY ${dist2Sql("qv", "c")}, cid) AS crk
-       |  FROM q CROSS JOIN cents WHERE cid <> qcell),
-       |probes AS (SELECT qid, cid AS pcell FROM ranked WHERE crk <= ${NProbe - 1}
+       |$km2Ctes,
+       |asg AS (SELECT vec_id, cluster FROM gz),
+       |q AS (SELECT vec_id AS qid, scell AS qscell, cluster AS qcell, v AS qv FROM gz),
+       |gbc AS (SELECT b.scell, CAST(b.scell * g.kb + b.sid AS INTEGER) AS cid, b.c
+       |        FROM gb$KmIter b CROSS JOIN gkb g),
+       |gsc AS (SELECT cid, c FROM gs$KmIter
+       |        WHERE cid IN (SELECT DISTINCT scell FROM gbc)),
+       |gns AS (SELECT qid, cid AS s2 FROM (
+       |    SELECT q.qid, s.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |                              ORDER BY ${dist2Sql("q.qv", "s.c")}, s.cid) AS rn
+       |    FROM q CROSS JOIN gsc s WHERE s.cid <> q.qscell) WHERE rn = 1),
+       |gnp AS (SELECT qid, cid AS pcell FROM (
+       |    SELECT q.qid, b.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |                              ORDER BY ${dist2Sql("q.qv", "b.c")}, b.cid) AS rn
+       |    FROM q JOIN gns ON gns.qid = q.qid
+       |    JOIN gbc b ON (b.scell = q.qscell OR b.scell = gns.s2) AND b.cid <> q.qcell)
+       |    WHERE rn = 1),
+       |probes AS (SELECT qid, pcell FROM gnp
        |           UNION ALL SELECT qid, qcell AS pcell FROM q),
        |qs AS (SELECT vec_id AS qid, j, v[(j*$PqDsub+1):(j*$PqDsub+$PqDsub)] AS qsv
        |       FROM e CROSS JOIN (SELECT unnest(range(0, $PqM)) AS j)),

@@ -2041,8 +2041,8 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
     // neighbors come from probed cells only: ≤ NProbe distinct clusters
-    // per query (via the kmeans assignment both share)
-    val cluster = SparkEntry.queries("embedding_kmeans")(spark, Sf0001)
+    // per query (via the two-level quantizer assignment the graph uses)
+    val cluster = graft.queries.SimilarityQueries.km2Assign(spark, Sf0001)
       .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
     knn.groupBy(_._1).foreach { case (q, rows) =>
       assert(rows.map(r => cluster(r._3)).distinct.length <= 2, s"qid $q cells")
