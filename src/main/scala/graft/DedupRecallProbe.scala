@@ -18,7 +18,12 @@ object DedupRecallProbe {
     // two queries share schema, so one formatter serves both. Drain
     // between them: each is a complete harness with its own retired
     // checkpoints (the Bench per-query lifecycle).
-    val rows = Seq("dedup_recall", "dedup_recall_canon").flatMap { q =>
+    // optional comma-list second arg restricts the harnesses run — the
+    // threshold-ladder probe runs ONLY dedup_recall_canon per rung, and
+    // the band-spread repro needs the canon tier isolated
+    val qs = args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("dedup_recall", "dedup_recall_canon"))
+    val rows = qs.flatMap { q =>
       val rs = SparkEntry.queries(q)(spark, dir)
         .collect()
         .map { r =>
@@ -33,7 +38,9 @@ object DedupRecallProbe {
       graft.operators.Checkpoints.drain()
       rs
     }
-    println(s"""{"metric":"dedup_recall","dir":"$dir","tiers":[${rows.mkString(",")}]}""")
+    println(s"""{"metric":"dedup_recall","dir":"$dir",""" +
+      s""""min_est_jaccard":${graft.queries.DedupQueries.MinEstJaccard},""" +
+      s""""tiers":[${rows.mkString(",")}]}""")
     spark.stop()
   }
 }

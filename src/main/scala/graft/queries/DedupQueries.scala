@@ -67,7 +67,17 @@ object DedupQueries {
   private[graft] val MaxBucket = 100
   // minhash LSH emission gate: fraction of agreeing signature components.
   // private[graft] like K/MaxBucket — graft.LshStats applies the REAL gate.
-  private[graft] val MinEstJaccard = 0.5
+  // Env-overridable for the post-canon threshold-ladder probe (the PqK
+  // precedent): r15 attributed the canon tier's 0.572 marker-regime
+  // recall to THIS constant sitting at 0.5 against the 0.2 truth bar —
+  // the ladder turns that attribution into a measured recall-vs-n_cand
+  // curve. Every derived relation and every oracle string is built from
+  // THIS value, so an override can never desynchronize engine and
+  // mirror; the catalog default stays 0.5.
+  private[graft] val MinEstJaccard =
+    sys.env.get("SPARK_GRAFT_MIN_EST_JACCARD").map(_.toDouble).getOrElse(0.5)
+  require(MinEstJaccard >= 0.0 && MinEstJaccard <= 1.0,
+    s"MinEstJaccard=$MinEstJaccard outside [0, 1]")
   // dedup_containment emission gate: fraction of the CONTAINED doc's rare
   // shingles that appear in the container.
   private[graft] val MinContainment = 0.8

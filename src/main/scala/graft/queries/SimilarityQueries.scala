@@ -1312,6 +1312,12 @@ object SimilarityQueries {
         .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
         .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
         .select(col("qid"), col("nn_id"), dist2(col("qv"), col("nv")).as("d2"))
+        // NaN guard (unreachable for finite embeddings, which the
+        // generator produces — but TopK ranks NaN FIRST via sim DESC
+        // while the oracle's ORDER BY d2 ASC ranks it LAST, so a
+        // non-finite component would diverge across engines silently;
+        // the cosine paths filter isnan for the same reason)
+        .filter(!isnan(col("d2")))
         // sim = −d2: TopK keeps the k largest (ties to smaller nn_id) =
         // the k smallest exact distances; −(−d2) restores d2's bits
         // exactly (negation flips one sign bit; d2 = +0.0 for duplicate
@@ -1901,7 +1907,7 @@ object SimilarityQueries {
          |SELECT qid, CAST(rn AS INT) AS rank, nn_id, d2 FROM (
          |  SELECT qid, nn_id, d2,
          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nn_id) AS rn
-         |  FROM rer) WHERE rn <= $KnnK ORDER BY qid, rank""".stripMargin,
+         |  FROM rer WHERE NOT isnan(d2)) WHERE rn <= $KnnK ORDER BY qid, rank""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH e AS ($eSql),

@@ -188,6 +188,60 @@ object TextAnalysisQueries {
       graft.operators.Checkpoints.fresh(winners.reduce(_ unionByName _))
     }
 
+  /** The merge table with the exhausted-training guard: an apply-only
+    * consumer (bpe_vocab / bpe_encode) folds EVERY round's winner as a
+    * 1-row crossJoin, so a round that trained no winner (corpus too
+    * small for BpeRounds distinct merges) would empty the corpus — and
+    * the output — SILENTLY on both engines. bpe_merges honestly emits
+    * the trained prefix in that regime; the apply passes cannot (their
+    * unrolled plan is round-count-static, as is the oracle's), so the
+    * regime fails loudly here instead. One count of the session-cached
+    * BpeRounds-row frame.
+    */
+  private def bpeWinnersChecked(s: SparkSession, dir: String): DataFrame = {
+    val w = bpeWinners(s, dir)
+    val n = w.count()
+    require(n == BpeRounds,
+      s"BPE training exhausted after $n/$BpeRounds rounds: the apply-only " +
+        "passes (bpe_vocab/bpe_encode) would silently empty the corpus; " +
+        "lower BpeRounds or train on a larger corpus")
+    w
+  }
+
+  /** Delimiter-framed symbol stream of a text column: \x1F-framed,
+    * \x1F\x1F-separated [[BpeMergeRegex]] pre-tokens — the form every
+    * BPE pass (training rounds, vocab apply, encode) operates on.
+    */
+  private def bpeFrame(text: Column): Column = {
+    val Sep = "\u001F"
+    concat(lit(Sep),
+      array_join(regexp_extract_all(text, lit(BpeMergeRegex), lit(0)), Sep + Sep),
+      lit(Sep))
+  }
+
+  /** All [[BpeRounds]] trained merges applied to a framed corpus (`s`
+    * column; `keys` carried through) — N chained literal replaces in ONE
+    * whole-stage-codegen projection (no pair counting, no per-round
+    * checkpoint: each round's corpus feeds only the next, no lineage
+    * fan-out). ONE spelling consumed by bpe_vocab AND bpe_encode — the
+    * tokenizer's train-time and inference-time apply passes cannot
+    * drift. limit(1) is semantically free (round is unique in the merge
+    * table) and gives the conditionless broadcast a STATIC row bound
+    * the structural join audit can see (maxRows = 1).
+    */
+  private def bpeApply(framed: DataFrame, keys: Seq[String], w: DataFrame): DataFrame = {
+    val Sep = "\u001F"
+    var cur = framed
+    for (r <- 1 to BpeRounds)
+      cur = cur
+        .crossJoin(broadcast(w.filter(col("round") === r).limit(1)
+          .select(col("lhs").as(s"wl$r"), col("rhs").as(s"wr$r"))))
+        .select(keys.map(col) :+ replace(col("s"),
+          concat(lit(Sep), col(s"wl$r"), lit(Sep + Sep), col(s"wr$r"), lit(Sep)),
+          concat(lit(Sep), col(s"wl$r"), col(s"wr$r"), lit(Sep))).as("s"): _*)
+    cur
+  }
+
   /** sample_stratified: docs kept per stratum. */
   private[graft] val SampleK = 5
 
@@ -1012,34 +1066,53 @@ object TextAnalysisQueries {
     // per-round checkpoint (each round's corpus feeds ONLY the next
     // round here, so there is no lineage fan-out to materialize
     // against), no shuffle until the final symbol count (map-side-
-    // combined hash aggregate). An exhausted round (no winner row)
-    // empties the crossJoin — and the vocabulary — on BOTH engines,
-    // mirroring bpe_merges' stop-emitting behavior.
+    // combined hash aggregate). The apply chain is [[bpeApply]] (shared
+    // with bpe_encode) over the GUARDED merge table
+    // ([[bpeWinnersChecked]] — an exhausted training run fails loudly
+    // instead of silently emitting an empty vocabulary).
     "bpe_vocab" -> ((s, dir) => {
       val Sep = "\u001F"
-      val w = bpeWinners(s, dir)
-      var cur = Tables(s, dir, "documents")
+      val framed = Tables(s, dir, "documents")
         .filter(col("doc_id").isNotNull)
-        .select(concat(lit(Sep),
-          array_join(regexp_extract_all(col("text"), lit(BpeMergeRegex), lit(0)),
-            Sep + Sep),
-          lit(Sep)).as("s"))
-      for (r <- 1 to BpeRounds)
-        cur = cur
-          // limit(1) is semantically free (round is unique in the merge
-          // table) and gives the conditionless broadcast a STATIC row
-          // bound the structural join audit can see (maxRows = 1)
-          .crossJoin(broadcast(w.filter(col("round") === r).limit(1)
-            .select(col("lhs").as(s"wl$r"), col("rhs").as(s"wr$r"))))
-          .select(replace(col("s"),
-            concat(lit(Sep), col(s"wl$r"), lit(Sep + Sep), col(s"wr$r"), lit(Sep)),
-            concat(lit(Sep), col(s"wl$r"), col(s"wr$r"), lit(Sep))).as("s"))
-      cur
+        .select(bpeFrame(col("text")).as("s"))
+      bpeApply(framed, Seq.empty, bpeWinnersChecked(s, dir))
         .select(explode(split(expr("substring(s, 2, length(s) - 2)"), Sep + Sep))
           .as("symbol"))
         .filter(col("symbol") =!= "")
         .groupBy("symbol").agg(count(lit(1)).as("n"))
         .orderBy("symbol")
+    }),
+
+    // ---- the tokenizer's consumer-facing contract: encode UNSEEN text ----
+    // bpe_vocab tokenizes the training corpus; what a tokenizer actually
+    // ships is encode(new text) with the FROZEN merge table (Sennrich et
+    // al., arXiv:1508.07909 §3: apply the learned operations, no new
+    // learning at test time). Here the merges are trained on `documents`
+    // (the session-cached [[bpeWinners]] table — the freeze) and applied
+    // to `part.p_name` — text the training loop never saw — through the
+    // SAME [[bpeApply]] chain bpe_vocab uses: one delimiter-framed
+    // projection, N chained literal replaces in one codegen pass, no
+    // shuffle at all (the output is per-row; the orderBy is the
+    // determinism contract, not a compute stage). Emits the encoded
+    // symbol stream as a space-joined STRING — symbols never contain
+    // spaces ([[BpeMergeRegex]]'s classes exclude them) so the join is
+    // lossless, and never an ARRAY column (the driver-gate rule) — plus
+    // the symbol count. At 100 TB this is the tokenize stage of a
+    // training-data pipeline: embarrassingly parallel, scan-bound, the
+    // BpeRounds-row merge table broadcast once.
+    "bpe_encode" -> ((s, dir) => {
+      val Sep = "\u001F"
+      val framed = Tables(s, dir, "part")
+        .filter(col("p_partkey").isNotNull)
+        .select(col("p_partkey"), bpeFrame(col("p_name")).as("s"))
+      bpeApply(framed, Seq("p_partkey"), bpeWinnersChecked(s, dir))
+        .select(col("p_partkey"),
+          array_join(split(expr("substring(s, 2, length(s) - 2)"), Sep + Sep), " ")
+            .as("enc"))
+        .select(col("p_partkey"), col("enc"),
+          when(col("enc") === "", lit(0))
+            .otherwise(size(split(col("enc"), " "))).cast("int").as("n_symbols"))
+        .orderBy("p_partkey")
     })
   )
 
@@ -1417,7 +1490,32 @@ object TextAnalysisQueries {
            |SELECT symbol, CAST(count(*) AS BIGINT) AS n FROM (
            |  SELECT unnest(string_split(s[2:len(s)-1], chr(31) || chr(31))) AS symbol
            |  FROM s${BpeRounds + 1})
-           |WHERE symbol <> '' GROUP BY symbol ORDER BY symbol""".stripMargin
+           |WHERE symbol <> '' GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+      // encode's mirror: the training chain's w1..wN (bpeCtesSql — the
+      // same unroll bpe_merges/bpe_vocab splice, so the frozen table
+      // cannot drift) applied to the part-name frames e1..e{N+1}
+      "bpe_encode" -> {
+        val sep = "chr(31)"
+        val sep2 = s"$sep || $sep"
+        val applies = (1 to BpeRounds).map { r =>
+          s"""e${r + 1} AS (SELECT p_partkey, replace(s, $sep || lhs || $sep2 || rhs || $sep,
+             |                  $sep || lhs || rhs || $sep) AS s
+             |      FROM e$r CROSS JOIN w$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${bpeCtesSql(finalCorpus = false)},
+           |e1 AS (SELECT p_partkey, $sep || array_to_string(
+           |              regexp_extract_all(p_name, '$BpeMergeRegex'), $sep2) || $sep AS s
+           |            FROM part WHERE p_partkey IS NOT NULL),
+           |$applies
+           |SELECT p_partkey, enc,
+           |  CAST(CASE WHEN enc = '' THEN 0
+           |            ELSE len(string_split(enc, ' ')) END AS INT) AS n_symbols
+           |FROM (SELECT p_partkey,
+           |        array_to_string(string_split(s[2:len(s)-1], $sep2), ' ') AS enc
+           |      FROM e${BpeRounds + 1})
+           |ORDER BY p_partkey""".stripMargin
+      }
     )
   }
 

@@ -2215,4 +2215,40 @@ class QueriesSpec extends AnyFunSuite {
     // character mass is conserved by merging: Σ n·len(symbol) = Σ len(token)
     assert(got.map { case (s, n) => n * s.length }.sum == totalChars)
   }
+
+  test("bpe_encode: frozen merges on unseen text equal driver-side greedy") {
+    import spark.implicits._
+    val re = graft.queries.TextAnalysisQueries.BpeMergeRegex.r
+    def applyMerge(tv: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < tv.length) {
+        if (i + 1 < tv.length && tv(i) == l && tv(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += tv(i); i += 1 }
+      }
+      out.toArray
+    }
+    // the FROZEN table: trained on documents, never on part names
+    val merges = SparkEntry.queries("bpe_merges")(spark, Sf0001)
+      .orderBy("round").select("lhs", "rhs").as[(String, String)].collect()
+    val parts = Tables(spark, Sf0001, "part")
+      .filter(col("p_partkey").isNotNull)
+      .select("p_partkey", "p_name").as[(Long, String)].collect()
+    val expected = parts.map { case (k, name) =>
+      var tv = re.findAllIn(name).toArray
+      merges.foreach { case (l, r) => tv = applyMerge(tv, l, r) }
+      (k, tv.mkString(" "), tv.length)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("bpe_encode")(spark, Sf0001)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got == expected)
+    // encode is lossless on characters: symbols re-concatenate to the
+    // pre-token stream (merging never invents or drops a character)
+    val pretok = parts.map { case (k, name) =>
+      (k, re.findAllIn(name).mkString) }.toMap
+    got.foreach { case (k, enc, _) =>
+      assert(enc.replace(" ", "") == pretok(k), s"p_partkey $k")
+    }
+  }
 }
