@@ -494,6 +494,12 @@ object SimilarityQueries {
     */
   private[graft] val KnnK = 3
 
+  /** ann_filtered's demo predicate value (documents.lang). A design
+    * constant — the operator's shape admits ANY per-id predicate; the
+    * oracle and the spec read the same value.
+    */
+  private[graft] val AnnFilterLang = "en"
+
   /** Subvector relation (vec_id, j, sv): one row per (vector, subspace),
     * `sv` the j-th PqDsub-dim slice. Linear ×PqM expansion of the corpus
     * — the training set every subquantizer is fit on.
@@ -1048,6 +1054,53 @@ object SimilarityQueries {
       val probes = probedCells(q, reps)
         .join(q.select(col("qid"), col("qv")), Seq("qid"))
       e.join(broadcast(probes),
+          col("label") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), cosine(col("qv"), col("v")).as("sim"),
+          col("vec_id").as("nn_id"))
+        .groupBy("qid")
+        .agg(topk(col("sim"), col("nn_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.nn_id").as("nn_id"))
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- metadata-predicated (filtered) ANN: search WITHIN a predicate ----
+    // Every production similarity stack a training-data pipeline uses
+    // supports filtered search ("nearest en-language documents", "within
+    // this source/licence partition") — and the standard failure mode is
+    // POST-filtering: take the unfiltered top-k, then filter, and return
+    // fewer than k (or zero) results whenever the neighborhood is
+    // predicate-sparse. The correct composition is PRE-filtering the
+    // candidate scan (FAISS's IDSelector, the filtered-search mode of
+    // every published vector store): here the predicate lives on the
+    // documents table (lang = 'en'; vec_id ≡ doc_id, the SemDeDup
+    // quality-election identity), reaches the documents parquet scan as
+    // a pushed filter (EqualTo(lang, en) in PushedFilters — the spec
+    // asserts it), and a LEFT-SEMI join intersects the cell-probed
+    // corpus side with the qualifying-id set BEFORE any distance is
+    // computed — so the TopK ranks qualifying vectors only, and every
+    // query returns the exact filtered top-k of its probed cells. The
+    // index structure (cells, reps, probe rule) stays UNFILTERED and
+    // query-set-independent — one index serves every predicate; only
+    // the scan side shrinks. Scale shape: the semi-join is a hash join
+    // on the id key (no new quadratic door), the probe rule is
+    // ann_ivf_nprobe's verbatim, and selectivity multiplies straight
+    // through the scored-row count.
+    "ann_filtered" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopK(TopK))
+      val e = vecs(s, dir).filter(col("label").isNotNull)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qcell"),
+          col("v").as("qv"))
+      val reps = boundedReps("ann_filtered", e)
+      val probes = probedCells(q, reps)
+        .join(q.select(col("qid"), col("qv")), Seq("qid"))
+      val keep = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("lang") === AnnFilterLang)
+        .select(col("doc_id").as("vec_id"))
+      e.join(keep, Seq("vec_id"), "left_semi")
+        .join(broadcast(probes),
           col("label") === col("pcell") && col("vec_id") =!= col("qid"))
         .select(col("qid"), cosine(col("qv"), col("v")).as("sim"),
           col("vec_id").as("nn_id"))
@@ -2016,6 +2069,32 @@ object SimilarityQueries {
          |           UNION ALL SELECT qid, qv, qcell AS cell FROM q),
          |scored AS (SELECT p.qid, e.vec_id AS nn_id, ${cosineSql("p.qv", "e.v")} AS sim
          |  FROM probes p JOIN e ON e.label = p.cell AND e.vec_id <> p.qid)
+         |SELECT qid, rank, nn_id FROM (
+         |  SELECT qid, nn_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS INT) AS rank
+         |  FROM scored) WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+
+    // nprobe's chain with the candidate side SEMI-joined to the
+    // predicate's id set before scoring (pre-filtering, never
+    // post-filtering); index structure (reps, probe rule) unfiltered
+    "ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings
+         |           WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+         |rid AS (SELECT label, min(vec_id) AS rid FROM e GROUP BY 1),
+         |reps AS (SELECT e.label AS cell, e.v AS rv FROM e JOIN rid ON e.vec_id = rid.rid),
+         |q AS (SELECT vec_id AS qid, label AS qcell, v AS qv FROM e WHERE vec_id < $NQueries),
+         |f AS (SELECT e.* FROM e WHERE EXISTS (
+         |        SELECT 1 FROM documents d
+         |        WHERE d.doc_id = e.vec_id AND d.doc_id IS NOT NULL
+         |          AND d.lang = '$AnnFilterLang')),
+         |ranked AS (SELECT qid, qv, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |                       ORDER BY ${cosineSql("qv", "rv")} DESC, cell) AS crk
+         |  FROM q CROSS JOIN reps WHERE cell <> qcell),
+         |probes AS (SELECT qid, qv, cell FROM ranked WHERE crk <= ${NProbe - 1}
+         |           UNION ALL SELECT qid, qv, qcell AS cell FROM q),
+         |scored AS (SELECT p.qid, f.vec_id AS nn_id, ${cosineSql("p.qv", "f.v")} AS sim
+         |  FROM probes p JOIN f ON f.label = p.cell AND f.vec_id <> p.qid)
          |SELECT qid, rank, nn_id FROM (
          |  SELECT qid, nn_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nn_id) AS INT) AS rank
          |  FROM scored) WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,

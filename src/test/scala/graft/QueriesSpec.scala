@@ -2251,4 +2251,28 @@ class QueriesSpec extends AnyFunSuite {
       assert(enc.replace(" ", "") == pretok(k), s"p_partkey $k")
     }
   }
+
+  test("ann_filtered: pre-filtered candidates; predicate pushed to the scan") {
+    import spark.implicits._
+    val df = SparkEntry.queries("ann_filtered")(spark, Sf0001)
+    // the lang predicate must reach the documents parquet scan — the
+    // pre-filter is only at-scale-honest if the scan itself shrinks
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("EqualTo(lang,en)"), plan.take(4000))
+    val rows = df.as[(Long, Int, Long)].collect()
+    val en = Tables(spark, Sf0001, "documents")
+      .filter(col("lang") === graft.queries.SimilarityQueries.AnnFilterLang)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => en.contains(r._3)))
+    // pre-filter ≥ post-filter: every qualifying neighbor of the
+    // UNFILTERED tier's top-k (same probe rule, same reps) must appear —
+    // removing non-qualifying candidates can only improve a rank
+    val unf = SparkEntry.queries("ann_ivf_nprobe")(spark, Sf0001)
+      .as[(Long, Int, Long)].collect()
+    val filtSet = rows.map(r => (r._1, r._3)).toSet
+    unf.filter(r => en.contains(r._3)).foreach { r =>
+      assert(filtSet.contains((r._1, r._3)), s"missing $r")
+    }
+  }
 }
