@@ -66,6 +66,43 @@ object CurationQueries {
   private val Stride = 24      // chunk start interval (overlap = 8)
   private val SeqLen = 128     // pack_sequences: training-sequence capacity
   private val PackBucketChars = 4 // pack_sequences: md5 shard-key width
+
+  /** The GPT-style concatenate-and-split packing plan over a prepared
+    * (doc_id, source, bucket, n_tokens) frame — ONE spelling consumed by
+    * pack_sequences (regex pre-token counts) and pack_sequences_bpe
+    * (frozen-merge-table symbol counts): the span arithmetic and the
+    * md5-sharded deterministic order cannot drift between the proxy and
+    * the real tokenizer. See pack_sequences' entry for the
+    * rationale/scale argument (shard width is the group-size knob; spans
+    * are exact BIGINT arithmetic).
+    */
+  private def packPlan(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("bucket"), col("n_tokens"),
+        col("off"),
+        explode(sequence(expr(s"off div $SeqLen"),
+          expr(s"(off + n_tokens - 1) div $SeqLen"))).as("seq_id"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        col("seq_id").cast("int").as("seq_id"),
+        greatest(col("off") - col("seq_id") * lit(SeqLen.toLong), lit(0L))
+          .cast("int").as("seq_pos"),
+        // the span's offset WITHIN THE DOC — the third coordinate an
+        // attention-mask/label builder needs (seq_pos and n_in_seq
+        // locate the span in the sequence; doc_pos locates it in the
+        // document, so a straddling doc's token slices can be fetched
+        // without re-deriving the packing): tokens of this doc
+        // consumed by earlier sequences
+        greatest(col("seq_id") * lit(SeqLen.toLong) - col("off"), lit(0L))
+          .cast("int").as("doc_pos"),
+        (least((col("seq_id") + 1) * lit(SeqLen.toLong),
+            col("off") + col("n_tokens"))
+          - greatest(col("seq_id") * lit(SeqLen.toLong), col("off")))
+          .cast("int").as("n_in_seq"))
+      .orderBy("doc_id", "seq_id")
+  }
   // corpus_mix_tokens: target TOKEN count per source. One shared budget
   // here; production reads a per-source map — the cut arithmetic below
   // is the same either way.
@@ -1070,39 +1107,42 @@ object CurationQueries {
     // groups; sequences never span groups, so changing it only re-shards
     // the packing, deterministically). Spans are integer arithmetic on
     // exact BIGINT offsets — engine-exact.
-    "pack_sequences" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = Tables(s, dir, "documents")
+    "pack_sequences" -> ((s, dir) =>
+      packPlan(Tables(s, dir, "documents")
         .filter(col("doc_id").isNotNull)
         .select(col("doc_id"), col("source"),
           substring(md5(col("doc_id").cast("string")), 1, PackBucketChars)
             .as("bucket"),
           size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .filter(col("n_tokens") > 0)
-      val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      d.withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .select(col("doc_id"), col("source"), col("bucket"), col("n_tokens"),
-          col("off"),
-          explode(sequence(expr(s"off div $SeqLen"),
-            expr(s"(off + n_tokens - 1) div $SeqLen"))).as("seq_id"))
-        .select(col("doc_id"), col("source"), col("bucket"),
-          col("seq_id").cast("int").as("seq_id"),
-          greatest(col("off") - col("seq_id") * lit(SeqLen.toLong), lit(0L))
-            .cast("int").as("seq_pos"),
-          // the span's offset WITHIN THE DOC — the third coordinate an
-          // attention-mask/label builder needs (seq_pos and n_in_seq
-          // locate the span in the sequence; doc_pos locates it in the
-          // document, so a straddling doc's token slices can be fetched
-          // without re-deriving the packing): tokens of this doc
-          // consumed by earlier sequences
-          greatest(col("seq_id") * lit(SeqLen.toLong) - col("off"), lit(0L))
-            .cast("int").as("doc_pos"),
-          (least((col("seq_id") + 1) * lit(SeqLen.toLong),
-              col("off") + col("n_tokens"))
-            - greatest(col("seq_id") * lit(SeqLen.toLong), col("off")))
-            .cast("int").as("n_in_seq"))
-        .orderBy("doc_id", "seq_id")
+        .filter(col("n_tokens") > 0))),
+
+    // ---- the same packing over the REAL tokenizer's counts ----
+    // pack_sequences budgets sequence capacity in regex pre-tokens — the
+    // proxy a pipeline uses before a tokenizer exists. This is the
+    // composed production form: per-document symbol counts from the
+    // FROZEN BPE merge table (bpe_encode's apply chain, one shared
+    // spelling — N literal replaces in one codegen pass, shuffle-free)
+    // feed the IDENTICAL packing plan (packPlan — factored, so the two
+    // entries cannot drift). Token budgets measured in actual model
+    // tokens is what makes SeqLen mean "context length"; everything
+    // else about the plan (md5-sharded groups, windowed integer
+    // offsets, span arithmetic) is unchanged and engine-exact.
+    "pack_sequences_bpe" -> ((s, dir) => {
+      val Sep = "\u001F"
+      val framed = Tables(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextAnalysisQueries.bpeFrame(col("text")).as("s"))
+      val applied = TextAnalysisQueries.bpeApply(framed,
+        Seq("doc_id", "source"), TextAnalysisQueries.bpeWinnersChecked(s, dir))
+      packPlan(applied
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("doc_id").cast("string")), 1, PackBucketChars)
+            .as("bucket"),
+          when(length(col("s")) === 2, lit(0L))
+            .otherwise(size(split(expr("substring(s, 2, length(s) - 2)"),
+              Sep + Sep)).cast("long")).as("n_tokens"))
+        .filter(col("n_tokens") > 0))
     }),
 
     // ---- symmetric int8 quantization of the embedding column ----
@@ -1289,6 +1329,24 @@ object CurationQueries {
        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cd'
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** The packing tail (o/e/final) over an upstream `d` CTE — the SQL
+    * twin of [[packPlan]], one spelling for both pack mirrors.
+    */
+  private def packSqlTail: String =
+    s"""o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+       |        PARTITION BY source, bucket ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |      FROM d),
+       |e AS (SELECT *, unnest(range(CAST(off // $SeqLen AS BIGINT),
+       |        CAST((off + n_tokens - 1) // $SeqLen + 1 AS BIGINT))) AS seq_id
+       |      FROM o)
+       |SELECT doc_id, source, bucket, CAST(seq_id AS INT) AS seq_id,
+       |  CAST(GREATEST(off - seq_id * $SeqLen, 0) AS INT) AS seq_pos,
+       |  CAST(GREATEST(seq_id * $SeqLen - off, 0) AS INT) AS doc_pos,
+       |  CAST(LEAST((seq_id + 1) * $SeqLen, off + n_tokens)
+       |       - GREATEST(seq_id * $SeqLen, off) AS INT) AS n_in_seq
+       |FROM e ORDER BY doc_id, seq_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "doc_chunks" ->
@@ -1607,25 +1665,34 @@ object CurationQueries {
          |FROM sc CROSS JOIN tot ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->
-      // `off` not `offset` (reserved); DuckDB `//` = Spark `div`
+      // `off` not `offset` (reserved); DuckDB `//` = Spark `div`;
+      // the packing tail is packSqlTail (shared with pack_sequences_bpe)
       s"""WITH d AS (SELECT doc_id, source,
          |    substring(md5(CAST(doc_id AS VARCHAR)), 1, $PackBucketChars) AS bucket,
          |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
          |  FROM documents
          |  WHERE len(${tokensSql("text")}) > 0),
-         |o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
-         |        PARTITION BY source, bucket ORDER BY doc_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-         |      FROM d),
-         |e AS (SELECT *, unnest(range(CAST(off // $SeqLen AS BIGINT),
-         |        CAST((off + n_tokens - 1) // $SeqLen + 1 AS BIGINT))) AS seq_id
-         |      FROM o)
-         |SELECT doc_id, source, bucket, CAST(seq_id AS INT) AS seq_id,
-         |  CAST(GREATEST(off - seq_id * $SeqLen, 0) AS INT) AS seq_pos,
-         |  CAST(GREATEST(seq_id * $SeqLen - off, 0) AS INT) AS doc_pos,
-         |  CAST(LEAST((seq_id + 1) * $SeqLen, off + n_tokens)
-         |       - GREATEST(seq_id * $SeqLen, off) AS INT) AS n_in_seq
-         |FROM e ORDER BY doc_id, seq_id""".stripMargin,
+         |$packSqlTail""".stripMargin,
+
+    // the bpe apply chain (x1..x{N+1} via the SHARED unroll builder —
+    // bpe_encode's mirror spelling) feeding the SHARED packing tail
+    "pack_sequences_bpe" ->
+      s"""WITH ${TextAnalysisQueries.bpeCtesSql(finalCorpus = false)},
+         |x1 AS (SELECT doc_id, source, chr(31) || array_to_string(
+         |          regexp_extract_all(text, '${TextAnalysisQueries.BpeMergeRegex}'),
+         |          chr(31) || chr(31)) || chr(31) AS s
+         |        FROM documents WHERE doc_id IS NOT NULL),
+         |${TextAnalysisQueries.bpeApplyCtesSql("x", "doc_id, source")},
+         |d AS (SELECT doc_id, source,
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, $PackBucketChars) AS bucket,
+         |    n_tokens
+         |  FROM (SELECT doc_id, source,
+         |          CAST(CASE WHEN len(s) = 2 THEN 0
+         |               ELSE len(string_split(s[2:len(s)-1], chr(31) || chr(31)))
+         |               END AS BIGINT) AS n_tokens
+         |        FROM ${TextAnalysisQueries.bpeApplyFinalRel("x")})
+         |  WHERE n_tokens > 0),
+         |$packSqlTail""".stripMargin,
 
     "embedding_quantize" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

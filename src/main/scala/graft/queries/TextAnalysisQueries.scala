@@ -198,7 +198,7 @@ object TextAnalysisQueries {
     * regime fails loudly here instead. One count of the session-cached
     * BpeRounds-row frame.
     */
-  private def bpeWinnersChecked(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def bpeWinnersChecked(s: SparkSession, dir: String): DataFrame = {
     val w = bpeWinners(s, dir)
     val n = w.count()
     require(n == BpeRounds,
@@ -212,7 +212,7 @@ object TextAnalysisQueries {
     * \x1F\x1F-separated [[BpeMergeRegex]] pre-tokens — the form every
     * BPE pass (training rounds, vocab apply, encode) operates on.
     */
-  private def bpeFrame(text: Column): Column = {
+  private[queries] def bpeFrame(text: Column): Column = {
     val Sep = "\u001F"
     concat(lit(Sep),
       array_join(regexp_extract_all(text, lit(BpeMergeRegex), lit(0)), Sep + Sep),
@@ -229,7 +229,7 @@ object TextAnalysisQueries {
     * table) and gives the conditionless broadcast a STATIC row bound
     * the structural join audit can see (maxRows = 1).
     */
-  private def bpeApply(framed: DataFrame, keys: Seq[String], w: DataFrame): DataFrame = {
+  private[queries] def bpeApply(framed: DataFrame, keys: Seq[String], w: DataFrame): DataFrame = {
     val Sep = "\u001F"
     var cur = framed
     for (r <- 1 to BpeRounds)
@@ -1495,19 +1495,16 @@ object TextAnalysisQueries {
       // encode's mirror: the training chain's w1..wN (bpeCtesSql — the
       // same unroll bpe_merges/bpe_vocab splice, so the frozen table
       // cannot drift) applied to the part-name frames e1..e{N+1}
+      // (bpeApplyCtesSql — one unroll spelling shared with
+      // pack_sequences_bpe's mirror)
       "bpe_encode" -> {
         val sep = "chr(31)"
         val sep2 = s"$sep || $sep"
-        val applies = (1 to BpeRounds).map { r =>
-          s"""e${r + 1} AS (SELECT p_partkey, replace(s, $sep || lhs || $sep2 || rhs || $sep,
-             |                  $sep || lhs || rhs || $sep) AS s
-             |      FROM e$r CROSS JOIN w$r)""".stripMargin
-        }.mkString(",\n")
         s"""WITH ${bpeCtesSql(finalCorpus = false)},
            |e1 AS (SELECT p_partkey, $sep || array_to_string(
            |              regexp_extract_all(p_name, '$BpeMergeRegex'), $sep2) || $sep AS s
            |            FROM part WHERE p_partkey IS NOT NULL),
-           |$applies
+           |${bpeApplyCtesSql("e", "p_partkey")}
            |SELECT p_partkey, enc,
            |  CAST(CASE WHEN enc = '' THEN 0
            |            ELSE len(string_split(enc, ' ')) END AS INT) AS n_symbols
@@ -1524,7 +1521,7 @@ object TextAnalysisQueries {
     * `finalCorpus` appends s{BpeRounds+1} — the LAST winner applied —
     * which only the vocab mirror reads.
     */
-  private def bpeCtesSql(finalCorpus: Boolean): String = {
+  private[queries] def bpeCtesSql(finalCorpus: Boolean): String = {
     val sep = "chr(31)"
     val sep2 = s"$sep || $sep"
     val sb = new StringBuilder
@@ -1546,4 +1543,25 @@ object TextAnalysisQueries {
     }
     sb.toString
   }
+
+  /** The apply-only unroll over ANY framed relation — [[bpeApply]]'s SQL
+    * twin, ONE spelling for every encode-shaped mirror (bpe_encode,
+    * pack_sequences_bpe). The caller defines `${prefix}1` (columns:
+    * `$keyCols`, `s`) and splices [[bpeCtesSql]]'s w1..wN upstream; this
+    * emits `${prefix}2..${prefix}{BpeRounds+1}`, each one literal
+    * replace against that round's winner.
+    */
+  private[queries] def bpeApplyCtesSql(prefix: String, keyCols: String): String = {
+    val sep = "chr(31)"
+    val sep2 = s"$sep || $sep"
+    (1 to BpeRounds).map { r =>
+      s"""$prefix${r + 1} AS (SELECT $keyCols, replace(s, $sep || lhs || $sep2 || rhs || $sep,
+         |                  $sep || lhs || rhs || $sep) AS s
+         |      FROM $prefix$r CROSS JOIN w$r)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** Name of the fully-applied relation [[bpeApplyCtesSql]] emits. */
+  private[queries] def bpeApplyFinalRel(prefix: String): String =
+    s"$prefix${BpeRounds + 1}"
 }

@@ -2252,6 +2252,49 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sequences_bpe: spans budget REAL tokenizer symbols exactly") {
+    import spark.implicits._
+    val re = graft.queries.TextAnalysisQueries.BpeMergeRegex.r
+    def applyMerge(tv: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < tv.length) {
+        if (i + 1 < tv.length && tv(i) == l && tv(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += tv(i); i += 1 }
+      }
+      out.toArray
+    }
+    val merges = SparkEntry.queries("bpe_merges")(spark, Sf0001)
+      .orderBy("round").select("lhs", "rhs").as[(String, String)].collect()
+    val symCount = Tables(spark, Sf0001, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        var tv = re.findAllIn(t).toArray
+        merges.foreach { case (l, r) => tv = applyMerge(tv, l, r) }
+        (id, tv.length.toLong)
+      }.toMap
+    val rows = SparkEntry.queries("pack_sequences_bpe")(spark, Sf0001)
+      .as[(Long, String, String, Int, Int, Int, Int)].collect()
+    // every document's spans reassemble to EXACTLY its BPE symbol count —
+    // the packing budgets real tokenizer tokens, not the regex proxy
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._7.toLong).sum == symCount(id), s"doc $id")
+    }
+    // sequence capacity: every (source, bucket, seq_id) holds ≤ SeqLen
+    // (= 128) symbols and all but each bucket's last sequence are FULL
+    // (concatenate-and-split leaves no padding waste by construction)
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, bucket) =>
+      val last = bucket.map(_._4).max
+      bucket.groupBy(_._4).foreach { case (seqId, ss) =>
+        val tot = ss.map(_._7).sum
+        assert(tot <= 128)
+        if (seqId != last) assert(tot == 128, s"seq $seqId not full")
+      }
+    }
+  }
+
   test("ann_filtered: pre-filtered candidates; predicate pushed to the scan") {
     import spark.implicits._
     val df = SparkEntry.queries("ann_filtered")(spark, Sf0001)
