@@ -50,6 +50,16 @@ object EngineSession {
       // so it only engages at the scale it pays for. ScaleOpsSpec lowers
       // them to prove the injection fires.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // Join-strategy probe knobs (round-16 A/B; guide §3.1): sort-merge is
+    // Spark's robust default, but a shuffled-hash join skips both sorts
+    // when one side's per-partition build fits in memory. Env-overridable
+    // so the experiment is a same-binary A/B (the PqK/MinEstJaccard
+    // precedent) — strategy choice never changes results, only plans.
+    // Defaults are Spark's own unless the measured A/B justifies a flip.
+    sys.env.get("SPARK_GRAFT_PREFER_SMJ")
+      .foreach(v => b.config("spark.sql.join.preferSortMergeJoin", v))
+    sys.env.get("SPARK_GRAFT_SHJ_THRESHOLD")
+      .foreach(v => b.config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", v))
     requiredConfs.foreach { case (k, v) => b.config(k, v) }
     b
   }

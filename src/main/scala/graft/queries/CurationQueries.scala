@@ -897,6 +897,18 @@ object CurationQueries {
       val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val total = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      // Join strategy: deliberately UNHINTED after a measured round-16
+      // probe (guide §3.1). A shuffle_hash hint on the vocabulary-bounded
+      // df side looked like a 3× win in a loaded-hour A/B (20.0 s SMJ vs
+      // 6.7 s SHJ at sf10) but did NOT reproduce against quiet floors
+      // (hinted 6.98 vs unhinted 5.48 at sf10, flat wordcount control;
+      // +0.36 s at sf0.1 where the hint also forfeits the automatic
+      // broadcast). The loaded-hour gap is the sort's spill cliff under
+      // memory pressure — real, but AQE's runtime SMJ→SHJ rewrite
+      // (maxShuffledHashJoinLocalMapThreshold) is the right guard there,
+      // a conf, not a plan pin that costs the quiet path. The session-wide
+      // preferSortMergeJoin=false flip was refuted by the same A/B
+      // (net +3%: text_dedup_token_spans +49%, dedup_chunk_minhash +86%).
       tf.join(docFreq, Seq("term"))
         .crossJoin(broadcast(total))
         .withColumn("score", col("tf").cast("double") *
