@@ -15,7 +15,7 @@ OUT=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 for q in "$@"; do
   printf '%s\n' "$OUT" \
     | awk -v q="$q" '$0=="===== "q" =====",($0 ~ /^===== / && $0!="===== "q" ====="){print}' \
-    | sed -E 's/#[0-9]+L?//g; s/\[plan_id=[0-9]+\]//g; s/^===== .* =====$//' \
+    | sed -E 's/#[0-9]+L?//g; s/\[plan_id=[0-9]+\]//g; s/@[0-9a-f]{6,}//g; s/^===== .* =====$//' \
     > "plans/r17/${q}_${TAG}.txt"
   echo "wrote plans/r17/${q}_${TAG}.txt ($(wc -l < "plans/r17/${q}_${TAG}.txt") lines)"
 done

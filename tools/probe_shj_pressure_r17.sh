@@ -25,6 +25,18 @@ SPARK_GRAFT_SHJ_THRESHOLD=$THRESH \
   SPARK_GRAFT_BENCH_FULL=/tmp/shj_quiet_shj_full.json \
   tools/run_main.sh -Xmx96g graft.Bench .localdata/sf10 \
   > /tmp/shj_quiet_shj.json 2> /tmp/shj_quiet_shj.err
+# sf0.1 quiet pair: at small scale EVERY post-shuffle partition fits
+# under the threshold, so the runtime rewrite fires on every SMJ — the
+# worst case for a quiet-path tax; the conf may not cost anything here
+SPARK_GRAFT_BENCH_REPS=2 SPARK_GRAFT_BENCH_ONLY=$ONLY \
+  SPARK_GRAFT_BENCH_FULL=/tmp/shj_sf01_def_full.json \
+  tools/run_main.sh graft.Bench /root/testdata/sf0.1 \
+  > /tmp/shj_sf01_def.json 2> /tmp/shj_sf01_def.err
+SPARK_GRAFT_SHJ_THRESHOLD=$THRESH \
+  SPARK_GRAFT_BENCH_REPS=2 SPARK_GRAFT_BENCH_ONLY=$ONLY \
+  SPARK_GRAFT_BENCH_FULL=/tmp/shj_sf01_shj_full.json \
+  tools/run_main.sh graft.Bench /root/testdata/sf0.1 \
+  > /tmp/shj_sf01_shj.json 2> /tmp/shj_sf01_shj.err
 # pressure pair: same binary, same hour, heap constrained
 SPARK_GRAFT_BENCH_REPS=2 SPARK_GRAFT_BENCH_ONLY=$ONLY \
   SPARK_GRAFT_BENCH_FULL=/tmp/shj_press_def_full.json \
