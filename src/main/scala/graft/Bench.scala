@@ -144,6 +144,15 @@ object Bench {
     val wall = (System.nanoTime() - harnessT0) / 1e9
     val onlyField = only.fold("")(n =>
       ",\"only\":" + n.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    // ADVICE r16 #2: a join-strategy probe knob left in the environment
+    // changes plans invisibly — if any is set, the artifact itself says
+    // so (absent on a default run, so official lines are byte-unchanged).
+    val knobsField = {
+      val ks = EngineSession.joinProbeKnobs
+      if (ks.isEmpty) ""
+      else ",\"knobs\":" + ks.map { case (env, _, v) =>
+        "\"" + env + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    }
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","wall":$wall%.3f,"queries":$qs,"gc":$gc,"cpu":$cpu,"cold":$cold,"reps":$reps,"failed":$failed$onlyField,"sf":"$sfDir"}"""
     // The driver only keeps the LAST ~2 KB of the captured log, and the
@@ -168,7 +177,19 @@ object Bench {
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     println(fullLine)
     println(s"""{"metric":"queries","unit":"sec","queries":$qs}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","wall":$wall%.3f,"gc_total":$gcTotal%.3f,"reps":$reps,"failed":$failed$onlyField,"sf":"$sfDir","full":"$fullPath"}""")
+    val summaryLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","wall":$wall%.3f,"gc_total":$gcTotal%.3f,"reps":$reps,"failed":$failed$onlyField$knobsField,"sf":"$sfDir","full":"$fullPath"}"""
+    // The FINAL line must survive the driver's ~2 KB tail capture at any
+    // catalog size (the r11 truncation incident; VERDICT r16 #8). On the
+    // official full-catalog path it has no per-query content, so it only
+    // grows if a failure list explodes — in which case the run is red
+    // anyway; assert the healthy-path bound so growth is caught here, not
+    // in a blind round-over-round gap. ONLY-narrowed probe runs are
+    // exempt (their `only` list is legitimate line mass, and they are not
+    // the driver's artifact).
+    require(only.nonEmpty || failed != "[]" || summaryLine.length < 1500,
+      s"bench summary line grew to ${summaryLine.length} bytes — no longer tail-safe")
+    println(summaryLine)
     spark.stop()
   }
 }
